@@ -1,0 +1,69 @@
+"""Dataset / pipeline configuration.
+
+Replaces the reference's Postgres-backed metastore dataset entity
+(/root/reference/spark/src/main/scala/com/example/core/IngestionConfig.scala:29-37
+MetastoreDataset: id, name, kafkaTopic, mode, pkFields, partitionKeys,
+transformJars) with a plain dataclass + JSON file. Unlike the reference,
+which silently uses only the FIRST pk field
+(/root/reference/spark/src/main/scala/com/example/Phase2Job.scala:139),
+we support composite primary keys - (conv_id, turn_idx) for transcripts.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field, asdict
+from pathlib import Path
+
+
+TRANSCRIPT_COLUMNS = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+TRANSCRIPT_PK = ["conv_id", "turn_idx"]
+
+# CDC ordering columns (binlog position analog + event-time tiebreak),
+# mirroring Hudi's precombine field config in the reference
+# (/root/reference/spark/src/main/scala/com/example/core/SparkUtils.scala:134,140).
+ORDER_COLUMNS = ["lsn", "ts"]
+
+OP_COLUMN = "op"
+OP_INSERT = "INSERT"
+OP_UPDATE = "UPDATE"
+OP_DELETE = "DELETE"
+
+
+@dataclass
+class DatasetConfig:
+    """Everything the apply pipeline needs to know about one dataset."""
+
+    name: str
+    table_path: str
+    pk_fields: list[str] = field(default_factory=lambda: list(TRANSCRIPT_PK))
+    # "upsert" (keyed MERGE, Hudi-mode analog) or "append" (Parquet-mode
+    # analog, /root/reference/spark/src/main/scala/com/example/Phase2Job.scala:130-149).
+    mode: str = "upsert"
+    order_fields: list[str] = field(default_factory=lambda: list(ORDER_COLUMNS))
+    num_buckets: int = 32
+    # Dotted-path strings resolving to DataFrame->DataFrame callables -
+    # the idiomatic substitute for the reference's S3-JAR transformer
+    # loading (/root/reference/spark/src/main/scala/com/example/core/TransformerLoader.scala).
+    transformers: list[str] = field(default_factory=list)
+    # Skew handling: conversations whose per-batch event count exceeds this
+    # share of the batch are salted into sub-partitions (SURVEY.md §4).
+    hot_key_threshold: float = 0.05
+    salt_buckets: int = 8
+    # Fail the pipeline on breaking schema changes (reference fail-fast,
+    # /root/reference/spark/src/main/scala/com/example/core/SchemaEvolution.scala:114-137).
+    fail_on_breaking_schema: bool = True
+
+    def to_json(self) -> str:
+        return json.dumps(asdict(self), indent=2)
+
+    @classmethod
+    def from_json(cls, text: str) -> "DatasetConfig":
+        return cls(**json.loads(text))
+
+    @classmethod
+    def load(cls, path: str | Path) -> "DatasetConfig":
+        return cls.from_json(Path(path).read_text())
+
+    def save(self, path: str | Path) -> None:
+        Path(path).write_text(self.to_json())

@@ -1,0 +1,175 @@
+"""Pluggable DataFrame->DataFrame transformer chain.
+
+Reference parity: the `Transformer` trait `transform(ds: Dataset[Row])`
+(/root/reference/spark/src/main/scala/com/example/transform/BasicTransformers.scala:7-11)
+loaded from S3 JARs via URLClassLoader
+(/root/reference/spark/src/main/scala/com/example/core/TransformerLoader.scala:20-140)
+and applied as a sequential fold
+(/root/reference/spark/src/main/scala/com/example/Phase2Job.scala:113-124).
+
+Here a transformer is any Python callable DataFrame -> DataFrame; configs
+name them as dotted paths "pkg.module:factory" with optional kwargs - the
+idiomatic substitute for JAR classloading, shipped via
+``spark-submit --py-files``. All built-ins compose Column expressions only
+(JVM-side, whole-stage-codegen) - no per-row Python anywhere.
+
+Built-ins ported from the reference (same behavior, new payload):
+  cast_columns            <- CastTransformer (BasicTransformers.scala:13-21)
+  flatten_structs         <- FlattenTransformer (BasicTransformers.scala:23-37)
+  json_to_struct          <- ArrayJsonToStructTypeTransformer (BasicTransformers.scala:39-50)
+  add_ingest_timestamps   <- TimestampEnricher (sample-transformers/.../SampleTransformers.scala:11-16)
+  bucketize               <- amount_category / quality CASE-WHEN patterns
+                             (SampleTransformers.scala:27-31,51-55)
+  quality_flags           <- null/boolean quality checks (SampleTransformers.scala:46-50)
+  normalize_text          <- vectorized text normalization (pandas/Arrow UDF)
+"""
+
+from __future__ import annotations
+
+import importlib
+from typing import Callable
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+Transformer = Callable[[DataFrame], DataFrame]
+
+
+# ---------------------------------------------------------------------------
+# loading / validation / chaining (TransformerLoader + Phase2Job fold)
+# ---------------------------------------------------------------------------
+def load_transformer(spec: str | dict) -> Transformer:
+    """Resolve "pkg.module:name" (callable or factory) into a transformer.
+
+    dict form: {"path": "pkg.module:name", "args": {...}} calls the factory
+    with kwargs. Validation mirrors TransformerLoader.validateTransformer
+    (/root/reference/spark/src/main/scala/com/example/core/TransformerLoader.scala:145-165):
+    the resolved object must be callable.
+    """
+    if isinstance(spec, str):
+        path, kwargs = spec, None
+    else:
+        path, kwargs = spec["path"], spec.get("args")
+    mod_name, _, attr = path.partition(":")
+    if not attr:
+        raise ValueError(f"transformer spec needs 'module:attr', got {path!r}")
+    obj = getattr(importlib.import_module(mod_name), attr)
+    if kwargs is not None:
+        obj = obj(**kwargs)
+    if not callable(obj):
+        raise TypeError(f"transformer {path!r} is not callable")
+    return obj
+
+
+def build_chain(specs: list[str | dict]) -> list[Transformer]:
+    return [load_transformer(s) for s in specs]
+
+
+def apply_chain(df: DataFrame, chain: list[Transformer]) -> DataFrame:
+    """Sequential fold, exactly Phase2Job.scala:113-124."""
+    for fn in chain:
+        df = fn(df)
+    return df
+
+
+# ---------------------------------------------------------------------------
+# built-in transformer factories
+# ---------------------------------------------------------------------------
+def cast_columns(casts: dict[str, str]) -> Transformer:
+    """CastTransformer: cast named columns to target types."""
+
+    def _t(df: DataFrame) -> DataFrame:
+        for c, t in casts.items():
+            if c in df.columns:
+                df = df.withColumn(c, F.col(c).cast(t))
+        return df
+
+    return _t
+
+
+def flatten_structs(df: DataFrame) -> DataFrame:
+    """One-level struct flatten: struct.field -> struct_field columns
+    (FlattenTransformer semantics, including dropping the struct col)."""
+    cols = []
+    for f in df.schema.fields:
+        if isinstance(f.dataType, T.StructType):
+            cols.extend(
+                F.col(f"{f.name}.{sub.name}").alias(f"{f.name}_{sub.name}")
+                for sub in f.dataType.fields
+            )
+        else:
+            cols.append(F.col(f.name))
+    return df.select(*cols)
+
+
+def json_to_struct(column: str, schema: str | T.DataType) -> Transformer:
+    """Parse a JSON-string column into a typed struct (from_json); the
+    explicit-schema replacement for the reference's sampled inference."""
+
+    def _t(df: DataFrame) -> DataFrame:
+        if column in df.columns:
+            df = df.withColumn(column, F.from_json(F.col(column), schema))
+        return df
+
+    return _t
+
+
+def add_ingest_timestamps(df: DataFrame) -> DataFrame:
+    """TimestampEnricher: processing-time provenance columns."""
+    return df.withColumn("ingestion_timestamp", F.current_timestamp()).withColumn(
+        "ingestion_date", F.current_date()
+    )
+
+
+def bucketize(
+    column: str, out: str, edges: list[float], labels: list[str]
+) -> Transformer:
+    """CASE/WHEN bucketing (amount_category pattern). len(labels) ==
+    len(edges)+1; buckets are [-inf,e0), [e0,e1), ..., [eN,inf)."""
+    if len(labels) != len(edges) + 1:
+        raise ValueError("need len(labels) == len(edges) + 1")
+
+    def _t(df: DataFrame) -> DataFrame:
+        if column not in df.columns:
+            return df  # conditional schema-aware skip (SampleTransformers.scala:25)
+        expr = F.when(F.col(column) < edges[0], labels[0])
+        for i in range(1, len(edges)):
+            expr = expr.when(F.col(column) < edges[i], labels[i])
+        expr = expr.otherwise(labels[-1])
+        return df.withColumn(out, F.when(F.col(column).isNull(), None).otherwise(expr))
+
+    return _t
+
+
+def quality_flags(required: list[str], out: str = "is_valid") -> Transformer:
+    """Boolean conjunction of non-null checks over required columns."""
+
+    def _t(df: DataFrame) -> DataFrame:
+        cond = F.lit(True)
+        for c in required:
+            if c in df.columns:
+                cond = cond & F.col(c).isNotNull()
+        return df.withColumn(out, cond)
+
+    return _t
+
+
+def normalize_text(column: str = "text") -> Transformer:
+    """Vectorized text normalization (NFC-ish cleanup: strip, collapse
+    whitespace) as an Arrow-batched pandas UDF - the template for any
+    per-value logic the built-in functions can't express. Never per-row
+    Python (BASELINE.json input_hint)."""
+
+    @pandas_udf(T.StringType())
+    def _norm(s: pd.Series) -> pd.Series:
+        return s.str.strip().str.replace(r"\s+", " ", regex=True)
+
+    def _t(df: DataFrame) -> DataFrame:
+        if column in df.columns:
+            df = df.withColumn(column, _norm(F.col(column)))
+        return df
+
+    return _t

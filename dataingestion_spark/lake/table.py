@@ -1,0 +1,613 @@
+"""LakeTable: a from-scratch snapshot-isolated, bucketed, copy-on-write
+Parquet lake table with keyed MERGE - the engine's sink.
+
+The reference reaches these semantics through Hudi copy-on-write upsert
+(/root/reference/spark/src/main/scala/com/example/Phase2Job.scala:137-145,
+options /root/reference/spark/src/main/scala/com/example/core/SparkUtils.scala:131-146);
+the north rule re-targets them at Iceberg MERGE INTO. This sandbox ships no
+Iceberg/Hudi runtime jars, so the table format itself is built here from
+first principles - the same ideas Iceberg uses (file-level manifests,
+atomic snapshot commits, hidden bucket partitioning, schema evolution by
+metadata, commit properties for exactly-once markers), in ~one file of
+driver-side Python around pure DataFrame ops:
+
+  table_root/
+    _meta/snapshots/v<N>.json   immutable snapshot manifests; commit =
+                                O_EXCL create of the next version (atomic,
+                                optimistic - a losing concurrent writer
+                                gets CommitConflictError, nothing partial)
+    data/<commit-uuid>/_pb=<bucket>/part-*.parquet
+                                immutable data files; a snapshot references
+                                the exact file list per bucket, so readers
+                                NEVER list directories (object-store-scale
+                                friendly) and time travel is free
+
+Scale design points (10^10-event replay, SURVEY.md §4/§7):
+
+  * Hidden bucket partitioning: every row is assigned
+    ``_bucket = pmod(xxhash64(conv_id), num_buckets)``. A MERGE touches
+    only the buckets present in the change batch - bucket pruning bounds
+    the copy-on-write rewrite to touched data, independent of table size.
+  * The MERGE's probe of batch-vs-table is a single full-outer equi-join
+    on the primary key over *touched buckets only*; AQE handles residual
+    skew and the write side is explicitly salted for hot conversations
+    (operators/salting.py) so no single reducer owns a hot bucket.
+  * Late/duplicate events: the table persists ``_lsn`` per row and MERGE
+    only lets a source row win when ``s.lsn >= t._lsn``; deletes write
+    tombstones (``_deleted = true``) rather than removing rows, so an
+    out-of-order event older than an applied DELETE cannot resurrect the
+    key across epochs (SURVEY.md §7.3 "deletes + late arrivals").
+    ``compact()`` purges tombstones once the stream is past them.
+  * Exactly-once: each snapshot carries ``pipelines: {id: last_epoch}``;
+    re-running an epoch (foreachBatch is at-least-once) is detected and
+    skipped (reference design /root/reference/artifacts/lld/LLD.md:386).
+  * Schema evolution by metadata only: NON_BREAKING changes merge the
+    schema in the snapshot; old files are never rewritten (missing columns
+    read as null, widened ints read under the wider type - both native to
+    Spark 4's Parquet reader). BREAKING changes fail fast and are recorded
+    BLOCKED in the schema ledger (schema/evolution.py).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from dataclasses import dataclass, field
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from dataingestion_spark.operators.lww import lww_dedupe
+from dataingestion_spark.operators.salting import SALT_COL, detect_hot_keys, with_salt
+from dataingestion_spark.schema.evolution import (
+    ChangeType,
+    SchemaEvolutionError,
+    SchemaStatus,
+    compare_schemas,
+    merge_schemas,
+)
+
+BUCKET_COL = "_bucket"
+LSN_COL = "_lsn"
+DELETED_COL = "_deleted"
+_PARTITION_DIR_COL = "_pb"  # physical partition dir; _bucket stays a data column
+SYSTEM_COLS = [LSN_COL, DELETED_COL, BUCKET_COL]
+
+
+class CommitConflictError(RuntimeError):
+    """Another writer committed the same snapshot version first."""
+
+
+@dataclass
+class Snapshot:
+    version: int
+    parent: int | None
+    schema_json: dict
+    schema_version: int
+    num_buckets: int
+    pk_fields: list[str]
+    order_fields: list[str]
+    files: dict[str, list[str]]  # bucket (as str) -> table-relative file paths
+    properties: dict = field(default_factory=dict)
+    operation: str = "create"
+    summary: dict = field(default_factory=dict)
+    committed_at: float = 0.0
+
+    @property
+    def schema(self) -> T.StructType:
+        return T.StructType.fromJson(self.schema_json)
+
+    def to_json(self) -> str:
+        return json.dumps(self.__dict__, indent=1, sort_keys=True)
+
+    @classmethod
+    def from_json(cls, text: str) -> "Snapshot":
+        return cls(**json.loads(text))
+
+
+def bucket_expr(key_col: str, num_buckets: int):
+    """Hidden-partitioning transform: pmod(xxhash64(key), N), the analog of
+    Iceberg's bucket(N, col)."""
+    return F.pmod(F.xxhash64(F.col(key_col)), F.lit(num_buckets)).cast("int")
+
+
+class LakeTable:
+    """Handle to one lake table rooted at a directory."""
+
+    def __init__(self, spark: SparkSession, root: str | Path):
+        self.spark = spark
+        self.root = Path(root)
+
+    # ------------------------------------------------------------------
+    # metadata plumbing
+    # ------------------------------------------------------------------
+    @property
+    def _snap_dir(self) -> Path:
+        return self.root / "_meta" / "snapshots"
+
+    def _snapshot_path(self, version: int) -> Path:
+        return self._snap_dir / f"v{version:012d}.json"
+
+    def exists(self) -> bool:
+        return self._snap_dir.is_dir() and any(self._snap_dir.glob("v*.json"))
+
+    def current_version(self) -> int:
+        versions = [int(p.stem[1:]) for p in self._snap_dir.glob("v*.json")]
+        if not versions:
+            raise FileNotFoundError(f"no snapshots under {self.root}")
+        return max(versions)
+
+    def snapshot(self, version: int | None = None) -> Snapshot:
+        v = self.current_version() if version is None else version
+        return Snapshot.from_json(self._snapshot_path(v).read_text())
+
+    def history(self) -> list[Snapshot]:
+        return [
+            Snapshot.from_json(p.read_text())
+            for p in sorted(self._snap_dir.glob("v*.json"))
+        ]
+
+    def _commit(self, snap: Snapshot) -> Snapshot:
+        """Atomically publish a snapshot: O_EXCL create of the next version
+        file. Losers of a concurrent race raise CommitConflictError with no
+        partial state (data files of a failed commit are simply
+        unreferenced - removable by maintenance)."""
+        self._snap_dir.mkdir(parents=True, exist_ok=True)
+        snap.committed_at = time.time()
+        path = self._snapshot_path(snap.version)
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError as e:
+            raise CommitConflictError(
+                f"snapshot v{snap.version} already exists at {path}"
+            ) from e
+        with os.fdopen(fd, "w") as f:
+            f.write(snap.to_json())
+        return snap
+
+    # ------------------------------------------------------------------
+    # create / read
+    # ------------------------------------------------------------------
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        root: str | Path,
+        schema: T.StructType,
+        pk_fields: list[str],
+        order_fields: list[str] | None = None,
+        num_buckets: int = 32,
+        properties: dict | None = None,
+    ) -> "LakeTable":
+        tbl = cls(spark, root)
+        if tbl.exists():
+            raise FileExistsError(f"table already exists at {root}")
+        snap = Snapshot(
+            version=1,
+            parent=None,
+            schema_json=json.loads(schema.json()),
+            schema_version=1,
+            num_buckets=num_buckets,
+            pk_fields=list(pk_fields),
+            order_fields=list(order_fields or ["lsn", "ts"]),
+            files={},
+            properties={"pipelines": {}, **(properties or {})},
+            operation="create",
+        )
+        tbl._commit(snap)
+        tbl._ledger_append(
+            {
+                "schema_version": 1,
+                "status": SchemaStatus.ACTIVE.value,
+                "change_type": "INITIAL",
+                "schema_json": json.loads(schema.json()),
+            }
+        )
+        return tbl
+
+    def _physical_schema(self, snap: Snapshot) -> T.StructType:
+        fields = list(snap.schema.fields)
+        fields.append(T.StructField(LSN_COL, T.LongType(), True))
+        fields.append(T.StructField(DELETED_COL, T.BooleanType(), True))
+        fields.append(T.StructField(BUCKET_COL, T.IntegerType(), True))
+        return T.StructType(fields)
+
+    def _read_files(self, snap: Snapshot, buckets: list[int] | None) -> DataFrame:
+        wanted = (
+            snap.files
+            if buckets is None
+            else {str(b): snap.files.get(str(b), []) for b in buckets}
+        )
+        files = [str(self.root / f) for fl in wanted.values() for f in fl]
+        phys = self._physical_schema(snap)
+        if not files:
+            return self.spark.createDataFrame([], phys)
+        # Manifest-driven read: exact file list, no directory listing; the
+        # explicit schema gives null-fill for pre-evolution files and
+        # widened-type reads.
+        return self.spark.read.schema(phys).parquet(*files)
+
+    def read(
+        self,
+        version: int | None = None,
+        buckets: list[int] | None = None,
+        include_system: bool = False,
+    ) -> DataFrame:
+        """Current (or time-travel) table state: live rows only."""
+        snap = self.snapshot(version)
+        df = self._read_files(snap, buckets)
+        df = df.filter(~F.coalesce(F.col(DELETED_COL), F.lit(False)))
+        if include_system:
+            return df
+        return df.select(*[f.name for f in snap.schema.fields])
+
+    # ------------------------------------------------------------------
+    # exactly-once epoch markers
+    # ------------------------------------------------------------------
+    def last_applied_epoch(self, pipeline_id: str) -> int:
+        pipelines = self.snapshot().properties.get("pipelines", {})
+        return int(pipelines.get(pipeline_id, {}).get("last_epoch", -1))
+
+    # ------------------------------------------------------------------
+    # schema ledger (E5 state machine)
+    # ------------------------------------------------------------------
+    @property
+    def _ledger_path(self) -> Path:
+        return self.root / "_meta" / "schema_ledger.json"
+
+    def schema_ledger(self) -> list[dict]:
+        if not self._ledger_path.exists():
+            return []
+        return json.loads(self._ledger_path.read_text())
+
+    def _ledger_append(self, entry: dict) -> None:
+        ledger = self.schema_ledger()
+        entry = {"recorded_at": time.time(), **entry}
+        ledger.append(entry)
+        self._ledger_path.parent.mkdir(parents=True, exist_ok=True)
+        tmp = self._ledger_path.with_suffix(".tmp")
+        tmp.write_text(json.dumps(ledger, indent=1))
+        os.replace(tmp, self._ledger_path)
+
+    def _resolve_schema(
+        self, snap: Snapshot, batch_schema: T.StructType, fail_on_breaking: bool
+    ) -> tuple[T.StructType, int, str | None]:
+        """The schema gate run before every merge/append: classify the
+        incoming batch schema against the table schema and either continue,
+        evolve, or fail fast (reference control flow
+        /root/reference/spark/src/main/scala/com/example/Phase2Job.scala:85-97)."""
+        cmp = compare_schemas(snap.schema, batch_schema)
+        if cmp.change_type == ChangeType.NO_CHANGE:
+            return snap.schema, snap.schema_version, None
+        if cmp.change_type == ChangeType.BREAKING:
+            self._ledger_append(
+                {
+                    "schema_version": snap.schema_version,
+                    "status": SchemaStatus.BLOCKED.value,
+                    "change_type": cmp.change_type.value,
+                    "detail": cmp.describe(),
+                    "schema_json": json.loads(batch_schema.json()),
+                }
+            )
+            if fail_on_breaking:
+                raise SchemaEvolutionError(
+                    f"breaking schema change rejected: {cmp.describe()}"
+                )
+            return snap.schema, snap.schema_version, None
+        # NON_BREAKING: evolve - mark old version OBSOLETE, new ACTIVE.
+        evolved = merge_schemas(snap.schema, batch_schema)
+        new_version = snap.schema_version + 1
+        self._ledger_append(
+            {
+                "schema_version": new_version,
+                "status": SchemaStatus.ACTIVE.value,
+                "previous_status": SchemaStatus.OBSOLETE.value,
+                "change_type": cmp.change_type.value,
+                "detail": cmp.describe(),
+                "schema_json": json.loads(evolved.json()),
+            }
+        )
+        return evolved, new_version, cmp.describe()
+
+    # ------------------------------------------------------------------
+    # writes
+    # ------------------------------------------------------------------
+    def _write_data_files(
+        self, df: DataFrame, target_partitions: int
+    ) -> dict[str, list[str]]:
+        """Write rows (must carry BUCKET_COL, and SALT_COL if salted) as
+        immutable files under a fresh commit dir; returns bucket->files.
+
+        Repartitioning by (_bucket, _salt) makes file writes line up with
+        the bucket layout while letting hot buckets fan out across salt
+        sub-partitions (the reconcile is metadata-only: all of a bucket's
+        salted files are listed under that bucket in the manifest)."""
+        commit_id = uuid.uuid4().hex[:12]
+        commit_dir = self.root / "data" / commit_id
+        part_cols = [BUCKET_COL] + ([SALT_COL] if SALT_COL in df.columns else [])
+        out = (
+            df.withColumn(_PARTITION_DIR_COL, F.col(BUCKET_COL))
+            .repartition(target_partitions, *[F.col(c) for c in part_cols])
+            .drop(SALT_COL)
+            if SALT_COL in df.columns
+            else df.withColumn(_PARTITION_DIR_COL, F.col(BUCKET_COL)).repartition(
+                target_partitions, F.col(BUCKET_COL)
+            )
+        )
+        out.write.partitionBy(_PARTITION_DIR_COL).mode("append").parquet(
+            str(commit_dir)
+        )
+        files: dict[str, list[str]] = {}
+        for bdir in sorted(commit_dir.glob(f"{_PARTITION_DIR_COL}=*")):
+            bucket = bdir.name.split("=", 1)[1]
+            rels = [
+                str(p.relative_to(self.root)) for p in sorted(bdir.glob("*.parquet"))
+            ]
+            if rels:
+                files[bucket] = rels
+        return files
+
+    def _conform(self, df: DataFrame, schema: T.StructType) -> DataFrame:
+        """Project/cast a batch to the (possibly evolved) table schema:
+        missing columns become typed nulls, widenable columns are cast."""
+        cols = []
+        for f in schema.fields:
+            if f.name in df.columns:
+                cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
+            else:
+                cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+        extra = [c for c in df.columns if c in (LSN_COL, DELETED_COL, BUCKET_COL, SALT_COL)]
+        return df.select(*cols, *[F.col(c) for c in extra])
+
+    def append(
+        self,
+        df: DataFrame,
+        pipeline_id: str | None = None,
+        epoch_id: int | None = None,
+        fail_on_breaking: bool = True,
+        lineage: dict | None = None,
+    ) -> Snapshot | None:
+        """Insert-only write (the reference's Parquet append mode,
+        /root/reference/spark/src/main/scala/com/example/Phase2Job.scala:131-135),
+        with the same schema gate and epoch idempotency as merge."""
+        snap = self.snapshot()
+        if (
+            pipeline_id is not None
+            and epoch_id is not None
+            and epoch_id <= self.last_applied_epoch(pipeline_id)
+        ):
+            return None
+        batch_schema = T.StructType(
+            [T.StructField(f.name, f.dataType, True) for f in df.schema.fields]
+        )
+        schema, schema_version, evo = self._resolve_schema(
+            snap, batch_schema, fail_on_breaking
+        )
+        data = self._conform(df, schema)
+        key = snap.pk_fields[0]
+        data = data.withColumn(BUCKET_COL, bucket_expr(key, snap.num_buckets))
+        data = data.withColumn(LSN_COL, F.lit(None).cast("long")).withColumn(
+            DELETED_COL, F.lit(False)
+        )
+        new_files = self._write_data_files(data, target_partitions=snap.num_buckets)
+        files = {k: list(v) for k, v in snap.files.items()}
+        for b, fl in new_files.items():
+            files.setdefault(b, [])
+            files[b] = files[b] + fl
+        return self._commit_write(
+            snap, files, schema, schema_version, "append", pipeline_id, epoch_id,
+            {"evolution": evo, **(lineage or {})},
+        )
+
+    def _commit_write(
+        self,
+        parent: Snapshot,
+        files: dict[str, list[str]],
+        schema: T.StructType,
+        schema_version: int,
+        operation: str,
+        pipeline_id: str | None,
+        epoch_id: int | None,
+        summary: dict,
+    ) -> Snapshot:
+        props = json.loads(json.dumps(parent.properties))  # deep copy
+        if pipeline_id is not None and epoch_id is not None:
+            props.setdefault("pipelines", {})[pipeline_id] = {"last_epoch": int(epoch_id)}
+        snap = Snapshot(
+            version=parent.version + 1,
+            parent=parent.version,
+            schema_json=json.loads(schema.json()),
+            schema_version=schema_version,
+            num_buckets=parent.num_buckets,
+            pk_fields=parent.pk_fields,
+            order_fields=parent.order_fields,
+            files=files,
+            properties=props,
+            operation=operation,
+            summary={k: v for k, v in summary.items() if v is not None},
+        )
+        return self._commit(snap)
+
+    # ------------------------------------------------------------------
+    # MERGE - the heart of the engine
+    # ------------------------------------------------------------------
+    def merge(
+        self,
+        changes: DataFrame,
+        pipeline_id: str | None = None,
+        epoch_id: int | None = None,
+        op_col: str = "op",
+        fail_on_breaking: bool = True,
+        hot_key_threshold: float = 0.05,
+        salt_buckets: int = 8,
+        lineage: dict | None = None,
+    ) -> Snapshot | None:
+        """Apply a batch of keyed INSERT/UPDATE/DELETE change events.
+
+        Semantics (= Iceberg `MERGE INTO t USING s ON pk  WHEN MATCHED AND
+        s.op='DELETE' THEN DELETE  WHEN MATCHED THEN UPDATE SET *  WHEN NOT
+        MATCHED AND s.op<>'DELETE' THEN INSERT *`, plus an LSN guard so a
+        stale source row never overwrites a newer target row):
+
+          1. epoch marker check - re-delivered epochs are skipped whole.
+          2. schema gate - evolve or fail fast (metadata only).
+          3. in-batch LWW dedup to one winner per (conv_id, turn_idx)
+             (map-side-combining aggregate, operators/lww.py).
+          4. bucket pruning - only buckets present in the batch are read.
+          5. full-outer join winners vs current rows of touched buckets on
+             the pk; source wins iff s.lsn >= t._lsn. DELETE winners write
+             tombstones.
+          6. salted copy-on-write rewrite of touched buckets; atomic
+             snapshot commit referencing untouched buckets' old files.
+
+        Returns the committed Snapshot, or None if the epoch was already
+        applied (idempotent replay).
+        """
+        snap = self.snapshot()
+        if (
+            pipeline_id is not None
+            and epoch_id is not None
+            and epoch_id <= self.last_applied_epoch(pipeline_id)
+        ):
+            return None
+
+        pk = snap.pk_fields
+        order_fields = snap.order_fields
+        lsn_src = order_fields[0]
+
+        # Payload schema of the batch = everything except op/ordering/source
+        # metadata (ts is both ordering tiebreak and payload - kept).
+        # Normalized to all-nullable: an incoming batch being *stricter*
+        # than the table is not a schema change.
+        drop_from_schema = {op_col, "source_file", lsn_src}
+        batch_payload_schema = T.StructType(
+            [
+                T.StructField(f.name, f.dataType, True)
+                for f in changes.schema.fields
+                if f.name not in drop_from_schema
+            ]
+        )
+        schema, schema_version, evo = self._resolve_schema(
+            snap, batch_payload_schema, fail_on_breaking
+        )
+
+        # (3) one winner per key - the only shuffle of the source side.
+        winners = lww_dedupe(changes, pk, order_fields, strategy="agg")
+        winners = (
+            winners.withColumn(DELETED_COL, F.col(op_col) == F.lit("DELETE"))
+            .withColumn(LSN_COL, F.col(lsn_src).cast("long"))
+        )
+        winners = self._conform(winners, schema).withColumn(
+            BUCKET_COL, bucket_expr(pk[0], snap.num_buckets)
+        )
+        winners.persist()
+
+        # (4) touched-bucket pruning: at most num_buckets values.
+        touched = sorted(
+            r[0] for r in winners.select(BUCKET_COL).distinct().collect()
+        )
+        current = self._read_files(snap, touched)
+
+        schema_cols = [f.name for f in schema.fields]
+        payload_cols = [c for c in schema_cols if c not in pk]
+
+        s = winners.select(
+            *pk,
+            *[F.col(c).alias(f"_s_{c}") for c in payload_cols],
+            F.col(LSN_COL).alias("_s_lsn"),
+            F.col(DELETED_COL).alias("_s_deleted"),
+            F.col(BUCKET_COL).alias("_s_bucket"),
+        )
+        t = current.select(
+            *pk,
+            *[F.col(c).alias(f"_t_{c}") for c in payload_cols],
+            F.col(LSN_COL).alias("_t_lsn"),
+            F.col(DELETED_COL).alias("_t_deleted"),
+            F.col(BUCKET_COL).alias("_t_bucket"),
+        )
+
+        # (5) single key-equi full-outer join over touched buckets.
+        joined = s.join(t, on=pk, how="full_outer")
+        source_wins = F.col("_s_lsn").isNotNull() & (
+            F.col("_t_lsn").isNull() | (F.col("_s_lsn") >= F.col("_t_lsn"))
+        )
+        merged = joined.select(
+            *pk,
+            *[
+                F.when(source_wins, F.col(f"_s_{c}"))
+                .otherwise(F.col(f"_t_{c}"))
+                .alias(c)
+                for c in payload_cols
+            ],
+            F.when(source_wins, F.col("_s_lsn"))
+            .otherwise(F.col("_t_lsn"))
+            .alias(LSN_COL),
+            F.when(source_wins, F.col("_s_deleted"))
+            .otherwise(F.coalesce(F.col("_t_deleted"), F.lit(False)))
+            .alias(DELETED_COL),
+            F.coalesce(F.col("_s_bucket"), F.col("_t_bucket")).alias(BUCKET_COL),
+        )
+
+        # (6) salted rewrite of touched buckets.
+        hot = detect_hot_keys(
+            winners, key=pk[0], threshold=hot_key_threshold
+        )
+        salted = with_salt(merged, hot, salt_buckets, key=pk[0], sub_key=pk[1] if len(pk) > 1 else pk[0])
+        target_parts = max(len(touched), 1) * (salt_buckets if hot else 1)
+        new_files = self._write_data_files(salted, target_partitions=target_parts)
+
+        files = {k: list(v) for k, v in snap.files.items()}
+        for b in touched:
+            files[str(b)] = new_files.get(str(b), [])
+        applied = winners.count()
+        winners.unpersist()
+        return self._commit_write(
+            snap,
+            files,
+            schema,
+            schema_version,
+            "merge",
+            pipeline_id,
+            epoch_id,
+            {
+                "applied_events": applied,
+                "touched_buckets": [int(b) for b in touched],
+                "hot_keys": hot,
+                "evolution": evo,
+                **(lineage or {}),
+            },
+        )
+
+    # ------------------------------------------------------------------
+    # maintenance
+    # ------------------------------------------------------------------
+    def compact(
+        self,
+        purge_tombstones_below_lsn: int | None = None,
+        buckets: list[int] | None = None,
+    ) -> Snapshot:
+        """Rewrite buckets to merge small files; optionally purge tombstones
+        whose _lsn is below a watermark the stream has passed (safe: no
+        in-flight event can carry a lower lsn)."""
+        snap = self.snapshot()
+        target = buckets if buckets is not None else [int(b) for b in snap.files]
+        df = self._read_files(snap, target)
+        if purge_tombstones_below_lsn is not None:
+            df = df.filter(
+                ~(
+                    F.coalesce(F.col(DELETED_COL), F.lit(False))
+                    & (F.col(LSN_COL) < purge_tombstones_below_lsn)
+                )
+            )
+        new_files = self._write_data_files(df, target_partitions=max(len(target), 1))
+        files = {k: list(v) for k, v in snap.files.items()}
+        for b in target:
+            files[str(b)] = new_files.get(str(b), [])
+        return self._commit_write(
+            snap, files, snap.schema, snap.schema_version, "compact", None, None,
+            {"compacted_buckets": [int(b) for b in target]},
+        )

@@ -1,0 +1,157 @@
+"""The two streaming pipelines, re-imagined from the reference's Phase-1 /
+Phase-2 jobs on Structured Streaming + LakeTable.
+
+Phase-1 analog - ``stage_changes``: tail a landing directory of change
+files (the sandbox stand-in for the Kafka binlog topic,
+/root/reference/spark/src/main/scala/com/example/Phase1Job.scala:51-79) and
+append them, with provenance metadata, to a staged change-log directory
+under an exactly-once file-sink checkpoint.
+
+Phase-2 analog - ``apply_changes``: tail the staged change log and, per
+micro-batch inside ``foreachBatch`` (the load-bearing bridge - MERGE is not
+a native streaming sink, SURVEY.md §7.3):
+
+  1. epoch-marker idempotency check (foreachBatch is at-least-once; the
+     marker in the lake snapshot makes the apply exactly-once,
+     reference design /root/reference/artifacts/lld/LLD.md:386),
+  2. pluggable transformer chain (functions/transformers.py),
+  3. schema gate + LWW dedup + salted MERGE (lake/table.py),
+  4. lineage + metrics rows (streaming/lineage.py).
+
+Resumability: the Structured Streaming checkpoint replays unfinished
+epochs after a crash; markers de-duplicate the overlap. Restarting with the
+same checkpoint dir continues from the last committed source offset.
+"""
+
+from __future__ import annotations
+
+import time
+from pathlib import Path
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming import StreamingQuery
+
+from dataingestion_spark.config import DatasetConfig
+from dataingestion_spark.lake import LakeTable
+from dataingestion_spark.streaming.lineage import LineageLog
+
+
+def stage_changes(
+    spark: SparkSession,
+    landing_dir: str,
+    staged_dir: str,
+    checkpoint_dir: str,
+    schema: T.StructType,
+    max_files_per_trigger: int | None = None,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Phase-1: landing files -> staged change log with provenance.
+
+    Rate limiting via maxFilesPerTrigger mirrors the reference's
+    maxOffsetsPerTrigger (/root/reference/artifacts/lld/LLD.md:384)."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(landing_dir)
+    staged = stream.withColumn(
+        "_meta",
+        F.struct(
+            F.input_file_name().alias("input_file"),
+            F.current_timestamp().alias("staged_at"),
+        ),
+    )
+    writer = (
+        staged.writeStream.format("parquet")
+        .option("path", staged_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def apply_changes(
+    spark: SparkSession,
+    config: DatasetConfig,
+    source_dir: str,
+    checkpoint_dir: str,
+    schema: T.StructType,
+    lineage_path: str | None = None,
+    transformers: list[Callable[[DataFrame], DataFrame]] | None = None,
+    max_files_per_trigger: int | None = None,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Phase-2: staged change log -> exactly-once keyed MERGE into the lake.
+
+    The target LakeTable must exist (create it with bootstrap_table)."""
+    table = LakeTable(spark, config.table_path)
+    lineage = LineageLog(spark, lineage_path) if lineage_path else None
+    pipeline_id = f"apply::{config.name}"
+
+    def process_batch(batch: DataFrame, epoch_id: int) -> None:
+        t0 = time.time()
+        df = batch
+        for fn in transformers or []:
+            df = fn(df)
+        if config.mode == "upsert":
+            snap = table.merge(
+                df,
+                pipeline_id=pipeline_id,
+                epoch_id=epoch_id,
+                fail_on_breaking=config.fail_on_breaking_schema,
+                hot_key_threshold=config.hot_key_threshold,
+                salt_buckets=config.salt_buckets,
+            )
+        else:
+            snap = table.append(
+                df.drop("op"),
+                pipeline_id=pipeline_id,
+                epoch_id=epoch_id,
+                fail_on_breaking=config.fail_on_breaking_schema,
+            )
+        duration_ms = int((time.time() - t0) * 1000)
+        if lineage is not None:
+            lineage.record_epoch(
+                pipeline_id=pipeline_id,
+                epoch_id=epoch_id,
+                batch=df if snap is not None else None,
+                applied_events=(snap.summary.get("applied_events") if snap else 0),
+                snapshot_version=(snap.version if snap else None),
+                duration_ms=duration_ms,
+                status="SUCCESS" if snap is not None else "SKIPPED_DUPLICATE_EPOCH",
+            )
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(source_dir)
+    writer = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def bootstrap_table(
+    spark: SparkSession, config: DatasetConfig, schema: T.StructType
+) -> LakeTable:
+    """Create the target lake table if absent (idempotent)."""
+    tbl = LakeTable(spark, config.table_path)
+    if tbl.exists():
+        return tbl
+    Path(config.table_path).mkdir(parents=True, exist_ok=True)
+    return LakeTable.create(
+        spark,
+        config.table_path,
+        schema,
+        pk_fields=config.pk_fields,
+        order_fields=config.order_fields,
+        num_buckets=config.num_buckets,
+    )

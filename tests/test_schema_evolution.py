@@ -1,0 +1,176 @@
+"""Schema-evolution classifier + lake-table evolution tests (SURVEY.md §5:
+added nullable -> NON_BREAKING, removed/narrowed -> BREAKING fail-fast,
+mid-stream add-column succeeds end-to-end)."""
+
+import pytest
+from pyspark.sql import functions as F, types as T
+
+from dataingestion_spark import oracle
+from dataingestion_spark.lake import LakeTable
+from dataingestion_spark.schema.evolution import (
+    ChangeType,
+    SchemaEvolutionError,
+    compare_schemas,
+    is_compatible_type_change,
+    merge_schemas,
+)
+from dataingestion_spark.sources.datagen import gen_changes
+from tests.util import TRANSCRIPT_SCHEMA, assert_table_equals_oracle
+
+
+def _s(*fields):
+    return T.StructType([T.StructField(n, t, nullable) for n, t, nullable in fields])
+
+
+class TestClassifier:
+    def test_no_change(self):
+        a = _s(("x", T.IntegerType(), True))
+        assert compare_schemas(a, a).change_type == ChangeType.NO_CHANGE
+
+    def test_added_nullable_is_non_breaking(self):
+        old = _s(("x", T.IntegerType(), True))
+        new = _s(("x", T.IntegerType(), True), ("y", T.StringType(), True))
+        cmp = compare_schemas(old, new)
+        assert cmp.change_type == ChangeType.NON_BREAKING
+        assert cmp.added == ["y"]
+
+    def test_added_non_nullable_is_breaking(self):
+        old = _s(("x", T.IntegerType(), True))
+        new = _s(("x", T.IntegerType(), True), ("y", T.StringType(), False))
+        assert compare_schemas(old, new).change_type == ChangeType.BREAKING
+
+    def test_removed_field_is_breaking(self):
+        old = _s(("x", T.IntegerType(), True), ("y", T.StringType(), True))
+        new = _s(("x", T.IntegerType(), True))
+        cmp = compare_schemas(old, new)
+        assert cmp.change_type == ChangeType.BREAKING
+        assert cmp.removed == ["y"]
+
+    def test_widening_lattice(self):
+        # reference lattice /root/reference/spark/.../SchemaEvolution.scala:94-108
+        assert is_compatible_type_change(T.IntegerType(), T.LongType())
+        assert is_compatible_type_change(T.FloatType(), T.DoubleType())
+        assert is_compatible_type_change(T.IntegerType(), T.DoubleType())
+        assert is_compatible_type_change(T.LongType(), T.DoubleType())
+        assert is_compatible_type_change(T.LongType(), T.StringType())
+        assert not is_compatible_type_change(T.LongType(), T.IntegerType())
+        assert not is_compatible_type_change(T.DoubleType(), T.FloatType())
+        assert not is_compatible_type_change(T.StringType(), T.LongType())
+
+    def test_widened_field_is_non_breaking_and_merges(self):
+        old = _s(("x", T.IntegerType(), True), ("y", T.StringType(), True))
+        new = _s(("x", T.LongType(), True), ("y", T.StringType(), True))
+        cmp = compare_schemas(old, new)
+        assert cmp.change_type == ChangeType.NON_BREAKING
+        assert cmp.modified == ["x"]
+        merged = merge_schemas(old, new)
+        assert merged["x"].dataType == T.LongType()
+
+    def test_nullable_tightening_is_breaking(self):
+        old = _s(("x", T.IntegerType(), True))
+        new = _s(("x", T.IntegerType(), False))
+        assert compare_schemas(old, new).change_type == ChangeType.BREAKING
+
+
+class TestLakeEvolution:
+    def test_mid_stream_add_column_succeeds(self, spark, tmp_table_dir):
+        """v1 events then v2 events (adds tool_meta, latency_ms); final
+        state must match an oracle replay over the union, with nulls for
+        v1 rows' new columns."""
+        tbl = LakeTable.create(
+            spark, tmp_table_dir, TRANSCRIPT_SCHEMA,
+            pk_fields=["conv_id", "turn_idx"], order_fields=["lsn", "ts"],
+            num_buckets=4,
+        )
+        v1 = gen_changes(spark, n_events=2_000, n_convs=25, seed=3)
+        v2 = gen_changes(
+            spark, n_events=2_000, n_convs=25, seed=3, schema_version=2,
+            lsn_offset=1_000_000,
+        )
+        tbl.merge(v1, pipeline_id="t", epoch_id=0)
+        tbl.merge(v2, pipeline_id="t", epoch_id=1)
+
+        assert [f.name for f in tbl.snapshot().schema.fields] == [
+            "conv_id", "turn_idx", "role", "text", "tool", "ts",
+            "tool_meta", "latency_ms",
+        ]
+        union = v1.withColumn("tool_meta", F.lit(None).cast("string")).withColumn(
+            "latency_ms", F.lit(None).cast("long")
+        ).unionByName(v2)
+        expected = oracle.replay(
+            union.toPandas(), extra_payload_cols=["tool_meta", "latency_ms"]
+        )
+        assert_table_equals_oracle(
+            tbl.read(), expected,
+            payload_cols=["role", "text", "tool", "ts", "tool_meta", "latency_ms"],
+        )
+        ledger = tbl.schema_ledger()
+        assert ledger[-1]["schema_version"] == 2
+        assert ledger[-1]["status"] == "ACTIVE"
+
+    def test_breaking_change_fails_fast_and_blocks(self, spark, tmp_table_dir):
+        tbl = LakeTable.create(
+            spark, tmp_table_dir, TRANSCRIPT_SCHEMA,
+            pk_fields=["conv_id", "turn_idx"], order_fields=["lsn", "ts"],
+            num_buckets=4,
+        )
+        # batch with `text` column REMOVED -> breaking -> fail fast
+        bad = gen_changes(spark, n_events=100, n_convs=5, seed=4).drop("text")
+        with pytest.raises(SchemaEvolutionError):
+            tbl.merge(bad, pipeline_id="t", epoch_id=0)
+        assert tbl.schema_ledger()[-1]["status"] == "BLOCKED"
+        # table untouched
+        assert tbl.current_version() == 1
+
+    def test_type_narrowing_fails_fast(self, spark, tmp_table_dir):
+        schema = T.StructType(
+            [
+                T.StructField("conv_id", T.StringType()),
+                T.StructField("turn_idx", T.IntegerType()),
+                T.StructField("text", T.StringType()),
+                T.StructField("big", T.LongType()),
+                T.StructField("ts", T.TimestampType()),
+            ]
+        )
+        tbl = LakeTable.create(
+            spark, tmp_table_dir, schema,
+            pk_fields=["conv_id", "turn_idx"], order_fields=["lsn", "ts"],
+            num_buckets=2,
+        )
+        narrowed = spark.createDataFrame(
+            [("INSERT", "c1", 0, "hi", 5, 100, 1)],
+            "op string, conv_id string, turn_idx int, text string, big int, ts long, lsn long",
+        ).withColumn("ts", F.timestamp_seconds("ts"))
+        with pytest.raises(SchemaEvolutionError):
+            tbl.merge(narrowed, pipeline_id="t", epoch_id=0)
+
+    def test_int_widening_reads_old_files(self, spark, tmp_table_dir):
+        """int->long widening: old files written as int must read back under
+        the evolved long schema (native Spark 4 Parquet widening)."""
+        schema = T.StructType(
+            [
+                T.StructField("conv_id", T.StringType()),
+                T.StructField("turn_idx", T.IntegerType()),
+                T.StructField("text", T.StringType()),
+                T.StructField("latency", T.IntegerType()),
+                T.StructField("ts", T.TimestampType()),
+            ]
+        )
+        tbl = LakeTable.create(
+            spark, tmp_table_dir, schema,
+            pk_fields=["conv_id", "turn_idx"], order_fields=["lsn", "ts"],
+            num_buckets=2,
+        )
+        b1 = spark.createDataFrame(
+            [("INSERT", "c1", 0, "a", 5, 100, 1)],
+            "op string, conv_id string, turn_idx int, text string, latency int, ts long, lsn long",
+        ).withColumn("ts", F.timestamp_seconds("ts"))
+        tbl.merge(b1, pipeline_id="t", epoch_id=0)
+        b2 = spark.createDataFrame(
+            [("INSERT", "c2", 0, "b", 6_000_000_000, 200, 2)],
+            "op string, conv_id string, turn_idx int, text string, latency long, ts long, lsn long",
+        ).withColumn("ts", F.timestamp_seconds("ts"))
+        tbl.merge(b2, pipeline_id="t", epoch_id=1)
+        got = tbl.read().toPandas().sort_values("conv_id").reset_index(drop=True)
+        assert tbl.snapshot().schema["latency"].dataType == T.LongType()
+        assert list(got["latency"]) == [5, 6_000_000_000]
