@@ -1,0 +1,122 @@
+"""Benchmark harness: headline queries + CDC apply throughput at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] (default 32).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...,
+   "cdc_events": N, "cdc_throughput_eps": ..., "parallelism": N}
+
+The CDC replay portion is the north-star path: deterministic synthetic
+binlog -> staged parquet -> 4-epoch LWW MERGE into a fresh lake table
+(exactly the production apply path, including schema gate, salting and
+snapshot commits). Query timings force full execution through the noop
+sink (no driver collection cost).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entrymod
+from dataingestion_spark.lake import LakeTable
+from dataingestion_spark.session import build_session
+from dataingestion_spark.sources.datagen import gen_changes
+from tests.util import TRANSCRIPT_SCHEMA
+
+BENCH_QUERIES = [
+    "lww_latest_state",
+    "cdc_apply_final_state",
+    "pricing_summary",
+    "revenue_by_nation",
+    "doc_fingerprint",
+    "doc_near_dup_pairs",
+    "embedding_topk",
+]
+
+
+def _force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def bench_cdc_replay(spark, n_events: int, epochs: int = 4, num_buckets: int = 32):
+    """Generate -> stage to parquet (untimed) -> timed multi-epoch MERGE."""
+    tmp = tempfile.mkdtemp(prefix="bench_cdc_")
+    staged = f"{tmp}/staged"
+    changes = gen_changes(
+        spark, n_events=n_events, n_convs=max(n_events // 200, 100),
+        max_turns=64, n_files=epochs, seed=42, zipf_exp=2.0, dup_frac=0.05,
+    )
+    # arrival-file -> epoch mapping so epochs are contiguous reads
+    changes.withColumn(
+        "epoch", F.pmod(F.xxhash64("source_file"), F.lit(epochs))
+    ).write.partitionBy("epoch").mode("overwrite").parquet(staged)
+
+    tbl = LakeTable.create(
+        spark, f"{tmp}/table", TRANSCRIPT_SCHEMA,
+        pk_fields=["conv_id", "turn_idx"], order_fields=["lsn", "ts"],
+        num_buckets=num_buckets,
+    )
+    t0 = time.time()
+    for e in range(epochs):
+        batch = spark.read.parquet(f"{staged}/epoch={e}")
+        tbl.merge(batch, pipeline_id="bench", epoch_id=e)
+    dt = time.time() - t0
+    final_rows = tbl.read().count()
+    shutil.rmtree(tmp, ignore_errors=True)
+    return dt, final_rows
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_events = int(os.environ.get("BENCH_CDC_EVENTS", "1000000"))
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = build_session(
+        app_name="cdc-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=max(cpus * 2, 32),
+        extra_conf={"spark.ui.enabled": "false", "spark.driver.memory": "16g"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    queries = entrymod.queries()
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        _force(queries[name](spark, sf_dir))
+        timings[name] = round(time.time() - t0, 3)
+
+    cdc_sec, cdc_rows = bench_cdc_replay(spark, n_events)
+    timings["cdc_replay"] = round(cdc_sec, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "bench_suite_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "cdc_events": n_events,
+                "cdc_throughput_eps": round(n_events / cdc_sec, 1),
+                "cdc_final_rows": cdc_rows,
+                "parallelism": cpus,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,146 @@
+"""spark-submit entry points.
+
+Mirrors the reference's CLI contract - Airflow DAGs spark-submit Phase-1 /
+Phase-2 with --dataset/--raw-path/--lake-path/--checkpoint/--mode args
+(/root/reference/airflow/dags/phase2_dag.py:122-146,
+/root/reference/spark/src/main/scala/com/example/core/IngestionConfig.scala:39-126)
+- restated as subcommands of one module, launched as
+
+    spark-submit --py-files dataingestion_spark.zip -m dataingestion_spark.cli ...
+
+Subcommands:
+  bootstrap  create the target lake table
+  stage      Phase-1: landing change files -> staged changelog (checkpointed)
+  apply      Phase-2: staged changelog -> exactly-once MERGE into the lake
+  datagen    deterministic synthetic change stream (FIXTURES.md §2)
+  compact    lake maintenance (small files + tombstone purge)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from pyspark.sql import types as T
+
+from dataingestion_spark.config import DatasetConfig
+from dataingestion_spark.lake import LakeTable
+from dataingestion_spark.session import build_session
+from dataingestion_spark.sources.datagen import gen_changes, write_change_files
+from dataingestion_spark.streaming.pipeline import (
+    apply_changes,
+    bootstrap_table,
+    stage_changes,
+)
+from dataingestion_spark.functions.transformers import build_chain
+
+TRANSCRIPT_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("turn_idx", T.IntegerType()),
+        T.StructField("role", T.StringType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("tool", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+    ]
+)
+
+CHANGE_SCHEMA = T.StructType(
+    [
+        T.StructField("op", T.StringType()),
+        *TRANSCRIPT_SCHEMA.fields,
+        T.StructField("lsn", T.LongType()),
+        T.StructField("source_file", T.StringType()),
+    ]
+)
+
+
+def _add_common(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--master", default=None, help="override master (tests/bench)")
+    p.add_argument("--shuffle-partitions", type=int, default=None)
+
+
+def main(argv: list[str] | None = None) -> int:
+    parser = argparse.ArgumentParser(prog="dataingestion_spark")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("bootstrap")
+    _add_common(p)
+    p.add_argument("--config", required=True, help="DatasetConfig JSON path")
+
+    p = sub.add_parser("stage")
+    _add_common(p)
+    p.add_argument("--landing", required=True)
+    p.add_argument("--staged", required=True)
+    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--max-files-per-trigger", type=int, default=None)
+
+    p = sub.add_parser("apply")
+    _add_common(p)
+    p.add_argument("--config", required=True)
+    p.add_argument("--source", required=True, help="staged changelog dir")
+    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--lineage", default=None)
+    p.add_argument("--max-files-per-trigger", type=int, default=None)
+
+    p = sub.add_parser("datagen")
+    _add_common(p)
+    p.add_argument("--out", required=True)
+    p.add_argument("--events", type=int, required=True)
+    p.add_argument("--convs", type=int, default=1000)
+    p.add_argument("--files", type=int, default=16)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--zipf", type=float, default=2.0)
+
+    p = sub.add_parser("compact")
+    _add_common(p)
+    p.add_argument("--config", required=True)
+    p.add_argument("--purge-tombstones-below-lsn", type=int, default=None)
+
+    a = parser.parse_args(argv)
+    spark = build_session(
+        app_name=f"cdc-{a.cmd}",
+        master=a.master,
+        shuffle_partitions=a.shuffle_partitions,
+    )
+
+    if a.cmd == "bootstrap":
+        cfg = DatasetConfig.load(a.config)
+        tbl = bootstrap_table(spark, cfg, TRANSCRIPT_SCHEMA)
+        print(json.dumps({"table": str(tbl.root), "version": tbl.current_version()}))
+    elif a.cmd == "stage":
+        q = stage_changes(
+            spark, a.landing, a.staged, a.checkpoint, CHANGE_SCHEMA,
+            max_files_per_trigger=a.max_files_per_trigger,
+        )
+        q.awaitTermination()
+    elif a.cmd == "apply":
+        cfg = DatasetConfig.load(a.config)
+        chain = build_chain(cfg.transformers) if cfg.transformers else None
+        tbl = bootstrap_table(spark, cfg, TRANSCRIPT_SCHEMA)
+        schema = spark.read.parquet(a.source).schema
+        q = apply_changes(
+            spark, cfg, a.source, a.checkpoint, schema=schema,
+            lineage_path=a.lineage, transformers=chain,
+            max_files_per_trigger=a.max_files_per_trigger,
+        )
+        q.awaitTermination()
+        print(json.dumps({"version": tbl.current_version()}))
+    elif a.cmd == "datagen":
+        df = gen_changes(
+            spark, n_events=a.events, n_convs=a.convs, n_files=a.files,
+            seed=a.seed, zipf_exp=a.zipf,
+        )
+        files = write_change_files(df, a.out)
+        print(json.dumps({"files": len(files), "events": a.events}))
+    elif a.cmd == "compact":
+        cfg = DatasetConfig.load(a.config)
+        tbl = LakeTable(spark, cfg.table_path)
+        snap = tbl.compact(purge_tombstones_below_lsn=a.purge_tombstones_below_lsn)
+        print(json.dumps({"version": snap.version}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -209,21 +209,31 @@ class LakeTable:
         )
         return tbl
 
-    def _physical_schema(self, snap: Snapshot) -> T.StructType:
-        fields = list(snap.schema.fields)
+    def _physical_schema(
+        self, snap: Snapshot, schema: T.StructType | None = None
+    ) -> T.StructType:
+        fields = list((schema or snap.schema).fields)
         fields.append(T.StructField(LSN_COL, T.LongType(), True))
         fields.append(T.StructField(DELETED_COL, T.BooleanType(), True))
         fields.append(T.StructField(BUCKET_COL, T.IntegerType(), True))
         return T.StructType(fields)
 
-    def _read_files(self, snap: Snapshot, buckets: list[int] | None) -> DataFrame:
+    def _read_files(
+        self,
+        snap: Snapshot,
+        buckets: list[int] | None,
+        schema: T.StructType | None = None,
+    ) -> DataFrame:
+        """Read a snapshot's files, optionally restricted to buckets and
+        optionally under an evolved (wider) schema: pre-evolution files
+        null-fill added columns and widen promoted ones natively."""
         wanted = (
             snap.files
             if buckets is None
             else {str(b): snap.files.get(str(b), []) for b in buckets}
         )
         files = [str(self.root / f) for fl in wanted.values() for f in fl]
-        phys = self._physical_schema(snap)
+        phys = self._physical_schema(snap, schema)
         if not files:
             return self.spark.createDataFrame([], phys)
         # Manifest-driven read: exact file list, no directory listing; the
@@ -382,7 +392,11 @@ class LakeTable:
         ):
             return None
         batch_schema = T.StructType(
-            [T.StructField(f.name, f.dataType, True) for f in df.schema.fields]
+            [
+                T.StructField(f.name, f.dataType, True)
+                for f in df.schema.fields
+                if not f.name.startswith("_")
+            ]
         )
         schema, schema_version, evo = self._resolve_schema(
             snap, batch_schema, fail_on_breaking
@@ -480,15 +494,17 @@ class LakeTable:
         lsn_src = order_fields[0]
 
         # Payload schema of the batch = everything except op/ordering/source
-        # metadata (ts is both ordering tiebreak and payload - kept).
-        # Normalized to all-nullable: an incoming batch being *stricter*
-        # than the table is not a schema change.
+        # metadata (ts is both ordering tiebreak and payload - kept) and
+        # underscore-prefixed system/provenance columns (e.g. the staged
+        # changelog's _meta struct) - those are pipeline plumbing, never
+        # table columns. Normalized to all-nullable: an incoming batch
+        # being *stricter* than the table is not a schema change.
         drop_from_schema = {op_col, "source_file", lsn_src}
         batch_payload_schema = T.StructType(
             [
                 T.StructField(f.name, f.dataType, True)
                 for f in changes.schema.fields
-                if f.name not in drop_from_schema
+                if f.name not in drop_from_schema and not f.name.startswith("_")
             ]
         )
         schema, schema_version, evo = self._resolve_schema(
@@ -510,7 +526,7 @@ class LakeTable:
         touched = sorted(
             r[0] for r in winners.select(BUCKET_COL).distinct().collect()
         )
-        current = self._read_files(snap, touched)
+        current = self._read_files(snap, touched, schema=schema)
 
         schema_cols = [f.name for f in schema.fields]
         payload_cols = [c for c in schema_cols if c not in pk]

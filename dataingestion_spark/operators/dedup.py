@@ -1,0 +1,270 @@
+"""Deduplication operators for training-data pipelines: exact, MinHash-LSH,
+SimHash, and n-gram Jaccard near-dup.
+
+Design for 100 TB scale:
+
+  * exact: hash-groupBy on a 128-bit content fingerprint - one shuffle with
+    map-side partial aggregation; winner = min doc_id (deterministic).
+  * MinHash+LSH: shingle -> P permutation-min signatures -> band -> bucket
+    equi-join. The candidate join is on (band_idx, band_hash) - tiny keys,
+    no O(n^2) pair blow-up; only within-bucket pairs are verified. All hash
+    functions are md5-based so the DuckDB oracle reproduces the exact
+    signatures (no engine-private hash like xxhash64 in any result).
+  * SimHash: 64-bit weighted-bit fingerprint; near-dups = equal fingerprint
+    band prefixes. Bit arithmetic via md5-derived nibbles - portable.
+  * n-gram Jaccard: exact verify step - explode shingles, semi-join the
+    candidate pairs, |A∩B| / |A∪B| via distinct-count aggregation.
+
+Everything is DataFrame ops (explode / groupBy / join); per-row Python
+never appears.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _norm_text(col: str) -> Column:
+    return F.regexp_replace(F.trim(F.lower(F.col(col))), r"\s+", " ")
+
+
+def exact_duplicates(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Groups of byte-identical (normalized) documents: one row per
+    duplicated fingerprint with the kept (min-id) doc and group size."""
+    fp = df.select(
+        F.col(id_col), F.md5(_norm_text(text_col)).alias("fp")
+    ).filter(F.col(text_col).isNotNull())
+    return (
+        fp.groupBy("fp")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("group_size"),
+        )
+        .filter(F.col("group_size") > 1)
+    )
+
+
+def dedup_exact(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Exact dedup: keep the min-id representative of each fingerprint
+    group (rows with null text are kept as-is)."""
+    with_fp = df.withColumn("_fp", F.md5(_norm_text(text_col)))
+    keep = (
+        with_fp.filter(F.col(text_col).isNotNull())
+        .groupBy("_fp")
+        .agg(F.min(id_col).alias("_keep"))
+    )
+    kept = (
+        with_fp.join(keep, "_fp", "left")
+        .filter(F.col(text_col).isNull() | (F.col(id_col) == F.col("_keep")))
+        .drop("_fp", "_keep")
+    )
+    return kept
+
+
+def shingles_expr(text_col: str, n: int = 3) -> Column:
+    """Word n-gram shingle set (distinct) of normalized text. Portable:
+    Spark transform/sequence <-> DuckDB list comprehension."""
+    toks = F.split(_norm_text(text_col), " ")
+    # guard: sequence(1, 0) would count DOWN in Spark - short docs must
+    # yield an empty shingle set, not a broken slice
+    return F.when(
+        F.size(toks) < n, F.array().cast("array<string>")
+    ).otherwise(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+                lambda i: F.array_join(F.slice(toks, i, n), " "),
+            )
+        )
+    )
+
+
+def shingled(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """(id, shingle) exploded pairs - the base relation for MinHash and
+    Jaccard. Documents shorter than n words produce no rows."""
+    return (
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col), F.explode(shingles_expr(text_col, n)).alias("shingle"))
+    )
+
+
+def minhash_signatures(
+    shingle_df: DataFrame, id_col: str = "doc_id", num_hashes: int = 16
+) -> DataFrame:
+    """P md5-permutation minima per document -> signature array.
+
+    min(md5(i || ':' || shingle)) is a valid permutation-min because md5 is
+    (for this purpose) a random permutation of the shingle universe per
+    seed i; lexicographic min over hex strings is engine-portable."""
+    mins = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    agg = shingle_df.groupBy(id_col).agg(*mins)
+    return agg.select(
+        F.col(id_col),
+        F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("signature"),
+    )
+
+
+def lsh_candidates(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    num_bands: int = 4,
+) -> DataFrame:
+    """Band the signatures and emit candidate pairs (a < b) that share at
+    least one band bucket. The join key is (band_idx, band_hash): shuffle
+    volume is O(docs x bands), never O(pairs)."""
+    sig_len_hint = None  # derived from data below
+    banded = signatures.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(num_bands - 1)),
+                lambda b: F.md5(
+                    F.array_join(
+                        F.slice(
+                            F.col("signature"),
+                            b * (F.size(F.col("signature")) / num_bands).cast("int") + 1,
+                            (F.size(F.col("signature")) / num_bands).cast("int"),
+                        ),
+                        "|",
+                    )
+                ),
+            )
+        ).alias("band_idx", "band_hash"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    shingle_df: DataFrame,
+    candidates: DataFrame,
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact n-gram Jaccard verification of candidate pairs:
+    |A∩B| / (|A| + |B| - |A∩B|) via one intersection aggregate plus a
+    broadcast-able per-doc size table."""
+    sizes = shingle_df.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    sa = shingle_df.withColumnRenamed(id_col, "id_a")
+    sb = shingle_df.withColumnRenamed(id_col, "id_b")
+    inter = (
+        candidates.join(sa, "id_a")
+        .join(sb.withColumnRenamed("shingle", "shingle_b"), "id_b")
+        .filter(F.col("shingle") == F.col("shingle_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    na = sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("n", "n_a")
+    nb = sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("n", "n_b")
+    return (
+        inter.join(na, "id_a")
+        .join(nb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 16,
+    num_bands: int = 4,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: shingle -> sign -> band ->
+    candidate join -> exact Jaccard verify. Returns (id_a, id_b, jaccard)."""
+    sh = shingled(df, id_col, text_col, n)
+    sh.persist()
+    sigs = minhash_signatures(sh, id_col, num_hashes)
+    cands = lsh_candidates(sigs, id_col, num_bands)
+    out = jaccard_pairs(sh, cands, id_col, threshold)
+    return out
+
+
+def simhash(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 32,
+    n: int = 2,
+) -> DataFrame:
+    """SimHash fingerprint: per shingle derive `bits` pseudo-random bits
+    from md5 nibbles; fingerprint bit b = 1 iff sum over shingles of
+    (bit_b ? +1 : -1) > 0. Near-dup docs differ in few bits.
+
+    Implemented as explode + aggregate of a bit-count vector (array of
+    ints) - one shuffle, map-side combinable."""
+    sh = shingled(df, id_col, text_col, n)
+
+    # bit b of md5(shingle): nibble floor(b/4) of the hex string, bit (b%4).
+    # Extracted arithmetically (floor(nibble / 2^(b%4)) % 2) because
+    # shiftleft needs a literal shift amount.
+    def _nibble(b):
+        return F.conv(
+            F.substring(F.md5(F.col("shingle")), (b / F.lit(4)).cast("int") + 1, 1),
+            16,
+            10,
+        ).cast("int")
+
+    _pow4 = F.array(F.lit(1), F.lit(2), F.lit(4), F.lit(8))
+    bit_votes = F.transform(
+        F.sequence(F.lit(0), F.lit(bits - 1)),
+        lambda b: F.when(
+            F.pmod(
+                F.floor(_nibble(b) / F.element_at(_pow4, (b % 4).cast("int") + 1)), 2
+            )
+            == 1,
+            1,
+        ).otherwise(-1),
+    )
+    votes = sh.select(F.col(id_col), bit_votes.alias("votes"))
+    summed = votes.groupBy(id_col).agg(
+        F.array(
+            *[F.sum(F.element_at("votes", i + 1)).alias(f"b{i}") for i in range(bits)]
+        ).alias("sums")
+    )
+    fp = summed.select(
+        F.col(id_col),
+        F.aggregate(
+            F.zip_with(
+                F.col("sums"),
+                F.sequence(F.lit(0), F.lit(bits - 1)),
+                lambda s, i: F.when(
+                    s > 0, F.pow(F.lit(2.0), i.cast("double")).cast("long")
+                ).otherwise(F.lit(0).cast("long")),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("simhash"),
+    )
+    return fp

@@ -1,0 +1,135 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary columns
+with typed metadata, processed by Arrow-batched pandas UDFs over
+mapInPandas.
+
+The Spark-side machinery - schemas, batch iteration, partition sizing, UDF
+signatures - is real and tested; the actual media decoding is STUBBED
+(`NotImplementedError` behind `decoder=`) because no image/audio libraries
+ship in this container. Swap `fake_image_decoder` for a real one (PIL,
+torchaudio, pyav...) without touching any Spark code.
+
+Scale notes: mapInPandas streams Arrow record batches - memory is bounded
+by spark.sql.execution.arrow.maxRecordsPerBatch regardless of blob sizes;
+binary payloads never pass through Python row objects. Repartition by a
+size-aware key before heavy decodes so one task doesn't collect all large
+blobs.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Callable
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),  # image | audio | video
+        T.StructField("content", T.BinaryType()),
+        T.StructField("mime", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("duration_ms", T.LongType()),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("feature", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def real_image_decoder(content: bytes) -> np.ndarray:  # pragma: no cover
+    """Placeholder for a real decoder (PIL/libjpeg). Not available in this
+    container - the pipeline wiring is exercised with fake_image_decoder."""
+    raise NotImplementedError(
+        "media decoding libraries are not installed in this environment; "
+        "inject a real decoder (e.g. PIL.Image.open) here"
+    )
+
+
+def fake_image_decoder(content: bytes) -> np.ndarray:
+    """Deterministic stand-in decoder: derives a fixed-shape float array
+    from the bytes so the full Arrow/mapInPandas path is testable."""
+    arr = np.frombuffer(content[:64].ljust(64, b"\0"), dtype=np.uint8)
+    return (arr.astype(np.float32) / 255.0).reshape(8, 8)
+
+
+def extract_features(
+    df: DataFrame,
+    decoder: Callable[[bytes], np.ndarray] = real_image_decoder,
+    feature_dim: int = 16,
+) -> DataFrame:
+    """Decode + pool each blob into a fixed-size feature vector via
+    mapInPandas (Arrow batches; bytes never cross as Python rows)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            feats = []
+            for content in pdf["content"]:
+                if content is None:
+                    feats.append(None)
+                    continue
+                img = decoder(bytes(content))
+                flat = img.reshape(-1)
+                pooled = np.resize(flat, feature_dim).astype(np.float32)
+                feats.append(pooled.tolist())
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": pdf["content"].map(
+                        lambda b: len(b) if b is not None else 0
+                    ),
+                    "feature": feats,
+                }
+            )
+
+    return df.mapInPandas(batches, FEATURE_SCHEMA)
+
+
+def media_stats(df: DataFrame) -> DataFrame:
+    """Pure-column metadata aggregation (no decode): per kind/mime counts,
+    byte volume, avg dimensions - the triage query before scheduling
+    expensive decodes."""
+    return df.groupBy("kind", "mime").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.length("content")).alias("total_bytes"),
+        F.avg("width").alias("avg_width"),
+        F.avg("height").alias("avg_height"),
+        F.avg("duration_ms").alias("avg_duration_ms"),
+    )
+
+
+def gen_media(spark, n: int = 100, seed: int = 42) -> DataFrame:
+    """Deterministic synthetic media table (binary payload derived from the
+    id) for tests/benches - no external data."""
+    return spark.range(n).select(
+        F.col("id").alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.pmod(F.xxhash64("id", F.lit(seed)), F.lit(3)) + 1).cast("int"),
+        ).alias("kind"),
+        F.to_binary(
+            F.repeat(F.md5(F.concat(F.lit("blob"), F.col("id"))), 4), F.lit("hex")
+        ).alias("content"),
+        F.lit("application/octet-stream").alias("mime"),
+        (F.pmod(F.xxhash64("id", F.lit(seed), F.lit(1)), F.lit(1920)) + 1)
+        .cast("int")
+        .alias("width"),
+        (F.pmod(F.xxhash64("id", F.lit(seed), F.lit(2)), F.lit(1080)) + 1)
+        .cast("int")
+        .alias("height"),
+        F.pmod(F.xxhash64("id", F.lit(seed), F.lit(3)), F.lit(60000)).alias(
+            "duration_ms"
+        ),
+    )

@@ -25,6 +25,7 @@ same checkpoint dir continues from the last committed source offset.
 
 from __future__ import annotations
 
+import hashlib
 import time
 from pathlib import Path
 from typing import Callable
@@ -90,7 +91,13 @@ def apply_changes(
     The target LakeTable must exist (create it with bootstrap_table)."""
     table = LakeTable(spark, config.table_path)
     lineage = LineageLog(spark, lineage_path) if lineage_path else None
-    pipeline_id = f"apply::{config.name}"
+    # Epoch ids are only meaningful relative to ONE checkpoint lineage -
+    # foreachBatch restarts numbering at 0 for a fresh checkpoint dir. The
+    # marker namespace therefore includes a checkpoint fingerprint: resuming
+    # the same checkpoint dedups correctly, while a new checkpoint gets a
+    # fresh namespace instead of silently skipping epochs 0..last.
+    ckpt_tag = hashlib.md5(str(Path(checkpoint_dir).resolve()).encode()).hexdigest()[:8]
+    pipeline_id = f"apply::{config.name}::{ckpt_tag}"
 
     def process_batch(batch: DataFrame, epoch_id: int) -> None:
         t0 = time.time()

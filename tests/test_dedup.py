@@ -1,0 +1,84 @@
+"""Dedup operator tests: exact groups, MinHash-LSH recall on known
+near-dups, Jaccard exactness vs a Python reference, SimHash proximity."""
+
+import itertools
+
+from pyspark.sql import functions as F
+
+from dataingestion_spark.operators.dedup import (
+    dedup_exact,
+    exact_duplicates,
+    jaccard_pairs,
+    lsh_candidates,
+    minhash_near_duplicates,
+    minhash_signatures,
+    shingled,
+    simhash,
+)
+
+
+def _docs(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again for fun"
+    near = base.replace("lazy", "sleepy")  # one-word change -> high jaccard
+    far = "completely different content about spark engines and parquet files here"
+    rows = [
+        (0, base),
+        (1, base),                      # exact dup of 0
+        (2, "  THE  quick brown fox jumps over the lazy dog again and again for fun "),  # normalized dup of 0
+        (3, near),                      # near dup of 0
+        (4, far),
+        (5, None),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_duplicates_groups(spark):
+    groups = exact_duplicates(_docs(spark)).collect()
+    assert len(groups) == 1
+    assert groups[0].keep_id == 0
+    assert groups[0].group_size == 3
+
+
+def test_dedup_exact_keeps_min_id_and_nulls(spark):
+    kept = dedup_exact(_docs(spark)).toPandas().sort_values("doc_id")
+    assert list(kept["doc_id"]) == [0, 3, 4, 5]
+
+
+def test_minhash_finds_near_duplicate(spark):
+    pairs = minhash_near_duplicates(
+        _docs(spark), num_hashes=16, num_bands=8, threshold=0.5
+    ).toPandas()
+    got = {tuple(r) for r in pairs[["id_a", "id_b"]].itertuples(index=False)}
+    # the exact-dup pairs and the near-dup pair must surface
+    assert (0, 1) in got and (0, 2) in got and (1, 2) in got
+    assert (0, 3) in got or (1, 3) in got  # near dup caught by some band
+    assert not any(4 in p for p in got)  # unrelated doc never pairs
+
+
+def test_jaccard_matches_python_reference(spark):
+    df = _docs(spark).filter(F.col("text").isNotNull())
+    sh = shingled(df, n=3)
+    sigs = minhash_signatures(sh, num_hashes=16)
+    cands = lsh_candidates(sigs, num_bands=8)
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in jaccard_pairs(sh, cands, threshold=0.0).collect()
+    }
+    # python reference on the same shingle sets
+    pdf = df.toPandas()
+    def sh_set(text):
+        toks = " ".join(text.lower().split()).split(" ")
+        return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+    sets = {r.doc_id: sh_set(r.text) for r in pdf.itertuples(index=False)}
+    for (a, b), j in got.items():
+        ref = len(sets[a] & sets[b]) / len(sets[a] | sets[b])
+        assert abs(j - ref) < 1e-6, (a, b, j, ref)
+
+
+def test_simhash_near_dup_has_close_fingerprint(spark):
+    fps = {r.doc_id: r.simhash for r in simhash(_docs(spark), bits=32, n=2).collect()}
+    assert fps[0] == fps[1] == fps[2]  # identical content -> identical fp
+    ham_near = bin(fps[0] ^ fps[3]).count("1")
+    ham_far = bin(fps[0] ^ fps[4]).count("1")
+    assert ham_near < ham_far
+    assert ham_near <= 8

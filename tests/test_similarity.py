@@ -1,0 +1,73 @@
+"""Similarity-search tests on the driver-provided embeddings table plus
+synthetic sanity cases: brute-force exactness vs numpy, LSH candidate
+restriction, embedding near-dup detection."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from dataingestion_spark.operators.similarity import (
+    brute_force_topk,
+    embedding_near_duplicates,
+    lsh_topk,
+    sign_bucket_expr,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    df = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    df.persist()
+    yield df
+    df.unpersist()
+
+
+def test_brute_force_matches_numpy(spark, embeddings):
+    queries = embeddings.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = brute_force_topk(embeddings, queries, k=5).toPandas()
+
+    pdf = embeddings.toPandas()
+    mat = np.stack(pdf["embedding"].map(np.asarray, na_action=None).values).astype(
+        np.float64
+    )
+    ids = pdf["vec_id"].values
+    for qid in [0, 1, 2]:
+        qv = mat[ids == qid][0]
+        scores = mat @ qv / (np.linalg.norm(mat, axis=1) * np.linalg.norm(qv))
+        order = sorted(
+            [(round(s, 6), i) for s, i in zip(scores, ids) if i != qid],
+            key=lambda t: (-t[0], t[1]),
+        )[:5]
+        want_ids = [i for _, i in order]
+        got_q = got[got["query_id"] == qid].sort_values("rank")
+        assert list(got_q["vec_id"]) == want_ids, f"query {qid}"
+
+
+def test_lsh_topk_respects_buckets(spark, embeddings):
+    queries = embeddings.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = lsh_topk(embeddings, queries, k=3, n_planes=4).toPandas()
+    assert not got.empty
+    # every returned neighbor shares the query's sign bucket
+    b = embeddings.select(
+        "vec_id", sign_bucket_expr("embedding", 4).alias("bucket")
+    ).toPandas().set_index("vec_id")["bucket"]
+    for r in got.itertuples(index=False):
+        assert b[r.query_id] == b[r.vec_id]
+    assert (got.groupby("query_id")["rank"].min() == 1).all()
+
+
+def test_embedding_near_duplicates_finds_planted_pair(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.5, 0.2, 0.9, 0.1, 0.3, 0.7]),
+        (1, [1.0, 0.001, 0.5, 0.2, 0.9, 0.1, 0.3, 0.7]),  # near-identical to 0
+        (2, [-1.0, 0.4, -0.5, 0.8, -0.9, 0.6, -0.3, 0.2]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = embedding_near_duplicates(df, threshold=0.99, n_planes=4).toPandas()
+    assert [(r.id_a, r.id_b) for r in pairs.itertuples(index=False)] == [(0, 1)]

@@ -119,11 +119,14 @@ def test_crash_replay_of_same_epoch_is_skipped(spark, tmp_path):
     q.awaitTermination(120)
     tbl = LakeTable(spark, d["table"])
     v = tbl.current_version()
-    last_epoch = tbl.last_applied_epoch("apply::transcripts")
+    # the pipeline id is checkpoint-scoped; read it back from the snapshot
+    (pipeline_id,) = tbl.snapshot().properties["pipelines"].keys()
+    assert pipeline_id.startswith("apply::transcripts::")
+    last_epoch = tbl.last_applied_epoch(pipeline_id)
     assert last_epoch >= 1
     before = tbl.read().toPandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
     # replay the exact same epoch (driver retry semantics)
-    snap = tbl.merge(changes, pipeline_id="apply::transcripts", epoch_id=last_epoch)
+    snap = tbl.merge(changes, pipeline_id=pipeline_id, epoch_id=last_epoch)
     assert snap is None
     assert tbl.current_version() == v
     after = tbl.read().toPandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
