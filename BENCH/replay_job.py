@@ -54,8 +54,9 @@ def main() -> int:
         spark, n_events=a.events, n_convs=max(a.events // 200, 100),
         max_turns=64, n_files=a.epochs, seed=a.seed, zipf_exp=2.0, dup_frac=0.05,
     )
+    # source_file is "chunk_%05d" with the index already in [0, n_files)
     changes.withColumn(
-        "epoch", F.pmod(F.xxhash64("source_file"), F.lit(a.epochs))
+        "epoch", F.regexp_extract("source_file", r"(\d+)$", 1).cast("int")
     ).write.partitionBy("epoch").mode("overwrite").parquet(staged)
 
     tbl = LakeTable.create(

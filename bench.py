@@ -56,9 +56,10 @@ def bench_cdc_replay(spark, n_events: int, epochs: int = 4, num_buckets: int = 3
         spark, n_events=n_events, n_convs=max(n_events // 200, 100),
         max_turns=64, n_files=epochs, seed=42, zipf_exp=2.0, dup_frac=0.05,
     )
-    # arrival-file -> epoch mapping so epochs are contiguous reads
+    # arrival-file -> epoch mapping so epochs are contiguous reads;
+    # source_file is "chunk_%05d" with the index already in [0, n_files)
     changes.withColumn(
-        "epoch", F.pmod(F.xxhash64("source_file"), F.lit(epochs))
+        "epoch", F.regexp_extract("source_file", r"(\d+)$", 1).cast("int")
     ).write.partitionBy("epoch").mode("overwrite").parquet(staged)
 
     tbl = LakeTable.create(
