@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dataingestion_spark.operators.dedup import (
+    dedup_exact,
     exact_duplicates,
     minhash_near_duplicates,
     minhash_signatures,
@@ -36,6 +37,7 @@ from dataingestion_spark.operators.multimodal import (
 from dataingestion_spark.operators.similarity import (
     brute_force_topk,
     embedding_near_duplicates,
+    lsh_topk,
     sign_bucket_expr,
 )
 from dataingestion_spark.operators.text import (
@@ -250,6 +252,36 @@ def q_doc_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("id_a", "id_b", "jaccard")
 
 
+def q_doc_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup survivors: the min-id representative of every
+    fingerprint group (null-text rows pass through)."""
+    docs = _read(spark, sf_dir, "documents")
+    return dedup_exact(docs).select("doc_id")
+
+
+def q_order_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sort + limit (§2.6): top 10 orders by total price, deterministic
+    key tiebreak."""
+    orders = _read(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("total"))
+    )
+
+
+def q_embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN scale path: sign-LSH bucketed top-k (candidates restricted to
+    the query's bucket) - the approximate counterpart of embedding_topk."""
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return lsh_topk(emb, queries, k=5, n_planes=4).select(
+        "query_id", "rank", F.col("vec_id").alias("neighbor_id"), "score"
+    )
+
+
 def q_embedding_lsh_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _read(spark, sf_dir, "embeddings")
     return emb.select("vec_id", sign_bucket_expr("embedding", 6).alias("bucket"))
@@ -340,6 +372,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": q_pricing_summary,
         "revenue_by_nation": q_revenue_by_nation,
         "doc_exact_dup_groups": q_doc_exact_dup_groups,
+        "doc_dedup_keep": q_doc_dedup_keep,
+        "order_topn": q_order_topn,
+        "embedding_ann_lsh": q_embedding_ann_lsh,
         "doc_fingerprint": q_doc_fingerprint,
         "doc_token_count": q_doc_token_count,
         "doc_word_count": q_doc_word_count,
@@ -475,6 +510,51 @@ def oracle_sql() -> dict[str, str]:
                    min(doc_id) AS keep_id, count(*) AS group_size
             FROM documents WHERE text IS NOT NULL
             GROUP BY 1 HAVING count(*) > 1
+        """,
+        "doc_dedup_keep": """
+            WITH fp AS (
+              SELECT doc_id, text,
+                     md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS f
+              FROM documents
+            )
+            SELECT doc_id FROM fp WHERE text IS NULL
+            UNION ALL
+            SELECT doc_id FROM (
+              SELECT doc_id, min(doc_id) OVER (PARTITION BY f) AS k
+              FROM fp WHERE text IS NOT NULL
+            ) WHERE doc_id = k
+        """,
+        "order_topn": """
+            SELECT o_orderkey, round(o_totalprice, 2) AS total
+            FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey ASC
+            LIMIT 10
+        """,
+        "embedding_ann_lsh": """
+            WITH e AS (
+              SELECT vec_id, embedding::DOUBLE[] AS v,
+                     (CASE WHEN embedding[1] > embedding[5] THEN 1 ELSE 0 END
+                    + CASE WHEN embedding[2] > embedding[6] THEN 2 ELSE 0 END
+                    + CASE WHEN embedding[3] > embedding[7] THEN 4 ELSE 0 END
+                    + CASE WHEN embedding[4] > embedding[8] THEN 8 ELSE 0 END) AS bucket
+              FROM embeddings),
+            q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM e WHERE vec_id < 5),
+            scored AS (
+              SELECT q.query_id, e.vec_id,
+                     round(list_dot_product(qv, v)
+                           / (sqrt(list_dot_product(qv, qv))
+                              * sqrt(list_dot_product(v, v))), 6) AS score
+              FROM q JOIN e ON q.bucket = e.bucket
+              WHERE e.vec_id <> q.query_id
+            ),
+            ranked AS (
+              SELECT query_id, vec_id, score,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY score DESC, vec_id) AS rank
+              FROM scored)
+            SELECT query_id, CAST(rank AS INTEGER) AS rank,
+                   vec_id AS neighbor_id, score
+            FROM ranked WHERE rank <= 5
         """,
         "doc_fingerprint": """
             SELECT doc_id,

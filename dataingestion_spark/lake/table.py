@@ -481,6 +481,17 @@ class LakeTable:
         Returns the committed Snapshot, or None if the epoch was already
         applied (idempotent replay).
         """
+        import sys
+
+        debug = os.environ.get("SPARK_CDC_DEBUG_TIMING")
+        t_start = time.time()
+
+        def _tick(label, t0=[t_start]):
+            if debug:
+                now = time.time()
+                print(f"merge[{epoch_id}] {label}: {now - t0[0]:.2f}s", file=sys.stderr)
+                t0[0] = now
+
         snap = self.snapshot()
         if (
             pipeline_id is not None
@@ -522,10 +533,16 @@ class LakeTable:
         )
         winners.persist()
 
-        # (4) touched-bucket pruning: at most num_buckets values.
-        touched = sorted(
-            r[0] for r in winners.select(BUCKET_COL).distinct().collect()
+        # (4) touched-bucket pruning: at most num_buckets values. One job
+        # yields both the touched set and the applied-event count (avoids a
+        # separate count() action per epoch).
+        _tick("plan+schema gate")
+        bucket_stats = (
+            winners.groupBy(BUCKET_COL).agg(F.count(F.lit(1)).alias("_n")).collect()
         )
+        touched = sorted(int(r[BUCKET_COL]) for r in bucket_stats)
+        applied = sum(r["_n"] for r in bucket_stats)
+        _tick("winners agg + bucket stats")
         current = self._read_files(snap, touched, schema=schema)
 
         schema_cols = [f.name for f in schema.fields]
@@ -569,17 +586,26 @@ class LakeTable:
         )
 
         # (6) salted rewrite of touched buckets.
-        hot = detect_hot_keys(
-            winners, key=pk[0], threshold=hot_key_threshold
-        )
+        # Bucket counts upper-bound per-conversation counts (every row of a
+        # conversation lands in its one bucket), so when no bucket reaches
+        # the hot threshold no key can either - the per-key detection job
+        # is skipped entirely in the balanced case.
+        hot: list[str] = []
+        if applied > 0 and any(
+            r["_n"] >= hot_key_threshold * applied for r in bucket_stats
+        ):
+            hot = detect_hot_keys(
+                winners, key=pk[0], threshold=hot_key_threshold, total=applied
+            )
+        _tick("hot-key detect")
         salted = with_salt(merged, hot, salt_buckets, key=pk[0], sub_key=pk[1] if len(pk) > 1 else pk[0])
         target_parts = max(len(touched), 1) * (salt_buckets if hot else 1)
         new_files = self._write_data_files(salted, target_partitions=target_parts)
+        _tick("join + rewrite")
 
         files = {k: list(v) for k, v in snap.files.items()}
         for b in touched:
             files[str(b)] = new_files.get(str(b), [])
-        applied = winners.count()
         winners.unpersist()
         return self._commit_write(
             snap,

@@ -169,10 +169,12 @@ def jaccard_pairs(
     sizes = shingle_df.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
     sa = shingle_df.withColumnRenamed(id_col, "id_a")
     sb = shingle_df.withColumnRenamed(id_col, "id_b")
+    # join the second side on (id_b, shingle) so only intersection rows
+    # materialize — an id_b-only join would cross-expand to |A|x|B| rows
+    # per candidate pair before filtering
     inter = (
         candidates.join(sa, "id_a")
-        .join(sb.withColumnRenamed("shingle", "shingle_b"), "id_b")
-        .filter(F.col("shingle") == F.col("shingle_b"))
+        .join(sb, ["id_b", "shingle"])
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )

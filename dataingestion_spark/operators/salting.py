@@ -35,15 +35,19 @@ def detect_hot_keys(
     threshold: float = 0.05,
     sample_fraction: float = 1.0,
     seed: int = 42,
+    total: int | None = None,
 ) -> list[str]:
     """Keys whose (estimated) share of batch rows exceeds ``threshold``.
 
     The aggregate benefits from map-side partial combine, and the result is
     at most 1/threshold keys - bounded and driver-safe by construction.
+    Pass ``total`` when the caller already knows the row count (on a cached
+    batch this saves one Spark job per epoch).
     """
     sampled = df if sample_fraction >= 1.0 else df.sample(sample_fraction, seed=seed)
     counts = sampled.groupBy(key).agg(F.count(F.lit(1)).alias("_n"))
-    total = sampled.count()
+    if total is None:
+        total = sampled.count()
     if total == 0:
         return []
     hot = counts.filter(F.col("_n") >= threshold * total)
