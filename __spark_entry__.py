@@ -37,6 +37,7 @@ from dataingestion_spark.operators.multimodal import (
 from dataingestion_spark.operators.similarity import (
     brute_force_topk,
     embedding_near_duplicates,
+    ivf_topk,
     lsh_topk,
     sign_bucket_expr,
 )
@@ -282,6 +283,18 @@ def q_embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: deterministic coarse quantizer (md5-seeded centroids),
+    inverted-list equi-join, n_probe=2 of 8 cells."""
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_topk(emb, queries, k=5, n_centroids=8, n_probe=2).select(
+        "query_id", "rank", F.col("vec_id").alias("neighbor_id"), "score"
+    )
+
+
 def q_embedding_lsh_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _read(spark, sf_dir, "embeddings")
     return emb.select("vec_id", sign_bucket_expr("embedding", 6).alias("bucket"))
@@ -299,7 +312,7 @@ def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _read(spark, sf_dir, "embeddings")
-    return embedding_near_duplicates(emb, threshold=0.9, n_planes=4).select(
+    return embedding_near_duplicates(emb, threshold=0.4, n_planes=4).select(
         "id_a", "id_b", "score"
     )
 
@@ -375,6 +388,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_dedup_keep": q_doc_dedup_keep,
         "order_topn": q_order_topn,
         "embedding_ann_lsh": q_embedding_ann_lsh,
+        "embedding_ivf_topk": q_embedding_ivf_topk,
         "doc_fingerprint": q_doc_fingerprint,
         "doc_token_count": q_doc_token_count,
         "doc_word_count": q_doc_word_count,
@@ -556,6 +570,62 @@ def oracle_sql() -> dict[str, str]:
                    vec_id AS neighbor_id, score
             FROM ranked WHERE rank <= 5
         """,
+        "embedding_ivf_topk": """
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            seeds AS (
+              SELECT vec_id, v, md5(CAST(vec_id AS VARCHAR)) AS h
+              FROM e ORDER BY h, vec_id LIMIT 8
+            ),
+            cents AS (
+              SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS cell,
+                     v AS centroid
+              FROM seeds
+            ),
+            cell_scored AS (
+              SELECT e.vec_id, c.cell,
+                     round(list_dot_product(e.v, c.centroid)
+                           / (sqrt(list_dot_product(e.v, e.v))
+                              * sqrt(list_dot_product(c.centroid, c.centroid))), 6) AS cs
+              FROM e CROSS JOIN cents c
+            ),
+            assigned AS (
+              SELECT vec_id, cell FROM (
+                SELECT vec_id, cell,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY cs DESC, cell ASC) AS rn
+                FROM cell_scored) WHERE rn = 1
+            ),
+            q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+            qprobes AS (
+              SELECT query_id, cell FROM (
+                SELECT q.query_id, c.cell,
+                       row_number() OVER (
+                         PARTITION BY q.query_id
+                         ORDER BY round(list_dot_product(q.qv, c.centroid)
+                                  / (sqrt(list_dot_product(q.qv, q.qv))
+                                     * sqrt(list_dot_product(c.centroid, c.centroid))), 6) DESC,
+                                  c.cell ASC) AS pr
+                FROM q CROSS JOIN cents c) WHERE pr <= 2
+            ),
+            scored AS (
+              SELECT p.query_id, a.vec_id,
+                     round(list_dot_product(q.qv, e.v)
+                           / (sqrt(list_dot_product(q.qv, q.qv))
+                              * sqrt(list_dot_product(e.v, e.v))), 6) AS score
+              FROM qprobes p
+              JOIN assigned a ON a.cell = p.cell AND a.vec_id <> p.query_id
+              JOIN q ON q.query_id = p.query_id
+              JOIN e ON e.vec_id = a.vec_id
+            ),
+            ranked AS (
+              SELECT query_id, vec_id, score,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY score DESC, vec_id) AS rank
+              FROM scored)
+            SELECT query_id, CAST(rank AS INTEGER) AS rank,
+                   vec_id AS neighbor_id, score
+            FROM ranked WHERE rank <= 5
+        """,
         "doc_fingerprint": """
             SELECT doc_id,
                    CASE WHEN text IS NULL THEN NULL
@@ -706,6 +776,6 @@ def oracle_sql() -> dict[str, str]:
             FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
             WHERE list_dot_product(a.v, b.v)
                   / (sqrt(list_dot_product(a.v, a.v))
-                     * sqrt(list_dot_product(b.v, b.v))) >= 0.9
+                     * sqrt(list_dot_product(b.v, b.v))) >= 0.4
         """,
     }

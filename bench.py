@@ -41,6 +41,7 @@ BENCH_QUERIES = [
     "doc_fingerprint",
     "doc_near_dup_pairs",
     "embedding_topk",
+    "embedding_ivf_topk",
 ]
 
 

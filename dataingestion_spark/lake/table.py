@@ -57,7 +57,7 @@ import uuid
 from dataclasses import dataclass, field
 from pathlib import Path
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -522,7 +522,29 @@ class LakeTable:
             snap, batch_payload_schema, fail_on_breaking
         )
 
-        # (3) one winner per key - the only shuffle of the source side.
+        _tick("plan+schema gate")
+        # (4) touched-bucket pruning from ONE cheap pre-scan of the raw
+        # batch: winner keys come from batch rows and every row of a key
+        # lands in that key's bucket, so raw per-bucket counts give exactly
+        # the touched set (and upper-bound any key's event count). A
+        # map-side-combining <=num_buckets-row aggregate - far lighter than
+        # materializing the LWW winners, which instead runs fused inside
+        # the single write job below.
+        raw_stats = (
+            changes.groupBy(
+                bucket_expr(pk[0], snap.num_buckets).alias(BUCKET_COL)
+            )
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .collect()
+        )
+        touched = sorted(int(r[BUCKET_COL]) for r in raw_stats)
+        batch_events = sum(r["_n"] for r in raw_stats)
+        _tick("raw bucket pre-scan")
+
+        # (3) one winner per key - the only shuffle of the source side; the
+        # applied-winner count comes out of the write job via the
+        # Observation API (no extra action, no cache materialization).
+        obs = Observation(f"merge_applied_{uuid.uuid4().hex[:8]}")
         winners = lww_dedupe(changes, pk, order_fields, strategy="agg")
         winners = (
             winners.withColumn(DELETED_COL, F.col(op_col) == F.lit("DELETE"))
@@ -531,18 +553,7 @@ class LakeTable:
         winners = self._conform(winners, schema).withColumn(
             BUCKET_COL, bucket_expr(pk[0], snap.num_buckets)
         )
-        winners.persist()
-
-        # (4) touched-bucket pruning: at most num_buckets values. One job
-        # yields both the touched set and the applied-event count (avoids a
-        # separate count() action per epoch).
-        _tick("plan+schema gate")
-        bucket_stats = (
-            winners.groupBy(BUCKET_COL).agg(F.count(F.lit(1)).alias("_n")).collect()
-        )
-        touched = sorted(int(r[BUCKET_COL]) for r in bucket_stats)
-        applied = sum(r["_n"] for r in bucket_stats)
-        _tick("winners agg + bucket stats")
+        winners = winners.observe(obs, F.count(F.lit(1)).alias("applied"))
         current = self._read_files(snap, touched, schema=schema)
 
         schema_cols = [f.name for f in schema.fields]
@@ -586,27 +597,28 @@ class LakeTable:
         )
 
         # (6) salted rewrite of touched buckets.
-        # Bucket counts upper-bound per-conversation counts (every row of a
-        # conversation lands in its one bucket), so when no bucket reaches
-        # the hot threshold no key can either - the per-key detection job
-        # is skipped entirely in the balanced case.
+        # Hotness is judged on incoming event volume (that is what skews
+        # the shuffle). Bucket counts upper-bound per-conversation counts
+        # (every row of a conversation lands in its one bucket), so when no
+        # bucket reaches the hot threshold no key can either - the per-key
+        # detection job is skipped entirely in the balanced case.
         hot: list[str] = []
-        if applied > 0 and any(
-            r["_n"] >= hot_key_threshold * applied for r in bucket_stats
+        if batch_events > 0 and any(
+            r["_n"] >= hot_key_threshold * batch_events for r in raw_stats
         ):
             hot = detect_hot_keys(
-                winners, key=pk[0], threshold=hot_key_threshold, total=applied
+                changes, key=pk[0], threshold=hot_key_threshold, total=batch_events
             )
         _tick("hot-key detect")
         salted = with_salt(merged, hot, salt_buckets, key=pk[0], sub_key=pk[1] if len(pk) > 1 else pk[0])
         target_parts = max(len(touched), 1) * (salt_buckets if hot else 1)
         new_files = self._write_data_files(salted, target_partitions=target_parts)
-        _tick("join + rewrite")
+        applied = int(obs.get["applied"]) if touched else 0
+        _tick("LWW + join + rewrite")
 
         files = {k: list(v) for k, v in snap.files.items()}
         for b in touched:
             files[str(b)] = new_files.get(str(b), [])
-        winners.unpersist()
         return self._commit_write(
             snap,
             files,

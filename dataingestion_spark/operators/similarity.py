@@ -138,6 +138,120 @@ def lsh_topk(
     )
 
 
+def ivf_centroids(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    refine_iters: int = 0,
+) -> DataFrame:
+    """Deterministic IVF coarse quantizer: seed centroids are the
+    ``n_centroids`` corpus vectors with the smallest md5(id) (a fixed
+    pseudo-random sample any engine reproduces), optionally refined with
+    Lloyd iterations (assign -> per-cell mean). Returns (cell, centroid).
+
+    Scale: seeds are one tiny top-k; each refinement is one broadcast
+    assign + one positional-mean aggregate whose output is n_centroids x
+    dim values - always driver-safe."""
+    seeds = (
+        corpus.select(F.col(id_col), _as_double(vec_col).alias("centroid"))
+        .withColumn("_h", F.md5(F.col(id_col).cast("string")))
+        .orderBy("_h", id_col)
+        .limit(n_centroids)
+    )
+    w = Window.orderBy("_h", id_col)
+    cents = seeds.select(
+        (F.row_number().over(w) - 1).alias("cell"), F.col("centroid")
+    )
+    for _ in range(refine_iters):
+        assigned = assign_cells(corpus, cents, id_col, vec_col)
+        means = (
+            assigned.select("cell", F.posexplode(_as_double(vec_col)))
+            .groupBy("cell", "pos")
+            .agg(F.avg("col").alias("v"))
+            .groupBy("cell")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "v"))).alias("pv"))
+            .select(
+                "cell", F.transform("pv", lambda s: s["v"]).alias("centroid")
+            )
+        )
+        cents = means
+    return cents
+
+
+def assign_cells(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign every vector to its best (max rounded cosine, min cell on
+    ties) centroid cell. Centroids are tiny and broadcast; the corpus side
+    never shuffles - the argmax is a map-side max_by aggregate per row id
+    over n_centroids candidates."""
+    scored = corpus.join(F.broadcast(centroids)).select(
+        corpus["*"],
+        F.col("cell"),
+        cosine_expr(_as_double(vec_col), F.col("centroid")).alias("_cscore"),
+    )
+    best = scored.groupBy(id_col).agg(
+        F.max_by(
+            F.col("cell"), F.struct(F.col("_cscore"), -F.col("cell"))
+        ).alias("cell")
+    )
+    return corpus.join(best, id_col)
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    refine_iters: int = 0,
+) -> DataFrame:
+    """IVF approximate top-k: exact cosine only against vectors whose cell
+    is among the query's ``n_probe`` closest centroids. The inverted lists
+    are an equi-join on the integer cell id - shuffle volume O(corpus),
+    never O(corpus x queries); recall/latency trades via n_probe."""
+    cents = ivf_centroids(corpus, n_centroids, id_col, vec_col, refine_iters)
+    cells = assign_cells(corpus, cents, id_col, vec_col).select(
+        F.col(id_col), _as_double(vec_col).alias("_cvec"), "cell"
+    )
+    qscored = queries.join(F.broadcast(cents)).select(
+        F.col(query_id_col),
+        _as_double(vec_col).alias("_qvec"),
+        F.col("cell"),
+        cosine_expr(_as_double(vec_col), F.col("centroid")).alias("_cscore"),
+    )
+    wq = Window.partitionBy(query_id_col).orderBy(
+        F.col("_cscore").desc(), F.col("cell").asc()
+    )
+    probes = (
+        qscored.withColumn("_pr", F.row_number().over(wq))
+        .filter(F.col("_pr") <= n_probe)
+        .select(query_id_col, "_qvec", "cell")
+    )
+    scored = cells.join(F.broadcast(probes), "cell").where(
+        F.col(id_col) != F.col(query_id_col)
+    ).select(
+        query_id_col,
+        id_col,
+        cosine_expr(F.col("_qvec"), F.col("_cvec")).alias("score"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "rank", id_col, "score")
+    )
+
+
 def embedding_near_duplicates(
     corpus: DataFrame,
     threshold: float = 0.95,

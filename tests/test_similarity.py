@@ -7,8 +7,11 @@ import pytest
 from pyspark.sql import functions as F
 
 from dataingestion_spark.operators.similarity import (
+    assign_cells,
     brute_force_topk,
     embedding_near_duplicates,
+    ivf_centroids,
+    ivf_topk,
     lsh_topk,
     sign_bucket_expr,
 )
@@ -60,6 +63,45 @@ def test_lsh_topk_respects_buckets(spark, embeddings):
     for r in got.itertuples(index=False):
         assert b[r.query_id] == b[r.vec_id]
     assert (got.groupby("query_id")["rank"].min() == 1).all()
+
+
+def test_ivf_full_probe_equals_brute_force(spark, embeddings):
+    """Probing every cell makes IVF exact: identical to brute-force top-k
+    (the recall/latency knob's boundary case)."""
+    queries = embeddings.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = brute_force_topk(embeddings, queries, k=5).toPandas()
+    ivf = ivf_topk(
+        embeddings, queries, k=5, n_centroids=8, n_probe=8
+    ).toPandas()
+    cols = ["query_id", "rank", "vec_id", "score"]
+    assert (
+        ivf.sort_values(["query_id", "rank"]).reset_index(drop=True)[cols]
+        .equals(exact.sort_values(["query_id", "rank"]).reset_index(drop=True)[cols])
+    )
+
+
+def test_ivf_partitions_corpus_and_refines(spark, embeddings):
+    cents = ivf_centroids(embeddings, n_centroids=8, refine_iters=1)
+    cp = cents.toPandas()
+    assert sorted(cp["cell"]) == list(range(8))
+    dim = len(cp["centroid"].iloc[0])
+    assert all(len(c) == dim for c in cp["centroid"])
+    assigned = assign_cells(embeddings, cents).toPandas()
+    # every corpus vector lands in exactly one cell
+    assert len(assigned) == embeddings.count()
+    assert set(assigned["cell"]).issubset(set(range(8)))
+
+
+def test_ivf_probe_restriction_returns_ranked_neighbors(spark, embeddings):
+    queries = embeddings.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = ivf_topk(embeddings, queries, k=3, n_centroids=8, n_probe=2).toPandas()
+    assert not got.empty
+    assert (got.groupby("query_id")["rank"].min() == 1).all()
+    assert (got.groupby("query_id")["rank"].max() <= 3).all()
 
 
 def test_embedding_near_duplicates_finds_planted_pair(spark):
