@@ -47,6 +47,11 @@ def main() -> int:
     ap.add_argument("--buckets", type=int, default=64)
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--no-shm", action="store_true", help="keep data on disk")
+    ap.add_argument(
+        "--write-mode", default="cow", choices=["cow", "mor"],
+        help="cow: rewrite touched buckets per epoch; mor: append delta "
+        "files + read-time LWW (O(batch) write amplification)",
+    )
     a = ap.parse_args()
 
     base = None if a.no_shm else SHM
@@ -97,6 +102,7 @@ def main() -> int:
         tbl.merge(
             spark.read.parquet(f"{staged}/epoch={e}"),
             pipeline_id="scaling", epoch_id=e,
+            write_mode=a.write_mode,
         )
     dt = time.time() - t0
     rows = tbl.read().count()
@@ -109,6 +115,7 @@ def main() -> int:
                 "apply_sec": round(dt, 3),
                 "events_per_sec": round(a.events / dt, 1),
                 "final_rows": rows,
+                "write_mode": a.write_mode,
             }
         )
     )

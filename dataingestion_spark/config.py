@@ -53,6 +53,11 @@ class DatasetConfig:
     # Fail the pipeline on breaking schema changes (reference fail-fast,
     # /root/reference/spark/src/main/scala/com/example/core/SchemaEvolution.scala:114-137).
     fail_on_breaking_schema: bool = True
+    # Upsert write strategy: "cow" (copy-on-write rewrite of touched
+    # buckets, Hudi-COW/reference parity) or "mor" (merge-on-read delta
+    # files + read-time LWW + compaction; O(batch) write amplification
+    # for 10^10-event replay scale).
+    write_mode: str = "cow"
 
     def to_json(self) -> str:
         return json.dumps(asdict(self), indent=2)

@@ -96,6 +96,10 @@ class Snapshot:
     operation: str = "create"
     summary: dict = field(default_factory=dict)
     committed_at: float = 0.0
+    # merge-on-read delta files per bucket (Hudi-MOR analog): rows here
+    # override base rows by LWW on (_lsn, ts) at read time; compact() folds
+    # them into the base. Empty for pure copy-on-write tables.
+    deltas: dict[str, list[str]] = field(default_factory=dict)
 
     @property
     def schema(self) -> T.StructType:
@@ -223,14 +227,17 @@ class LakeTable:
         snap: Snapshot,
         buckets: list[int] | None,
         schema: T.StructType | None = None,
+        file_map: dict[str, list[str]] | None = None,
     ) -> DataFrame:
-        """Read a snapshot's files, optionally restricted to buckets and
+        """Read a snapshot's files (base by default, or any manifest dict
+        such as ``snap.deltas``), optionally restricted to buckets and
         optionally under an evolved (wider) schema: pre-evolution files
         null-fill added columns and widen promoted ones natively."""
+        source = snap.files if file_map is None else file_map
         wanted = (
-            snap.files
+            source
             if buckets is None
-            else {str(b): snap.files.get(str(b), []) for b in buckets}
+            else {str(b): source.get(str(b), []) for b in buckets}
         )
         files = [str(self.root / f) for fl in wanted.values() for f in fl]
         phys = self._physical_schema(snap, schema)
@@ -241,15 +248,45 @@ class LakeTable:
         # widened-type reads.
         return self.spark.read.schema(phys).parquet(*files)
 
+    def _resolved(
+        self,
+        snap: Snapshot,
+        buckets: list[int] | None,
+        schema: T.StructType | None = None,
+    ) -> DataFrame:
+        """Base ∪ delta rows with read-time LWW resolution (merge-on-read):
+        for every pk the winner by (_lsn, delta-over-base) survives,
+        tombstones included. Equal to the base read for pure-COW tables."""
+        base = self._read_files(snap, buckets, schema)
+        has_deltas = any(
+            fl
+            for b, fl in snap.deltas.items()
+            if buckets is None or int(b) in buckets
+        )
+        if not has_deltas:
+            return base
+        deltas = self._read_files(snap, buckets, schema, file_map=snap.deltas)
+        union = base.withColumn("_pref", F.lit(0)).unionByName(
+            deltas.withColumn("_pref", F.lit(1))
+        )
+        # base rows from append mode carry null _lsn -> lowest precedence;
+        # _pref breaks exact-lsn ties in favor of the newer delta row.
+        union = union.withColumn(LSN_COL, F.coalesce(F.col(LSN_COL), F.lit(-1)))
+        resolved = lww_dedupe(
+            union, snap.pk_fields, [LSN_COL, "_pref"], tiebreak_fields=[]
+        )
+        return resolved.drop("_pref")
+
     def read(
         self,
         version: int | None = None,
         buckets: list[int] | None = None,
         include_system: bool = False,
     ) -> DataFrame:
-        """Current (or time-travel) table state: live rows only."""
+        """Current (or time-travel) table state: live rows only (delta
+        files LWW-resolved against the base for merge-on-read tables)."""
         snap = self.snapshot(version)
-        df = self._read_files(snap, buckets)
+        df = self._resolved(snap, buckets)
         df = df.filter(~F.coalesce(F.col(DELETED_COL), F.lit(False)))
         if include_system:
             return df
@@ -427,6 +464,7 @@ class LakeTable:
         pipeline_id: str | None,
         epoch_id: int | None,
         summary: dict,
+        deltas: dict[str, list[str]] | None = None,
     ) -> Snapshot:
         props = json.loads(json.dumps(parent.properties))  # deep copy
         if pipeline_id is not None and epoch_id is not None:
@@ -443,6 +481,11 @@ class LakeTable:
             properties=props,
             operation=operation,
             summary={k: v for k, v in summary.items() if v is not None},
+            deltas=(
+                deltas
+                if deltas is not None
+                else {k: list(v) for k, v in parent.deltas.items()}
+            ),
         )
         return self._commit(snap)
 
@@ -459,6 +502,7 @@ class LakeTable:
         hot_key_threshold: float = 0.05,
         salt_buckets: int = 8,
         lineage: dict | None = None,
+        write_mode: str = "cow",
     ) -> Snapshot | None:
         """Apply a batch of keyed INSERT/UPDATE/DELETE change events.
 
@@ -477,6 +521,15 @@ class LakeTable:
              tombstones.
           6. salted copy-on-write rewrite of touched buckets; atomic
              snapshot commit referencing untouched buckets' old files.
+
+        ``write_mode="mor"`` (merge-on-read, the Hudi-MOR analog) replaces
+        steps 5-6 with an append of the batch winners as per-bucket DELTA
+        files: write amplification is O(batch) instead of O(table), which
+        is what keeps 10^10-event replay sustainable as the table grows;
+        the per-key LWW resolution moves to read time (``_resolved``) and
+        ``compact()`` folds deltas back into the base. Late/duplicate
+        events need no join-time lsn guard here - read-time LWW over
+        (_lsn, delta-recency) subsumes it.
 
         Returns the committed Snapshot, or None if the epoch was already
         applied (idempotent replay).
@@ -554,7 +607,57 @@ class LakeTable:
             BUCKET_COL, bucket_expr(pk[0], snap.num_buckets)
         )
         winners = winners.observe(obs, F.count(F.lit(1)).alias("applied"))
-        current = self._read_files(snap, touched, schema=schema)
+
+        # Hotness is judged on incoming event volume (what actually skews
+        # the shuffle); bucket counts upper-bound per-key counts, so the
+        # per-key detection job is skipped when no bucket reaches the
+        # threshold.
+        hot: list[str] = []
+        if batch_events > 0 and any(
+            r["_n"] >= hot_key_threshold * batch_events for r in raw_stats
+        ):
+            hot = detect_hot_keys(
+                changes, key=pk[0], threshold=hot_key_threshold, total=batch_events
+            )
+        _tick("hot-key detect")
+
+        if write_mode == "mor":
+            # (5'/6') append winners as delta files - no table read, no
+            # join; O(batch) write amplification.
+            salted = with_salt(
+                winners, hot, salt_buckets,
+                key=pk[0], sub_key=pk[1] if len(pk) > 1 else pk[0],
+            )
+            target_parts = max(len(touched), 1) * (salt_buckets if hot else 1)
+            new_files = self._write_data_files(salted, target_partitions=target_parts)
+            applied = int(obs.get["applied"]) if touched else 0
+            _tick("LWW + delta write")
+            deltas = {k: list(v) for k, v in snap.deltas.items()}
+            for b, fl in new_files.items():
+                deltas.setdefault(b, [])
+                deltas[b] = deltas[b] + fl
+            return self._commit_write(
+                snap,
+                {k: list(v) for k, v in snap.files.items()},
+                schema,
+                schema_version,
+                "merge-mor",
+                pipeline_id,
+                epoch_id,
+                {
+                    "applied_events": applied,
+                    "touched_buckets": [int(b) for b in touched],
+                    "hot_keys": hot,
+                    "evolution": evo,
+                    **(lineage or {}),
+                },
+                deltas=deltas,
+            )
+
+        # COW path: join against the RESOLVED current state (base + any
+        # outstanding deltas of the touched buckets, which this rewrite
+        # folds in and clears).
+        current = self._resolved(snap, touched, schema=schema)
 
         schema_cols = [f.name for f in schema.fields]
         payload_cols = [c for c in schema_cols if c not in pk]
@@ -596,20 +699,8 @@ class LakeTable:
             F.coalesce(F.col("_s_bucket"), F.col("_t_bucket")).alias(BUCKET_COL),
         )
 
-        # (6) salted rewrite of touched buckets.
-        # Hotness is judged on incoming event volume (that is what skews
-        # the shuffle). Bucket counts upper-bound per-conversation counts
-        # (every row of a conversation lands in its one bucket), so when no
-        # bucket reaches the hot threshold no key can either - the per-key
-        # detection job is skipped entirely in the balanced case.
-        hot: list[str] = []
-        if batch_events > 0 and any(
-            r["_n"] >= hot_key_threshold * batch_events for r in raw_stats
-        ):
-            hot = detect_hot_keys(
-                changes, key=pk[0], threshold=hot_key_threshold, total=batch_events
-            )
-        _tick("hot-key detect")
+        # (6) salted rewrite of touched buckets; outstanding deltas of
+        # those buckets are folded in (the join read them) and cleared.
         salted = with_salt(merged, hot, salt_buckets, key=pk[0], sub_key=pk[1] if len(pk) > 1 else pk[0])
         target_parts = max(len(touched), 1) * (salt_buckets if hot else 1)
         new_files = self._write_data_files(salted, target_partitions=target_parts)
@@ -617,8 +708,10 @@ class LakeTable:
         _tick("LWW + join + rewrite")
 
         files = {k: list(v) for k, v in snap.files.items()}
+        deltas = {k: list(v) for k, v in snap.deltas.items()}
         for b in touched:
             files[str(b)] = new_files.get(str(b), [])
+            deltas.pop(str(b), None)
         return self._commit_write(
             snap,
             files,
@@ -634,6 +727,7 @@ class LakeTable:
                 "evolution": evo,
                 **(lineage or {}),
             },
+            deltas=deltas,
         )
 
     # ------------------------------------------------------------------
@@ -644,12 +738,18 @@ class LakeTable:
         purge_tombstones_below_lsn: int | None = None,
         buckets: list[int] | None = None,
     ) -> Snapshot:
-        """Rewrite buckets to merge small files; optionally purge tombstones
+        """Rewrite buckets to merge small files and fold outstanding
+        merge-on-read deltas into the base; optionally purge tombstones
         whose _lsn is below a watermark the stream has passed (safe: no
         in-flight event can carry a lower lsn)."""
         snap = self.snapshot()
-        target = buckets if buckets is not None else [int(b) for b in snap.files]
-        df = self._read_files(snap, target)
+        if buckets is not None:
+            target = buckets
+        else:
+            target = sorted(
+                {int(b) for b in snap.files} | {int(b) for b in snap.deltas}
+            )
+        df = self._resolved(snap, target)
         if purge_tombstones_below_lsn is not None:
             df = df.filter(
                 ~(
@@ -659,9 +759,12 @@ class LakeTable:
             )
         new_files = self._write_data_files(df, target_partitions=max(len(target), 1))
         files = {k: list(v) for k, v in snap.files.items()}
+        deltas = {k: list(v) for k, v in snap.deltas.items()}
         for b in target:
             files[str(b)] = new_files.get(str(b), [])
+            deltas.pop(str(b), None)
         return self._commit_write(
             snap, files, snap.schema, snap.schema_version, "compact", None, None,
             {"compacted_buckets": [int(b) for b in target]},
+            deltas=deltas,
         )

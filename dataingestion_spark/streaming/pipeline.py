@@ -112,6 +112,7 @@ def apply_changes(
                 fail_on_breaking=config.fail_on_breaking_schema,
                 hot_key_threshold=config.hot_key_threshold,
                 salt_buckets=config.salt_buckets,
+                write_mode=getattr(config, "write_mode", "cow"),
             )
         else:
             snap = table.append(

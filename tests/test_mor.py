@@ -1,0 +1,114 @@
+"""Merge-on-read write mode: delta-file merges must be observationally
+identical to copy-on-write (same final state vs the replay oracle), with
+O(batch) write amplification, correct late/duplicate handling via
+read-time LWW, and compaction folding deltas into the base."""
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from dataingestion_spark import oracle
+from dataingestion_spark.lake import LakeTable
+from dataingestion_spark.sources.datagen import gen_changes
+from tests.util import TRANSCRIPT_SCHEMA, assert_table_equals_oracle
+
+
+def _mk(spark, path, buckets=4):
+    return LakeTable.create(
+        spark, path, TRANSCRIPT_SCHEMA,
+        pk_fields=["conv_id", "turn_idx"], order_fields=["lsn", "ts"],
+        num_buckets=buckets,
+    )
+
+
+def _epochs(changes, n):
+    lsns = [r[0] for r in changes.select("lsn").distinct().collect()]
+    hi = max(lsns) + 1
+    step = hi // n + 1
+    return [
+        changes.filter((F.col("lsn") >= i * step) & (F.col("lsn") < (i + 1) * step))
+        for i in range(n)
+    ]
+
+
+def test_mor_matches_oracle_and_cow(spark, tmp_path):
+    changes = gen_changes(
+        spark, n_events=6_000, n_convs=50, n_files=4, seed=21, dup_frac=0.1
+    )
+    changes.persist()
+    expected = oracle.replay(changes.toPandas())
+
+    mor = _mk(spark, tmp_path / "mor")
+    cow = _mk(spark, tmp_path / "cow")
+    for e, part in enumerate(_epochs(changes, 3)):
+        mor.merge(part, pipeline_id="m", epoch_id=e, write_mode="mor")
+        cow.merge(part, pipeline_id="c", epoch_id=e, write_mode="cow")
+
+    assert_table_equals_oracle(mor.read(), expected)
+    assert_table_equals_oracle(cow.read(), expected)
+
+    # MOR accumulated deltas and never rewrote the base
+    snap = mor.snapshot()
+    assert any(snap.deltas.values())
+    assert snap.operation == "merge-mor"
+    changes.unpersist()
+
+
+def test_mor_compaction_folds_deltas(spark, tmp_path):
+    changes = gen_changes(spark, n_events=3_000, n_convs=30, n_files=2, seed=22)
+    changes.persist()
+    expected = oracle.replay(changes.toPandas())
+    tbl = _mk(spark, tmp_path / "t")
+    for e, part in enumerate(_epochs(changes, 2)):
+        tbl.merge(part, pipeline_id="m", epoch_id=e, write_mode="mor")
+
+    before = tbl.read().toPandas()
+    snap = tbl.compact()
+    assert not any(snap.deltas.values()), "compaction must clear deltas"
+    assert_table_equals_oracle(tbl.read(), expected)
+    after = tbl.read().toPandas()
+    cols = ["conv_id", "turn_idx", "text"]
+    pd.testing.assert_frame_equal(
+        before.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)[cols],
+        after.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)[cols],
+    )
+    changes.unpersist()
+
+
+def test_mor_late_lower_lsn_does_not_overwrite(spark, tmp_path):
+    tbl = _mk(spark, tmp_path / "t")
+    rows = [
+        ("INSERT", "c1", 0, "user", "v1", None, "2024-01-01 00:00:00", 10),
+        ("UPDATE", "c1", 0, "user", "v2", None, "2024-01-01 00:01:00", 20),
+    ]
+    schema = "op string, conv_id string, turn_idx int, role string, text string, tool string, ts string, lsn long"
+    df = spark.createDataFrame(rows, schema).withColumn("ts", F.to_timestamp("ts"))
+    tbl.merge(df, pipeline_id="p", epoch_id=0, write_mode="mor")
+    # late re-delivery of the OLD version in a later epoch
+    late = spark.createDataFrame([rows[0]], schema).withColumn("ts", F.to_timestamp("ts"))
+    tbl.merge(late, pipeline_id="p", epoch_id=1, write_mode="mor")
+    got = tbl.read().toPandas()
+    assert list(got["text"]) == ["v2"]
+
+    # DELETE tombstone wins over lower-lsn data across deltas
+    delete = spark.createDataFrame(
+        [("DELETE", "c1", 0, None, None, None, "2024-01-01 00:02:00", 30)], schema
+    ).withColumn("ts", F.to_timestamp("ts"))
+    tbl.merge(delete, pipeline_id="p", epoch_id=2, write_mode="mor")
+    assert tbl.read().count() == 0
+    # ...even if the old insert is re-delivered once more
+    tbl.merge(late, pipeline_id="p", epoch_id=3, write_mode="mor")
+    assert tbl.read().count() == 0
+
+
+def test_cow_merge_folds_outstanding_deltas(spark, tmp_path):
+    """A COW merge on a table with outstanding MOR deltas must see the
+    delta rows (resolved join input) and clear them for touched buckets."""
+    changes = gen_changes(spark, n_events=2_000, n_convs=20, n_files=2, seed=23)
+    changes.persist()
+    expected = oracle.replay(changes.toPandas())
+    tbl = _mk(spark, tmp_path / "t")
+    parts = _epochs(changes, 2)
+    tbl.merge(parts[0], pipeline_id="m", epoch_id=0, write_mode="mor")
+    tbl.merge(parts[1], pipeline_id="m", epoch_id=1, write_mode="cow")
+    assert_table_equals_oracle(tbl.read(), expected)
+    changes.unpersist()
