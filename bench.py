@@ -50,8 +50,11 @@ def _force(df) -> None:
 
 
 def bench_cdc_replay(spark, n_events: int, epochs: int = 4, num_buckets: int = 32):
-    """Generate -> stage to parquet (untimed) -> timed multi-epoch MERGE."""
-    tmp = tempfile.mkdtemp(prefix="bench_cdc_")
+    """Generate -> stage to parquet (untimed) -> warm-up merge (untimed,
+    absorbs codegen compilation) -> timed multi-epoch MERGE, once per
+    write mode (cow = reference-parity rewrite, mor = delta append)."""
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    tmp = tempfile.mkdtemp(prefix="bench_cdc_", dir=base)
     staged = f"{tmp}/staged"
     changes = gen_changes(
         spark, n_events=n_events, n_convs=max(n_events // 200, 100),
@@ -63,19 +66,33 @@ def bench_cdc_replay(spark, n_events: int, epochs: int = 4, num_buckets: int = 3
         "epoch", F.regexp_extract("source_file", r"(\d+)$", 1).cast("int")
     ).write.partitionBy("epoch").mode("overwrite").parquet(staged)
 
-    tbl = LakeTable.create(
-        spark, f"{tmp}/table", TRANSCRIPT_SCHEMA,
+    warm = LakeTable.create(
+        spark, f"{tmp}/warmup", TRANSCRIPT_SCHEMA,
         pk_fields=["conv_id", "turn_idx"], order_fields=["lsn", "ts"],
-        num_buckets=num_buckets,
+        num_buckets=4,
     )
-    t0 = time.time()
-    for e in range(epochs):
-        batch = spark.read.parquet(f"{staged}/epoch={e}")
-        tbl.merge(batch, pipeline_id="bench", epoch_id=e)
-    dt = time.time() - t0
-    final_rows = tbl.read().count()
+    warm.merge(
+        spark.read.parquet(f"{staged}/epoch=0").limit(10_000),
+        pipeline_id="warmup", epoch_id=0,
+    )
+    warm.read().count()
+
+    results = {}
+    for mode in ("cow", "mor"):
+        tbl = LakeTable.create(
+            spark, f"{tmp}/table_{mode}", TRANSCRIPT_SCHEMA,
+            pk_fields=["conv_id", "turn_idx"], order_fields=["lsn", "ts"],
+            num_buckets=num_buckets,
+        )
+        t0 = time.time()
+        for e in range(epochs):
+            batch = spark.read.parquet(f"{staged}/epoch={e}")
+            tbl.merge(batch, pipeline_id="bench", epoch_id=e, write_mode=mode)
+        dt = time.time() - t0
+        results[mode] = (dt, tbl.read().count())
     shutil.rmtree(tmp, ignore_errors=True)
-    return dt, final_rows
+    assert results["cow"][1] == results["mor"][1], "write modes disagree"
+    return results
 
 
 def main() -> int:
@@ -98,8 +115,11 @@ def main() -> int:
         _force(queries[name](spark, sf_dir))
         timings[name] = round(time.time() - t0, 3)
 
-    cdc_sec, cdc_rows = bench_cdc_replay(spark, n_events)
+    replay = bench_cdc_replay(spark, n_events)
+    cdc_sec, cdc_rows = replay["cow"]
+    mor_sec, _ = replay["mor"]
     timings["cdc_replay"] = round(cdc_sec, 3)
+    timings["cdc_replay_mor"] = round(mor_sec, 3)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -112,6 +132,7 @@ def main() -> int:
                 "sf": sf,
                 "cdc_events": n_events,
                 "cdc_throughput_eps": round(n_events / cdc_sec, 1),
+                "cdc_throughput_eps_mor": round(n_events / mor_sec, 1),
                 "cdc_final_rows": cdc_rows,
                 "parallelism": cpus,
             }
