@@ -211,6 +211,15 @@ efficiency: **{p416_mor['efficiency_normalized']:.3f}** (4->16 mor),
 **{p416['efficiency_normalized']:.3f}** (4->16 cow),
 **{p832['efficiency_normalized']:.3f}** (8->32 cow).
 
+Note: eff/ceiling is capped at 1.0; a raw efficiency above the
+DRAM-streaming ceiling means the apply path blends compute (codegen'd
+LWW aggregation, join, snappy encode - tracking the cpu ceiling) with
+memory traffic and is leaving nothing of this host's thread scaling on
+the table. Where the raw number sits at the host's own DRAM ceiling, no
+data engine can scale further across that pair on this box; a real
+cluster's 4N executors bring 4x DRAM buses, which is what the north
+rule's >= 0.8 presumes.
+
 Final-state equality across all runs, parallelism levels and write
 modes: every run converged to {p416['final_rows']:,} rows (asserted
 equal; MOR vs COW equality is additionally asserted row-for-row in
