@@ -171,6 +171,21 @@ def q_arith_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_flatten_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3+P4 through the actual transformer chain: JSON string -> typed
+    struct (json_to_struct / ArrayJsonToStructTypeTransformer analog) then
+    one-level flatten (flatten_structs / FlattenTransformer analog)."""
+    from dataingestion_spark.functions.transformers import (
+        apply_chain,
+        flatten_structs,
+        json_to_struct,
+    )
+
+    ev = _read(spark, sf_dir, "events").select("event_id", "props")
+    out = apply_chain(ev, [json_to_struct("props", "k int"), flatten_structs])
+    return out.select("event_id", F.col("props_k").alias("k_val"))
+
+
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-style grouped aggregation (scan efficiency headline)."""
     li = _read(spark, sf_dir, "lineitem")
@@ -377,6 +392,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_distinct_count": q_dedup_distinct_count,
         "count_by_event_type": q_count_by_event_type,
         "json_extract_props": q_json_extract_props,
+        "flatten_json_props": q_flatten_json_props,
         "case_bucketize": q_case_bucketize,
         "quality_flags": q_quality_flags,
         "cast_project": q_cast_project,
@@ -468,6 +484,11 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY event_type
         """,
         "json_extract_props": """
+            SELECT event_id,
+                   CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val
+            FROM events
+        """,
+        "flatten_json_props": """
             SELECT event_id,
                    CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val
             FROM events
