@@ -1,0 +1,87 @@
+"""Physical-plan shape assertions: the Catalyst properties the engine's
+scale story depends on (SURVEY.md §4). If one of these regresses, the
+operator still returns correct rows but stops scaling - so they are
+pinned here.
+
+- parquet filter/column pushdown reaches the scan (PushedFilters,
+  ReadSchema pruned);
+- small dims broadcast (BroadcastHashJoin, no shuffle of the fact side);
+- LWW 'agg' strategy plans as hash aggregation with a partial
+  (map-side-combining) phase before the exchange;
+- scalar text operators stay inside WholeStageCodegen (no Python eval in
+  the hot path).
+"""
+
+import __spark_entry__ as entry
+from pyspark.sql import functions as F
+
+from dataingestion_spark.operators.lww import lww_dedupe
+from dataingestion_spark.operators.text import quality_score
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_pricing_summary_pushes_filter_and_prunes_columns(spark):
+    plan = _plan(entry.q_pricing_summary(spark, SF))
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # projection pruned to the 6 referenced columns - not the full table
+    read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "l_comment" not in read_schema and "l_orderkey" not in read_schema
+
+
+def test_revenue_by_nation_broadcasts_dims(spark):
+    plan = _plan(entry.q_revenue_by_nation(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    # the orders fact side must not be exchanged for the join itself:
+    # the only Exchange below the join is the broadcast one
+    assert "SortMergeJoin" not in plan
+
+
+def test_lww_agg_strategy_has_partial_aggregate(spark):
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    plan = _plan(lww_dedupe(ev, ["user_id"], ["ts", "event_id"], []))
+    # struct-typed max_by plans as SortAggregate; the property that
+    # matters at scale is the partial (map-side) phase before the exchange
+    assert "partial_max_by" in plan, "map-side combine missing"
+    # exactly one shuffle, keyed on the pk (formatted mode puts the
+    # partitioning on the Exchange node's Arguments line)
+    assert plan.count("hashpartitioning(user_id") == 1
+
+
+def test_text_operators_stay_in_codegen(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(quality_score(docs).select("doc_id", "quality"))
+    # '*' prefix = inside a WholeStageCodegen stage in formatted mode
+    assert "* Project" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_merge_read_prunes_to_manifest_files(spark, tmp_path):
+    """The manifest-driven read lists exact files (no directory scan) and
+    carries the explicit physical schema (null-fill evolution semantics)."""
+    from dataingestion_spark.lake import LakeTable
+    from dataingestion_spark.sources.datagen import gen_changes
+    from tests.util import TRANSCRIPT_SCHEMA
+
+    tbl = LakeTable.create(
+        spark, tmp_path / "t", TRANSCRIPT_SCHEMA,
+        pk_fields=["conv_id", "turn_idx"], order_fields=["lsn", "ts"],
+        num_buckets=4,
+    )
+    tbl.merge(
+        gen_changes(spark, n_events=500, n_convs=10, seed=5),
+        pipeline_id="p", epoch_id=0,
+    )
+    some_bucket = int(next(iter(tbl.snapshot().files)))
+    pruned = tbl.read(buckets=[some_bucket], include_system=True)
+    full = tbl.read(include_system=True)
+    # bucket restriction really prunes the file set (row subset, and the
+    # pruned read only sees rows of that bucket)
+    assert pruned.count() < full.count()
+    assert pruned.filter(F.col("_bucket") != some_bucket).count() == 0
