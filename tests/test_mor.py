@@ -100,6 +100,44 @@ def test_mor_late_lower_lsn_does_not_overwrite(spark, tmp_path):
     assert tbl.read().count() == 0
 
 
+def test_mor_schema_evolution_mid_stream(spark, tmp_path):
+    """v1 epochs as MOR deltas, then a v2 epoch (adds tool_meta,
+    latency_ms): the evolved read must null-fill v1 base/delta rows and
+    the LWW resolution must span the schema change."""
+    from pyspark.sql import functions as F
+
+    changes_v1 = gen_changes(spark, n_events=2_000, n_convs=25, seed=31)
+    changes_v2 = gen_changes(
+        spark, n_events=2_000, n_convs=25, seed=31, schema_version=2,
+        lsn_offset=1_000_000,
+    )
+    changes_v1.persist(), changes_v2.persist()
+    tbl = _mk(spark, tmp_path / "t")
+    tbl.merge(changes_v1, pipeline_id="m", epoch_id=0, write_mode="mor")
+    tbl.merge(changes_v2, pipeline_id="m", epoch_id=1, write_mode="mor")
+
+    assert [f.name for f in tbl.snapshot().schema.fields][-2:] == [
+        "tool_meta", "latency_ms",
+    ]
+    union = changes_v1.withColumn(
+        "tool_meta", F.lit(None).cast("string")
+    ).withColumn("latency_ms", F.lit(None).cast("long")).unionByName(changes_v2)
+    expected = oracle.replay(
+        union.toPandas(), extra_payload_cols=["tool_meta", "latency_ms"]
+    )
+    assert_table_equals_oracle(
+        tbl.read(), expected,
+        payload_cols=["role", "text", "tool", "ts", "tool_meta", "latency_ms"],
+    )
+    # compaction after evolution keeps the same state
+    tbl.compact()
+    assert_table_equals_oracle(
+        tbl.read(), expected,
+        payload_cols=["role", "text", "tool", "ts", "tool_meta", "latency_ms"],
+    )
+    changes_v1.unpersist(), changes_v2.unpersist()
+
+
 def test_cow_merge_folds_outstanding_deltas(spark, tmp_path):
     """A COW merge on a table with outstanding MOR deltas must see the
     delta rows (resolved join input) and clear them for touched buckets."""
