@@ -353,7 +353,11 @@ def q_transcript_cdc_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             T.StructField("ts", T.TimestampType()),
         ]
     )
+    import atexit
+    import shutil
+
     tmp = tempfile.mkdtemp(prefix="cdc_replay_")
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
     tbl = LakeTable.create(
         spark, f"{tmp}/transcripts", schema,
         pk_fields=["conv_id", "turn_idx"], order_fields=["lsn", "ts"],

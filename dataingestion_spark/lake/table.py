@@ -68,12 +68,14 @@ from dataingestion_spark.schema.evolution import (
     SchemaEvolutionError,
     SchemaStatus,
     compare_schemas,
+    is_compatible_type_change,
     merge_schemas,
 )
 
 BUCKET_COL = "_bucket"
 LSN_COL = "_lsn"
 DELETED_COL = "_deleted"
+DELTA_SEQ_COL = "_seq"  # commit ordinal stamped into MOR delta files
 _PARTITION_DIR_COL = "_pb"  # physical partition dir; _bucket stays a data column
 SYSTEM_COLS = [LSN_COL, DELETED_COL, BUCKET_COL]
 
@@ -113,10 +115,20 @@ class Snapshot:
         return cls(**json.loads(text))
 
 
-def bucket_expr(key_col: str, num_buckets: int):
+def bucket_expr(key_col: str, num_buckets: int, key_type: T.DataType | None = None):
     """Hidden-partitioning transform: pmod(xxhash64(key), N), the analog of
-    Iceberg's bucket(N, col)."""
-    return F.pmod(F.xxhash64(F.col(key_col)), F.lit(num_buckets)).cast("int")
+    Iceberg's bucket(N, col).
+
+    ``key_type`` pins the hashed physical type. xxhash64 hashes int and long
+    inputs differently, so every bucket computation over a table's pk MUST
+    cast to the table schema's resolved pk type first - otherwise a batch
+    arriving with a narrower pk type (pre-widening) lands rows in different
+    buckets than the conformed winners, and a copy-on-write commit that
+    trusts the pre-scan would silently drop them."""
+    col = F.col(key_col)
+    if key_type is not None:
+        col = col.cast(key_type)
+    return F.pmod(F.xxhash64(col), F.lit(num_buckets)).cast("int")
 
 
 class LakeTable:
@@ -228,11 +240,14 @@ class LakeTable:
         buckets: list[int] | None,
         schema: T.StructType | None = None,
         file_map: dict[str, list[str]] | None = None,
+        with_seq: bool = False,
     ) -> DataFrame:
         """Read a snapshot's files (base by default, or any manifest dict
         such as ``snap.deltas``), optionally restricted to buckets and
         optionally under an evolved (wider) schema: pre-evolution files
-        null-fill added columns and widen promoted ones natively."""
+        null-fill added columns and widen promoted ones natively.
+        ``with_seq`` additionally surfaces the per-commit delta ordinal
+        column stamped into merge-on-read delta files."""
         source = snap.files if file_map is None else file_map
         wanted = (
             source
@@ -241,6 +256,10 @@ class LakeTable:
         )
         files = [str(self.root / f) for fl in wanted.values() for f in fl]
         phys = self._physical_schema(snap, schema)
+        if with_seq:
+            phys = T.StructType(
+                list(phys.fields) + [T.StructField(DELTA_SEQ_COL, T.LongType(), True)]
+            )
         if not files:
             return self.spark.createDataFrame([], phys)
         # Manifest-driven read: exact file list, no directory listing; the
@@ -255,8 +274,16 @@ class LakeTable:
         schema: T.StructType | None = None,
     ) -> DataFrame:
         """Base ∪ delta rows with read-time LWW resolution (merge-on-read):
-        for every pk the winner by (_lsn, delta-over-base) survives,
-        tombstones included. Equal to the base read for pure-COW tables."""
+        for every pk the winner by (_lsn, delta commit ordinal) survives,
+        tombstones included. Equal to the base read for pure-COW tables.
+
+        Ordering is deterministic across epochs: every delta write stamps
+        its rows with the committing snapshot's version (DELTA_SEQ_COL), so
+        equal-lsn rows for one key resolve to the newest commit - the same
+        "newer source wins ties" rule the COW join applies (s.lsn >= t._lsn).
+        Base rows order as ordinal 0. The LWW runs on transient ordering
+        columns; stored ``_lsn`` values (incl. nulls from append mode) pass
+        through unchanged."""
         base = self._read_files(snap, buckets, schema)
         has_deltas = any(
             fl
@@ -265,17 +292,23 @@ class LakeTable:
         )
         if not has_deltas:
             return base
-        deltas = self._read_files(snap, buckets, schema, file_map=snap.deltas)
-        union = base.withColumn("_pref", F.lit(0)).unionByName(
-            deltas.withColumn("_pref", F.lit(1))
+        deltas = self._read_files(
+            snap, buckets, schema, file_map=snap.deltas, with_seq=True
         )
-        # base rows from append mode carry null _lsn -> lowest precedence;
-        # _pref breaks exact-lsn ties in favor of the newer delta row.
-        union = union.withColumn(LSN_COL, F.coalesce(F.col(LSN_COL), F.lit(-1)))
+        union = base.withColumn(
+            "_pref", F.lit(0).cast("long")
+        ).unionByName(
+            deltas.withColumn(
+                "_pref", F.coalesce(F.col(DELTA_SEQ_COL), F.lit(1)).cast("long")
+            ).drop(DELTA_SEQ_COL)
+        )
+        # append-originated rows carry null _lsn -> lowest precedence, via a
+        # TRANSIENT ordering column only (the stored _lsn stays null).
+        union = union.withColumn("_lsn_ord", F.coalesce(F.col(LSN_COL), F.lit(-1)))
         resolved = lww_dedupe(
-            union, snap.pk_fields, [LSN_COL, "_pref"], tiebreak_fields=[]
+            union, snap.pk_fields, ["_lsn_ord", "_pref"], tiebreak_fields=[]
         )
-        return resolved.drop("_pref")
+        return resolved.drop("_pref", "_lsn_ord")
 
     def read(
         self,
@@ -326,7 +359,25 @@ class LakeTable:
         """The schema gate run before every merge/append: classify the
         incoming batch schema against the table schema and either continue,
         evolve, or fail fast (reference control flow
-        /root/reference/spark/src/main/scala/com/example/Phase2Job.scala:85-97)."""
+        /root/reference/spark/src/main/scala/com/example/Phase2Job.scala:85-97).
+
+        A batch field that is NARROWER than the table's (e.g. int arriving
+        after the table widened to long) is not a schema change - it
+        conforms losslessly by upcast - so it is normalized to the table
+        type before classification. Only genuine widenings/additions reach
+        the evolution path."""
+        table_fields = {f.name: f for f in snap.schema.fields}
+        norm_fields = []
+        for f in batch_schema.fields:
+            tf = table_fields.get(f.name)
+            if (
+                tf is not None
+                and tf.dataType != f.dataType
+                and is_compatible_type_change(f.dataType, tf.dataType)
+            ):
+                f = T.StructField(f.name, tf.dataType, f.nullable)
+            norm_fields.append(f)
+        batch_schema = T.StructType(norm_fields)
         cmp = compare_schemas(snap.schema, batch_schema)
         if cmp.change_type == ChangeType.NO_CHANGE:
             return snap.schema, snap.schema_version, None
@@ -583,9 +634,14 @@ class LakeTable:
         # map-side-combining <=num_buckets-row aggregate - far lighter than
         # materializing the LWW winners, which instead runs fused inside
         # the single write job below.
+        # The pre-scan hashes the pk CAST TO THE RESOLVED TABLE TYPE so it
+        # agrees with the conformed winners' bucket assignment even across a
+        # pk type widening (xxhash64(int) != xxhash64(long) for equal values).
         raw_stats = (
             changes.groupBy(
-                bucket_expr(pk[0], snap.num_buckets).alias(BUCKET_COL)
+                bucket_expr(
+                    pk[0], snap.num_buckets, key_type=schema[pk[0]].dataType
+                ).alias(BUCKET_COL)
             )
             .agg(F.count(F.lit(1)).alias("_n"))
             .collect()
@@ -623,9 +679,15 @@ class LakeTable:
 
         if write_mode == "mor":
             # (5'/6') append winners as delta files - no table read, no
-            # join; O(batch) write amplification.
+            # join; O(batch) write amplification. Rows are stamped with the
+            # committing snapshot version so read-time LWW resolves
+            # equal-lsn rows across delta commits deterministically
+            # (newest commit wins, matching the COW tie rule).
             salted = with_salt(
-                winners, hot, salt_buckets,
+                winners.withColumn(
+                    DELTA_SEQ_COL, F.lit(snap.version + 1).cast("long")
+                ),
+                hot, salt_buckets,
                 key=pk[0], sub_key=pk[1] if len(pk) > 1 else pk[0],
             )
             target_parts = max(len(touched), 1) * (salt_buckets if hot else 1)
@@ -707,6 +769,15 @@ class LakeTable:
         applied = int(obs.get["applied"]) if touched else 0
         _tick("LWW + join + rewrite")
 
+        # Safety net behind the typed pre-scan: a written bucket outside the
+        # touched set means its current rows were NOT joined - committing it
+        # would lose data. Fail loudly instead.
+        stray = set(new_files) - {str(b) for b in touched}
+        if stray:
+            raise RuntimeError(
+                f"merge wrote buckets {sorted(stray)} outside the touched "
+                f"set {touched}; pre-scan/winner bucket assignment diverged"
+            )
         files = {k: list(v) for k, v in snap.files.items()}
         deltas = {k: list(v) for k, v in snap.deltas.items()}
         for b in touched:

@@ -122,7 +122,6 @@ def lsh_candidates(
     """Band the signatures and emit candidate pairs (a < b) that share at
     least one band bucket. The join key is (band_idx, band_hash): shuffle
     volume is O(docs x bands), never O(pairs)."""
-    sig_len_hint = None  # derived from data below
     banded = signatures.select(
         F.col(id_col),
         F.posexplode(
@@ -204,9 +203,14 @@ def minhash_near_duplicates(
     threshold: float = 0.8,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: shingle -> sign -> band ->
-    candidate join -> exact Jaccard verify. Returns (id_a, id_b, jaccard)."""
+    candidate join -> exact Jaccard verify. Returns (id_a, id_b, jaccard).
+
+    The shingle relation feeds both the signature and the verify stages;
+    recomputing it (explode of a codegen'd column expression) is cheaper
+    than persisting it for the lifetime of the caller - a persist here would
+    pin executor storage memory with no unpersist point, since the result
+    is returned lazily."""
     sh = shingled(df, id_col, text_col, n)
-    sh.persist()
     sigs = minhash_signatures(sh, id_col, num_hashes)
     cands = lsh_candidates(sigs, id_col, num_bands)
     out = jaccard_pairs(sh, cands, id_col, threshold)

@@ -159,19 +159,27 @@ def write_change_files(df: DataFrame, out_dir: str | Path) -> list[Path]:
     """
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
-    chunks = [r[0] for r in df.select("source_file").distinct().collect()]
     written: list[Path] = []
     with tempfile.TemporaryDirectory() as tmp:
-        for chunk in sorted(chunks):
-            stage = Path(tmp) / chunk
-            (
-                df.filter(F.col("source_file") == chunk)
-                .coalesce(1)
-                .write.mode("overwrite")
-                .parquet(str(stage))
-            )
-            part = next(stage.glob("part-*.parquet"))
-            dest = out / f"{chunk}.parquet"
-            shutil.move(str(part), dest)
-            written.append(dest)
+        # ONE Spark job: shuffle by chunk, write all chunk dirs in a single
+        # partitioned pass, then rename driver-side (pure filesystem moves,
+        # no per-chunk scan of the input).
+        stage = Path(tmp) / "staged"
+        (
+            # duplicate dir column: partitionBy consumes _chunk while the
+            # payload keeps its source_file column for downstream readers
+            df.withColumn("_chunk", F.col("source_file"))
+            .repartition(F.col("_chunk"))
+            .write.partitionBy("_chunk")
+            .mode("overwrite")
+            .parquet(str(stage))
+        )
+        for chunk_dir in sorted(stage.glob("_chunk=*")):
+            chunk = chunk_dir.name.split("=", 1)[1]
+            parts = sorted(chunk_dir.glob("part-*.parquet"))
+            for i, part in enumerate(parts):
+                suffix = "" if len(parts) == 1 else f"_{i:03d}"
+                dest = out / f"{chunk}{suffix}.parquet"
+                shutil.move(str(part), dest)
+                written.append(dest)
     return written

@@ -1,0 +1,128 @@
+"""Edge cases at the metadata/typing boundary of the merge path:
+
+* pk type widening mid-stream must not lose rows: the touched-bucket
+  pre-scan hashes the pk under the RESOLVED table type, so a batch arriving
+  with a narrower pk type (int before the table widened to long) buckets
+  identically to the conformed winners (xxhash64(int) != xxhash64(long)).
+* equal-lsn rows for one key written in DIFFERENT MOR delta commits must
+  resolve deterministically to the newest commit - the same tie rule the
+  COW join applies (s.lsn >= t._lsn).
+"""
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from dataingestion_spark.lake import LakeTable
+
+
+INT_PK_SCHEMA = T.StructType(
+    [
+        T.StructField("item_id", T.IntegerType()),
+        T.StructField("payload", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+    ]
+)
+
+
+def _change_df(spark, rows, pk_type="int"):
+    schema = (
+        f"op string, item_id {pk_type}, payload string, ts string, lsn long"
+    )
+    return spark.createDataFrame(rows, schema).withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+
+
+def test_pk_widening_does_not_lose_rows(spark, tmp_path):
+    """Table pk widens int->long; the next epoch still arrives with int
+    pks. Every winner must land in a bucket the COW commit references."""
+    tbl = LakeTable.create(
+        spark, tmp_path / "t", INT_PK_SCHEMA,
+        pk_fields=["item_id"], order_fields=["lsn", "ts"], num_buckets=8,
+    )
+    n = 64
+    v1 = _change_df(
+        spark,
+        [("INSERT", i, f"v1-{i}", "2024-01-01 00:00:00", i) for i in range(n)],
+    )
+    tbl.merge(v1, pipeline_id="p", epoch_id=0)
+    assert tbl.read().count() == n
+
+    # widening epoch: pk arrives as LONG (non-breaking int->long)
+    v2 = _change_df(
+        spark,
+        [
+            ("UPDATE", i, f"v2-{i}", "2024-01-01 01:00:00", 1000 + i)
+            for i in range(n)
+        ],
+        pk_type="long",
+    )
+    tbl.merge(v2, pipeline_id="p", epoch_id=1)
+    assert tbl.snapshot().schema["item_id"].dataType == T.LongType()
+    got = tbl.read().orderBy("item_id").toPandas()
+    assert len(got) == n, "widening merge dropped rows"
+    assert set(got["payload"]) == {f"v2-{i}" for i in range(n)}
+
+    # post-widening epoch STILL delivering int pks (an upstream that has
+    # not redeployed) must bucket identically to the long-typed table
+    v3 = _change_df(
+        spark,
+        [
+            ("UPDATE", i, f"v3-{i}", "2024-01-01 02:00:00", 2000 + i)
+            for i in range(n)
+        ],
+    )
+    tbl.merge(v3, pipeline_id="p", epoch_id=2)
+    got = tbl.read().orderBy("item_id").toPandas()
+    assert len(got) == n
+    assert set(got["payload"]) == {f"v3-{i}" for i in range(n)}
+
+
+def test_mor_equal_lsn_across_commits_newest_wins(spark, tmp_path):
+    """Two delta commits carry the same (key, lsn) with different payloads:
+    read-time LWW must pick the later commit every time (commit-ordinal
+    tiebreak), mirroring COW's source-wins-ties rule."""
+    tbl = LakeTable.create(
+        spark, tmp_path / "t", INT_PK_SCHEMA,
+        pk_fields=["item_id"], order_fields=["lsn", "ts"], num_buckets=4,
+    )
+    first = _change_df(
+        spark, [("INSERT", 1, "first", "2024-01-01 00:00:00", 100)]
+    )
+    second = _change_df(
+        spark, [("UPDATE", 1, "second", "2024-01-01 00:00:00", 100)]
+    )
+    tbl.merge(first, pipeline_id="p", epoch_id=0, write_mode="mor")
+    tbl.merge(second, pipeline_id="p", epoch_id=1, write_mode="mor")
+    for _ in range(3):  # deterministic across repeated reads
+        got = tbl.read().toPandas()
+        assert list(got["payload"]) == ["second"]
+
+    # compaction preserves the resolution
+    tbl.compact()
+    assert list(tbl.read().toPandas()["payload"]) == ["second"]
+
+
+def test_append_rows_keep_null_lsn_on_mor_table(spark, tmp_path):
+    """Stored _lsn must stay null for append-originated rows even after the
+    read path resolves them against MOR deltas and compaction rewrites them
+    (the LWW ordering uses a transient coalesced column only)."""
+    tbl = LakeTable.create(
+        spark, tmp_path / "t", INT_PK_SCHEMA,
+        pk_fields=["item_id"], order_fields=["lsn", "ts"], num_buckets=4,
+    )
+    appended = spark.createDataFrame(
+        [(1, "appended", None), (2, "appended2", None)],
+        "item_id int, payload string, ts timestamp",
+    )
+    tbl.append(appended)
+    delta = _change_df(
+        spark, [("UPDATE", 2, "merged", "2024-01-01 00:00:00", 5)]
+    )
+    tbl.merge(delta, pipeline_id="p", epoch_id=0, write_mode="mor")
+    sys_read = tbl.read(include_system=True).orderBy("item_id").toPandas()
+    assert sys_read.loc[sys_read["item_id"] == 1, "_lsn"].isna().all()
+    tbl.compact()
+    sys_read = tbl.read(include_system=True).orderBy("item_id").toPandas()
+    assert sys_read.loc[sys_read["item_id"] == 1, "_lsn"].isna().all()
+    assert (sys_read.loc[sys_read["item_id"] == 2, "_lsn"] == 5).all()

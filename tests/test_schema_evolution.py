@@ -122,7 +122,9 @@ class TestLakeEvolution:
         # table untouched
         assert tbl.current_version() == 1
 
-    def test_type_narrowing_fails_fast(self, spark, tmp_table_dir):
+    def test_incompatible_type_fails_fast(self, spark, tmp_table_dir):
+        """A batch type neither conformable (upcastable into the table
+        type) nor widenable is BREAKING and fails fast."""
         schema = T.StructType(
             [
                 T.StructField("conv_id", T.StringType()),
@@ -137,12 +139,43 @@ class TestLakeEvolution:
             pk_fields=["conv_id", "turn_idx"], order_fields=["lsn", "ts"],
             num_buckets=2,
         )
-        narrowed = spark.createDataFrame(
+        bad = spark.createDataFrame(
+            [("INSERT", "c1", 0, "hi", True, 100, 1)],
+            "op string, conv_id string, turn_idx int, text string, big boolean, ts long, lsn long",
+        ).withColumn("ts", F.timestamp_seconds("ts"))
+        with pytest.raises(SchemaEvolutionError):
+            tbl.merge(bad, pipeline_id="t", epoch_id=0)
+
+    def test_narrower_batch_conforms_by_upcast(self, spark, tmp_table_dir):
+        """A batch field NARROWER than the table's (int arriving after the
+        table widened to long) is not a schema change: it conforms by
+        lossless upcast and the table schema stays put. (Deliberate
+        divergence from the reference, which re-infers and would flag the
+        narrower inferred schema as breaking - an operational trap when an
+        upstream producer lags a widening.)"""
+        schema = T.StructType(
+            [
+                T.StructField("conv_id", T.StringType()),
+                T.StructField("turn_idx", T.IntegerType()),
+                T.StructField("text", T.StringType()),
+                T.StructField("big", T.LongType()),
+                T.StructField("ts", T.TimestampType()),
+            ]
+        )
+        tbl = LakeTable.create(
+            spark, tmp_table_dir, schema,
+            pk_fields=["conv_id", "turn_idx"], order_fields=["lsn", "ts"],
+            num_buckets=2,
+        )
+        narrower = spark.createDataFrame(
             [("INSERT", "c1", 0, "hi", 5, 100, 1)],
             "op string, conv_id string, turn_idx int, text string, big int, ts long, lsn long",
         ).withColumn("ts", F.timestamp_seconds("ts"))
-        with pytest.raises(SchemaEvolutionError):
-            tbl.merge(narrowed, pipeline_id="t", epoch_id=0)
+        tbl.merge(narrower, pipeline_id="t", epoch_id=0)
+        assert tbl.snapshot().schema["big"].dataType == T.LongType()
+        assert tbl.snapshot().schema_version == 1
+        got = tbl.read().toPandas()
+        assert list(got["big"]) == [5]
 
     def test_int_widening_reads_old_files(self, spark, tmp_table_dir):
         """int->long widening: old files written as int must read back under
