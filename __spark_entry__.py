@@ -186,6 +186,114 @@ def q_flatten_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", F.col("props_k").alias("k_val"))
 
 
+# ---------------------------------------------------------------------------
+# CDC source-format adapters (sources/cdc_formats.py): each query builds a
+# deterministic envelope in the reference's wire shape from the events table,
+# then runs the adapter; the oracle rebuilds envelope+unpack in DuckDB SQL.
+# ---------------------------------------------------------------------------
+def _event_op(ev: DataFrame, values=("INSERT", "UPDATE", "DELETE")):
+    ins, upd, dele = values
+    return (
+        F.when(ev.event_type == "signup", F.lit(ins))
+        .when(ev.event_type == "error", F.lit(dele))
+        .otherwise(F.lit(upd))
+    )
+
+
+def q_cdc_mysql_binlog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1'/P5: MySQL-binlog CDC envelope -> canonical change relation
+    (reference shape MultiSourceCDCTest.scala:43-51, unpack :62-72)."""
+    from dataingestion_spark.sources.cdc_formats import parse_mysql_binlog
+
+    ev = _read(spark, sf_dir, "events")
+    env = ev.select(
+        _event_op(ev).alias("operation"),
+        F.lit("events").alias("table_name"),
+        ev.user_id.cast("long").alias("primary_key"),
+        F.col("props").alias("data"),
+        F.format_string(
+            "mysql-bin.%06d", F.pmod(ev.event_id, F.lit(4)).cast("int")
+        ).alias("binlog_file"),
+        ev.event_id.cast("long").alias("binlog_position"),
+        F.unix_millis(ev.ts.cast("timestamp")).alias("timestamp"),
+    )
+    return parse_mysql_binlog(env, payload_fields=[("k", "int")]).select(
+        "op", "primary_key", "k", "ts_ms", "lsn", "source_file"
+    )
+
+
+def q_cdc_mongo_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5: MongoDB change-stream envelope ($set partial updates, ObjectId
+    documentKey) -> canonical (MultiSourceCDCTest.scala:88-95, :106-115)."""
+    from dataingestion_spark.sources.cdc_formats import parse_mongo_change_stream
+
+    ev = _read(spark, sf_dir, "events")
+    env = ev.select(
+        _event_op(ev, ("insert", "update", "delete")).alias("operationType"),
+        F.lit("events").alias("ns_coll"),
+        F.when(ev.event_type == "error", F.lit(None).cast("string"))
+        .when(
+            ev.event_type == "signup", F.col("props")
+        )
+        .otherwise(F.format_string('{"$set": %s}', F.col("props")))
+        .alias("fullDocument"),
+        F.format_string('{"_id": {"$oid": "oid%08d"}}', ev.user_id).alias(
+            "documentKey"
+        ),
+        F.date_format(ev.ts, "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("clusterTime"),
+        F.format_string("events.%d", ev.event_id).alias("resumeToken"),
+    )
+    return parse_mongo_change_stream(env, payload_fields=[("k", "int")]).select(
+        "op", "document_id", "k", "ts_ms", "lsn", "source_file"
+    )
+
+
+def q_cdc_aerospike(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5: Aerospike record CDC (WRITE upserts, generation ordinal) ->
+    canonical (MultiSourceCDCTest.scala:132-140, :150-160)."""
+    from dataingestion_spark.sources.cdc_formats import parse_aerospike_cdc
+
+    ev = _read(spark, sf_dir, "events")
+    env = ev.select(
+        F.when(ev.event_type == "error", F.lit("DELETE"))
+        .otherwise(F.lit("WRITE"))
+        .alias("operation"),
+        F.lit("prod").alias("namespace"),
+        F.lit("events").alias("set_name"),
+        F.format_string("user:%d", ev.user_id).alias("user_key"),
+        F.when(ev.event_type == "error", F.lit(None).cast("string"))
+        .otherwise(F.col("props"))
+        .alias("bins"),
+        F.unix_millis(ev.ts.cast("timestamp")).alias("timestamp"),
+        ev.event_id.cast("long").alias("generation"),
+    )
+    return parse_aerospike_cdc(env, payload_fields=[("k", "int")]).select(
+        "op", "user_key", "k", "ts_ms", "lsn", "source_file"
+    )
+
+
+def q_cdc_clickstream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5: append-only ClickStream envelope -> canonical INSERT facts
+    (MultiSourceCDCTest.scala:178-185, :196-206)."""
+    from dataingestion_spark.sources.cdc_formats import parse_clickstream
+
+    ev = _read(spark, sf_dir, "events")
+    env = ev.select(
+        ev.event_type,
+        F.format_string("user_%d", ev.user_id).alias("user_id"),
+        F.format_string(
+            "/p/%d", F.pmod(ev.event_id, F.lit(50)).cast("int")
+        ).alias("page_url"),
+        F.date_format(ev.ts, "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("timestamp"),
+        F.col("props").alias("properties"),
+        F.lit("10.0.0.1").alias("ip_address"),
+    )
+    return parse_clickstream(env, payload_fields=[("k", "int")]).select(
+        "op", "event_type", "user_id", "page_url", "k", "ip_address",
+        "ts_ms", "lsn",
+    )
+
+
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-style grouped aggregation (scan efficiency headline)."""
     li = _read(spark, sf_dir, "lineitem")
@@ -402,6 +510,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cast_project": q_cast_project,
         "events_per_day": q_events_per_day,
         "arith_discounted_revenue": q_arith_discounted_revenue,
+        "cdc_mysql_binlog": q_cdc_mysql_binlog,
+        "cdc_mongo_change": q_cdc_mongo_change,
+        "cdc_aerospike": q_cdc_aerospike,
+        "cdc_clickstream": q_cdc_clickstream,
         "pricing_summary": q_pricing_summary,
         "revenue_by_nation": q_revenue_by_nation,
         "doc_exact_dup_groups": q_doc_exact_dup_groups,
@@ -524,6 +636,52 @@ def oracle_sql() -> dict[str, str]:
         "arith_discounted_revenue": """
             SELECT event_type, round(sum(value * 1.1), 2) AS adj_revenue
             FROM events GROUP BY event_type
+        """,
+        "cdc_mysql_binlog": """
+            SELECT CASE WHEN event_type = 'signup' THEN 'INSERT'
+                        WHEN event_type = 'error' THEN 'DELETE'
+                        ELSE 'UPDATE' END AS op,
+                   CAST(user_id AS BIGINT) AS primary_key,
+                   CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+                   epoch_ms(ts) AS ts_ms,
+                   CAST(event_id AS BIGINT) AS lsn,
+                   printf('mysql-bin.%06d', CAST(event_id % 4 AS INTEGER)) AS source_file
+            FROM events
+        """,
+        "cdc_mongo_change": """
+            SELECT CASE WHEN event_type = 'signup' THEN 'INSERT'
+                        WHEN event_type = 'error' THEN 'DELETE'
+                        ELSE 'UPDATE' END AS op,
+                   printf('oid%08d', user_id) AS document_id,
+                   CASE WHEN event_type = 'error' THEN NULL
+                        ELSE CAST(json_extract_string(props, '$.k') AS INTEGER)
+                   END AS k,
+                   epoch_ms(date_trunc('second', ts)) AS ts_ms,
+                   CAST(event_id AS BIGINT) AS lsn,
+                   'events' AS source_file
+            FROM events
+        """,
+        "cdc_aerospike": """
+            SELECT CASE WHEN event_type = 'error' THEN 'DELETE'
+                        ELSE 'UPSERT' END AS op,
+                   printf('user:%d', user_id) AS user_key,
+                   CASE WHEN event_type = 'error' THEN NULL
+                        ELSE CAST(json_extract_string(props, '$.k') AS INTEGER)
+                   END AS k,
+                   epoch_ms(ts) AS ts_ms,
+                   CAST(event_id AS BIGINT) AS lsn,
+                   'prod.events' AS source_file
+            FROM events
+        """,
+        "cdc_clickstream": """
+            SELECT 'INSERT' AS op, event_type,
+                   printf('user_%d', user_id) AS user_id,
+                   printf('/p/%d', CAST(event_id % 50 AS INTEGER)) AS page_url,
+                   CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+                   '10.0.0.1' AS ip_address,
+                   epoch_ms(date_trunc('second', ts)) AS ts_ms,
+                   epoch_ms(date_trunc('second', ts)) AS lsn
+            FROM events
         """,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,

@@ -71,10 +71,28 @@ def main(argv: list[str] | None = None) -> int:
 
     p = sub.add_parser("stage")
     _add_common(p)
-    p.add_argument("--landing", required=True)
+    p.add_argument("--landing", default=None, help="landing dir (file sources)")
     p.add_argument("--staged", required=True)
     p.add_argument("--checkpoint", required=True)
     p.add_argument("--max-files-per-trigger", type=int, default=None)
+    p.add_argument(
+        "--source-format", default="parquet",
+        choices=["parquet", "json", "kafka"],
+    )
+    p.add_argument(
+        "--infer-schema", action="store_true",
+        help="infer the change schema from already-landed files instead of "
+        "the built-in transcript change schema",
+    )
+    p.add_argument(
+        "--trigger", default=None,
+        help="processing-time cadence: fast|normal|slow|continuous|'45 seconds'; "
+        "default drains available input and stops",
+    )
+    p.add_argument("--kafka-servers", default=None)
+    p.add_argument("--kafka-topic", default=None)
+    p.add_argument("--starting-offsets", default="earliest")
+    p.add_argument("--max-offsets-per-trigger", type=int, default=None)
 
     p = sub.add_parser("apply")
     _add_common(p)
@@ -83,6 +101,10 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--checkpoint", required=True)
     p.add_argument("--lineage", default=None)
     p.add_argument("--max-files-per-trigger", type=int, default=None)
+    p.add_argument(
+        "--trigger", default=None,
+        help="processing-time cadence: fast|normal|slow|continuous|'45 seconds'",
+    )
 
     p = sub.add_parser("datagen")
     _add_common(p)
@@ -110,20 +132,32 @@ def main(argv: list[str] | None = None) -> int:
         tbl = bootstrap_table(spark, cfg, TRANSCRIPT_SCHEMA)
         print(json.dumps({"table": str(tbl.root), "version": tbl.current_version()}))
     elif a.cmd == "stage":
+        kafka_opts = None
+        if a.source_format == "kafka":
+            from dataingestion_spark.streaming.pipeline import build_kafka_options
+
+            kafka_opts = build_kafka_options(
+                a.kafka_servers, a.kafka_topic, a.starting_offsets,
+                a.max_offsets_per_trigger,
+            )
         q = stage_changes(
-            spark, a.landing, a.staged, a.checkpoint, CHANGE_SCHEMA,
+            spark, a.landing, a.staged, a.checkpoint,
+            schema=None if (a.infer_schema or a.source_format == "kafka") else CHANGE_SCHEMA,
             max_files_per_trigger=a.max_files_per_trigger,
+            trigger=a.trigger,
+            source_format=a.source_format,
+            kafka_options=kafka_opts,
         )
         q.awaitTermination()
     elif a.cmd == "apply":
         cfg = DatasetConfig.load(a.config)
         chain = build_chain(cfg.transformers) if cfg.transformers else None
         tbl = bootstrap_table(spark, cfg, TRANSCRIPT_SCHEMA)
-        schema = spark.read.parquet(a.source).schema
         q = apply_changes(
-            spark, cfg, a.source, a.checkpoint, schema=schema,
+            spark, cfg, a.source, a.checkpoint,
             lineage_path=a.lineage, transformers=chain,
             max_files_per_trigger=a.max_files_per_trigger,
+            trigger=a.trigger,
         )
         q.awaitTermination()
         print(json.dumps({"version": tbl.current_version()}))

@@ -39,39 +39,124 @@ from dataingestion_spark.config import DatasetConfig
 from dataingestion_spark.lake import LakeTable
 from dataingestion_spark.streaming.lineage import LineageLog
 
+# The reference's trigger menu (SparkUtils.scala:151-156): named cadences
+# for long-running deployments plus the replay/backfill trigger.
+TRIGGERS = {
+    "fast": "30 seconds",
+    "normal": "1 minute",
+    "slow": "5 minutes",
+}
+
+
+def build_kafka_options(
+    kafka_servers: str,
+    topic: str,
+    starting_offsets: str = "earliest",
+    max_offsets_per_trigger: int | None = None,
+) -> dict[str, str]:
+    """Kafka source options, mirroring the reference's option builder
+    (/root/reference/spark/src/main/scala/com/example/core/SparkUtils.scala:95-108):
+    subscribe + offsets + failOnDataLoss=false + session/request timeouts,
+    extended with the rate limit the design doc calls for
+    (/root/reference/artifacts/lld/LLD.md:384)."""
+    opts = {
+        "kafka.bootstrap.servers": kafka_servers,
+        "subscribe": topic,
+        "startingOffsets": starting_offsets,
+        "failOnDataLoss": "false",
+        "kafka.session.timeout.ms": "30000",
+        "kafka.request.timeout.ms": "40000",
+    }
+    if max_offsets_per_trigger:
+        opts["maxOffsetsPerTrigger"] = str(max_offsets_per_trigger)
+    return opts
+
+
+def _with_trigger(writer, trigger: str | None, available_now: bool):
+    """Apply the trigger choice: a named cadence from TRIGGERS, an explicit
+    interval string ('45 seconds'), 'continuous', or the replay default
+    (availableNow when requested, else Spark's as-fast-as-possible
+    default). Mirrors SparkUtils.scala:151-156 + Phase1Job.scala:78."""
+    if trigger is not None:
+        if trigger == "continuous":
+            return writer.trigger(continuous="1 second")
+        return writer.trigger(processingTime=TRIGGERS.get(trigger, trigger))
+    if available_now:
+        return writer.trigger(availableNow=True)
+    return writer
+
 
 def stage_changes(
     spark: SparkSession,
     landing_dir: str,
     staged_dir: str,
     checkpoint_dir: str,
-    schema: T.StructType,
+    schema: T.StructType | None,
     max_files_per_trigger: int | None = None,
     available_now: bool = True,
+    trigger: str | None = None,
+    source_format: str = "parquet",
+    kafka_options: dict[str, str] | None = None,
 ) -> StreamingQuery:
-    """Phase-1: landing files -> staged change log with provenance.
+    """Phase-1: change source -> staged change log with provenance.
+
+    Source selection mirrors the reference's Phase-1
+    (/root/reference/spark/src/main/scala/com/example/Phase1Job.scala:51-53):
+
+      * ``parquet`` / ``json`` - tail a landing directory of change files
+        (the sandbox stand-in for the binlog topic). ``schema=None`` on a
+        json/parquet source infers the schema from the files already
+        landed (the reference's inference path, Phase2Job.scala:67-76).
+      * ``kafka`` - subscribe via build_kafka_options(); ``landing_dir``
+        is ignored and ``kafka_options`` must carry the subscription. The
+        sandbox has no broker, so this path is exercised as far as option
+        construction + plan building in unit tests; the file stand-in is
+        the tested end-to-end route.
 
     Rate limiting via maxFilesPerTrigger mirrors the reference's
     maxOffsetsPerTrigger (/root/reference/artifacts/lld/LLD.md:384)."""
-    reader = spark.readStream.schema(schema)
-    if max_files_per_trigger:
-        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    stream = reader.parquet(landing_dir)
-    staged = stream.withColumn(
-        "_meta",
-        F.struct(
-            F.input_file_name().alias("input_file"),
-            F.current_timestamp().alias("staged_at"),
-        ),
-    )
+    if source_format == "kafka":
+        if not kafka_options:
+            raise ValueError("kafka source requires kafka_options")
+        stream = spark.readStream.format("kafka").options(**kafka_options).load()
+        # the reference stages CAST(value AS STRING) + a _meta struct of
+        # source coordinates (Phase1Job.scala:60-64)
+        staged = stream.select(
+            F.col("value").cast("string").alias("json"),
+            F.struct(
+                F.col("topic"),
+                F.col("partition"),
+                F.col("offset"),
+                F.col("timestamp"),
+                F.col("key").cast("string").alias("key"),
+            ).alias("_meta"),
+        )
+    else:
+        if schema is None:
+            # infer once, driver-side, from the already-landed files -
+            # the streaming source itself requires an explicit schema
+            inferred = (
+                spark.read.format(source_format).load(landing_dir).schema
+            )
+            schema = inferred
+        reader = spark.readStream.schema(schema)
+        if max_files_per_trigger:
+            reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+        stream = reader.format(source_format).load(landing_dir)
+        staged = stream.withColumn(
+            "_meta",
+            F.struct(
+                F.input_file_name().alias("input_file"),
+                F.current_timestamp().alias("staged_at"),
+            ),
+        )
     writer = (
         staged.writeStream.format("parquet")
         .option("path", staged_dir)
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("append")
     )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
+    writer = _with_trigger(writer, trigger, available_now)
     return writer.start()
 
 
@@ -80,15 +165,21 @@ def apply_changes(
     config: DatasetConfig,
     source_dir: str,
     checkpoint_dir: str,
-    schema: T.StructType,
+    schema: T.StructType | None = None,
     lineage_path: str | None = None,
     transformers: list[Callable[[DataFrame], DataFrame]] | None = None,
     max_files_per_trigger: int | None = None,
     available_now: bool = True,
+    trigger: str | None = None,
 ) -> StreamingQuery:
     """Phase-2: staged change log -> exactly-once keyed MERGE into the lake.
 
-    The target LakeTable must exist (create it with bootstrap_table)."""
+    The target LakeTable must exist (create it with bootstrap_table).
+    ``schema=None`` infers the change schema from the staged files
+    (reference inference path, Phase2Job.scala:67-76); the per-batch schema
+    gate still classifies every micro-batch against the table. ``trigger``
+    selects a processing-time cadence (see TRIGGERS) for long-running
+    deployments; the default availableNow serves replay/backfill."""
     table = LakeTable(spark, config.table_path)
     lineage = LineageLog(spark, lineage_path) if lineage_path else None
     # Epoch ids are only meaningful relative to ONE checkpoint lineage -
@@ -133,6 +224,8 @@ def apply_changes(
                 status="SUCCESS" if snap is not None else "SKIPPED_DUPLICATE_EPOCH",
             )
 
+    if schema is None:
+        schema = spark.read.parquet(source_dir).schema
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
@@ -142,8 +235,7 @@ def apply_changes(
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("update")
     )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
+    writer = _with_trigger(writer, trigger, available_now)
     return writer.start()
 
 
