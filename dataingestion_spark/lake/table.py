@@ -62,7 +62,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from dataingestion_spark.operators.lww import lww_dedupe
-from dataingestion_spark.operators.salting import SALT_COL, detect_hot_keys, with_salt
+from dataingestion_spark.operators.salting import SALT_COL, with_salt
 from dataingestion_spark.schema.evolution import (
     ChangeType,
     SchemaEvolutionError,
@@ -133,6 +133,17 @@ def bucket_expr(key_col: str, num_buckets: int, key_type: T.DataType | None = No
 
 class LakeTable:
     """Handle to one lake table rooted at a directory."""
+
+    # Below this many change events per epoch, merge jobs run with AQE off
+    # and shuffle partitions pinned to the bucket count: AQE's per-stage
+    # shuffle materialization + re-planning adds several fixed-latency jobs
+    # per epoch, which dominates micro-batch apply (measured ~1.6x on 250k
+    # event epochs at local[32]) while buying nothing - skew is already
+    # handled by explicit salting, and a small batch cannot produce the
+    # oversized partitions AQE exists to split. Large epochs keep the
+    # session's AQE/partition settings: there the materialization cost
+    # amortizes and runtime coalesce/skew-split earn their keep.
+    SMALL_EPOCH_EVENTS = 20_000_000
 
     def __init__(self, spark: SparkSession, root: str | Path):
         self.spark = spark
@@ -554,6 +565,8 @@ class LakeTable:
         salt_buckets: int = 8,
         lineage: dict | None = None,
         write_mode: str = "cow",
+        collect_file_stats: bool = False,
+        file_col: str = "source_file",
     ) -> Snapshot | None:
         """Apply a batch of keyed INSERT/UPDATE/DELETE change events.
 
@@ -608,6 +621,63 @@ class LakeTable:
         order_fields = snap.order_fields
         lsn_src = order_fields[0]
 
+        # Small-epoch tuning (see SMALL_EPOCH_EVENTS): start in the tuned
+        # regime - the pre-scan is always a tiny collect - and restore the
+        # session settings for the write once the pre-scan proves the epoch
+        # is large.
+        conf = self.spark.conf
+        sess_aqe = conf.get("spark.sql.adaptive.enabled", "true")
+        sess_sp = conf.get("spark.sql.shuffle.partitions", "200")
+        tuned = False
+
+        def _tune_small():
+            nonlocal tuned
+            conf.set("spark.sql.adaptive.enabled", "false")
+            conf.set(
+                "spark.sql.shuffle.partitions",
+                str(min(int(sess_sp), max(snap.num_buckets, 16))),
+            )
+            tuned = True
+
+        def _restore():
+            nonlocal tuned
+            if tuned:
+                conf.set("spark.sql.adaptive.enabled", sess_aqe)
+                conf.set("spark.sql.shuffle.partitions", sess_sp)
+                tuned = False
+
+        _tune_small()
+        try:
+            return self._merge_impl(
+                changes, snap, pk, order_fields, lsn_src, pipeline_id,
+                epoch_id, op_col, fail_on_breaking, hot_key_threshold,
+                salt_buckets, lineage, write_mode, collect_file_stats,
+                file_col, _tick, _restore,
+            )
+        finally:
+            _restore()
+
+    def _merge_impl(
+        self,
+        changes: DataFrame,
+        snap: Snapshot,
+        pk: list[str],
+        order_fields: list[str],
+        lsn_src: str,
+        pipeline_id: str | None,
+        epoch_id: int | None,
+        op_col: str,
+        fail_on_breaking: bool,
+        hot_key_threshold: float,
+        salt_buckets: int,
+        lineage: dict | None,
+        write_mode: str,
+        collect_file_stats: bool,
+        file_col: str,
+        _tick,
+        _restore,
+    ) -> Snapshot | None:
+
         # Payload schema of the batch = everything except op/ordering/source
         # metadata (ts is both ordering tiebreak and payload - kept) and
         # underscore-prefixed system/provenance columns (e.g. the staged
@@ -627,62 +697,96 @@ class LakeTable:
         )
 
         _tick("plan+schema gate")
-        # (4) touched-bucket pruning from ONE cheap pre-scan of the raw
-        # batch: winner keys come from batch rows and every row of a key
-        # lands in that key's bucket, so raw per-bucket counts give exactly
-        # the touched set (and upper-bound any key's event count). A
-        # map-side-combining <=num_buckets-row aggregate - far lighter than
-        # materializing the LWW winners, which instead runs fused inside
-        # the single write job below.
+        # (4) touched-bucket pruning + hot-key detection from ONE shuffle:
+        # group the raw batch by (bucket, key). The map side combines to at
+        # most one row per (partition, key), the reduce side holds one row
+        # per distinct key - O(keys), never O(events). From it:
+        #   job 1: per-bucket totals + the max per-key count  ->  touched
+        #          set, batch size, and an EXACT hotness gate;
+        #   job 2 (only when the gate fires): the hot keys themselves -
+        #          reuses job 1's shuffle files, no second batch scan.
+        # The batch is deliberately NOT cached: each auxiliary job reads a
+        # column-pruned slice straight from the staged parquet (cheaper than
+        # materializing the full batch into executor storage), and the
+        # write job below makes exactly one full-width pass.
         # The pre-scan hashes the pk CAST TO THE RESOLVED TABLE TYPE so it
         # agrees with the conformed winners' bucket assignment even across a
         # pk type widening (xxhash64(int) != xxhash64(long) for equal values).
+        per_key = changes.groupBy(
+            bucket_expr(
+                pk[0], snap.num_buckets, key_type=schema[pk[0]].dataType
+            ).alias(BUCKET_COL),
+            F.col(pk[0]).alias("_k"),
+        ).agg(F.count(F.lit(1)).alias("_n"))
         raw_stats = (
-            changes.groupBy(
-                bucket_expr(
-                    pk[0], snap.num_buckets, key_type=schema[pk[0]].dataType
-                ).alias(BUCKET_COL)
-            )
-            .agg(F.count(F.lit(1)).alias("_n"))
+            per_key.groupBy(BUCKET_COL)
+            .agg(F.sum("_n").alias("_n"), F.max("_n").alias("_max_k"))
             .collect()
         )
         touched = sorted(int(r[BUCKET_COL]) for r in raw_stats)
         batch_events = sum(r["_n"] for r in raw_stats)
-        _tick("raw bucket pre-scan")
+        _tick("bucket/key pre-scan")
+        if batch_events >= self.SMALL_EPOCH_EVENTS:
+            _restore()  # large epoch: AQE coalesce/skew-split pay for themselves
 
-        # (3) one winner per key - the only shuffle of the source side; the
-        # applied-winner count comes out of the write job via the
-        # Observation API (no extra action, no cache materialization).
-        obs = Observation(f"merge_applied_{uuid.uuid4().hex[:8]}")
-        winners = lww_dedupe(changes, pk, order_fields, strategy="agg")
-        winners = (
-            winners.withColumn(DELETED_COL, F.col(op_col) == F.lit("DELETE"))
-            .withColumn(LSN_COL, F.col(lsn_src).cast("long"))
-        )
-        winners = self._conform(winners, schema).withColumn(
-            BUCKET_COL, bucket_expr(pk[0], snap.num_buckets)
-        )
-        winners = winners.observe(obs, F.count(F.lit(1)).alias("applied"))
-
-        # Hotness is judged on incoming event volume (what actually skews
-        # the shuffle); bucket counts upper-bound per-key counts, so the
-        # per-key detection job is skipped when no bucket reaches the
-        # threshold.
         hot: list[str] = []
         if batch_events > 0 and any(
-            r["_n"] >= hot_key_threshold * batch_events for r in raw_stats
+            r["_max_k"] >= hot_key_threshold * batch_events for r in raw_stats
         ):
-            hot = detect_hot_keys(
-                changes, key=pk[0], threshold=hot_key_threshold, total=batch_events
-            )
+            hot = [
+                r["_k"]
+                for r in per_key.filter(
+                    F.col("_n") >= hot_key_threshold * batch_events
+                )
+                .select("_k")
+                .collect()
+            ]
         _tick("hot-key detect")
 
+        file_stats: list[dict] | None = None
+        if collect_file_stats and file_col in changes.columns:
+            # a <= files-per-epoch-row aggregate over the PINNED batch - the
+            # caller's lineage log consumes this instead of rescanning
+            file_stats = [
+                {
+                    "source_file": r["_f"],
+                    "min_lsn": r["_min_lsn"],
+                    "max_lsn": r["_max_lsn"],
+                    "event_count": r["_n"],
+                }
+                for r in changes.groupBy(F.col(file_col).alias("_f"))
+                .agg(
+                    F.min(F.col(lsn_src)).alias("_min_lsn"),
+                    F.max(F.col(lsn_src)).alias("_max_lsn"),
+                    F.count(F.lit(1)).alias("_n"),
+                )
+                .collect()
+            ]
+            _tick("file lineage stats")
+
+        # (3) the conformed source relation: op -> tombstone flag, lsn
+        # column, cast to the (possibly evolved) table schema, bucketed.
+        src = (
+            changes.withColumn(DELETED_COL, F.col(op_col) == F.lit("DELETE"))
+            .withColumn(LSN_COL, F.col(lsn_src).cast("long"))
+        )
+        src = self._conform(src, schema).withColumn(
+            BUCKET_COL, bucket_expr(pk[0], snap.num_buckets)
+        )
+        obs = Observation(f"merge_applied_{uuid.uuid4().hex[:8]}")
+
         if write_mode == "mor":
-            # (5'/6') append winners as delta files - no table read, no
-            # join; O(batch) write amplification. Rows are stamped with the
-            # committing snapshot version so read-time LWW resolves
-            # equal-lsn rows across delta commits deterministically
-            # (newest commit wins, matching the COW tie rule).
+            # (5'/6') in-batch LWW winners appended as delta files - no
+            # table read, no join; O(batch) write amplification. Rows are
+            # stamped with the committing snapshot version so read-time LWW
+            # resolves equal-lsn rows across delta commits
+            # deterministically (newest commit wins, matching the COW tie
+            # rule). The winner count comes out of the write job via the
+            # Observation API (no extra action).
+            winners = lww_dedupe(
+                src, pk, [LSN_COL] + list(order_fields[1:]), strategy="agg"
+            )
+            winners = winners.observe(obs, F.count(F.lit(1)).alias("applied"))
             salted = with_salt(
                 winners.withColumn(
                     DELTA_SEQ_COL, F.lit(snap.version + 1).cast("long")
@@ -711,63 +815,49 @@ class LakeTable:
                     "touched_buckets": [int(b) for b in touched],
                     "hot_keys": hot,
                     "evolution": evo,
+                    "file_stats": file_stats,
                     **(lineage or {}),
                 },
                 deltas=deltas,
             )
 
-        # COW path: join against the RESOLVED current state (base + any
-        # outstanding deltas of the touched buckets, which this rewrite
-        # folds in and clears).
+        # (5) COW path: ONE map-side-combining LWW aggregate over
+        # (batch ∪ resolved current rows of touched buckets) replaces the
+        # former dedup-then-full-outer-join pair - the in-batch dedup, the
+        # batch-vs-table probe and the lsn guard all collapse into a single
+        # max_by ordered by (lsn, source-over-table, ts):
+        #   * equal-lsn ties go to the batch row (_pref=1), the exact
+        #     "s.lsn >= t._lsn" rule of a guarded MERGE;
+        #   * duplicate deliveries inside the batch collapse map-side
+        #     before the exchange (identical payloads, order is total);
+        #   * a DELETE winner IS the tombstone row, nothing to translate.
+        # Shuffle volume: batch + touched-bucket rows, once - strictly less
+        # than the old plan, which shuffled the batch twice (dedup + join).
         current = self._resolved(snap, touched, schema=schema)
-
-        schema_cols = [f.name for f in schema.fields]
-        payload_cols = [c for c in schema_cols if c not in pk]
-
-        s = winners.select(
-            *pk,
-            *[F.col(c).alias(f"_s_{c}") for c in payload_cols],
-            F.col(LSN_COL).alias("_s_lsn"),
-            F.col(DELETED_COL).alias("_s_deleted"),
-            F.col(BUCKET_COL).alias("_s_bucket"),
+        union = src.withColumn("_pref", F.lit(1)).unionByName(
+            current.withColumn("_pref", F.lit(0))
         )
-        t = current.select(
-            *pk,
-            *[F.col(c).alias(f"_t_{c}") for c in payload_cols],
-            F.col(LSN_COL).alias("_t_lsn"),
-            F.col(DELETED_COL).alias("_t_deleted"),
-            F.col(BUCKET_COL).alias("_t_bucket"),
+        union = union.withColumn(
+            "_lsn_ord", F.coalesce(F.col(LSN_COL), F.lit(-1))
         )
-
-        # (5) single key-equi full-outer join over touched buckets.
-        joined = s.join(t, on=pk, how="full_outer")
-        source_wins = F.col("_s_lsn").isNotNull() & (
-            F.col("_t_lsn").isNull() | (F.col("_s_lsn") >= F.col("_t_lsn"))
+        merged = lww_dedupe(
+            union,
+            pk,
+            ["_lsn_ord", "_pref"] + list(order_fields[1:]),
+            tiebreak_fields=[],
         )
-        merged = joined.select(
-            *pk,
-            *[
-                F.when(source_wins, F.col(f"_s_{c}"))
-                .otherwise(F.col(f"_t_{c}"))
-                .alias(c)
-                for c in payload_cols
-            ],
-            F.when(source_wins, F.col("_s_lsn"))
-            .otherwise(F.col("_t_lsn"))
-            .alias(LSN_COL),
-            F.when(source_wins, F.col("_s_deleted"))
-            .otherwise(F.coalesce(F.col("_t_deleted"), F.lit(False)))
-            .alias(DELETED_COL),
-            F.coalesce(F.col("_s_bucket"), F.col("_t_bucket")).alias(BUCKET_COL),
-        )
+        # applied = keys whose winner came from THIS batch, observed inside
+        # the write job (no extra action).
+        merged = merged.observe(obs, F.sum("_pref").alias("applied"))
+        merged = merged.drop("_pref", "_lsn_ord")
 
         # (6) salted rewrite of touched buckets; outstanding deltas of
-        # those buckets are folded in (the join read them) and cleared.
+        # those buckets are folded in (the union read them) and cleared.
         salted = with_salt(merged, hot, salt_buckets, key=pk[0], sub_key=pk[1] if len(pk) > 1 else pk[0])
         target_parts = max(len(touched), 1) * (salt_buckets if hot else 1)
         new_files = self._write_data_files(salted, target_partitions=target_parts)
-        applied = int(obs.get["applied"]) if touched else 0
-        _tick("LWW + join + rewrite")
+        applied = int(obs.get["applied"] or 0) if touched else 0
+        _tick("LWW-union + rewrite")
 
         # Safety net behind the typed pre-scan: a written bucket outside the
         # touched set means its current rows were NOT joined - committing it
@@ -796,6 +886,7 @@ class LakeTable:
                 "touched_buckets": [int(b) for b in touched],
                 "hot_keys": hot,
                 "evolution": evo,
+                "file_stats": file_stats,
                 **(lineage or {}),
             },
             deltas=deltas,

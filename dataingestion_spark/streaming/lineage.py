@@ -59,41 +59,51 @@ class LineageLog:
         status: str = "SUCCESS",
         lsn_col: str = "lsn",
         file_col: str = "source_file",
+        file_stats: list[dict] | None = None,
     ) -> None:
-        """Write lineage rows for one epoch. ``batch`` supplies per-source
-        offset ranges (tiny aggregate: one row per source file)."""
+        """Write lineage rows for one epoch. Per-source offset ranges come
+        from ``file_stats`` when the merge already computed them from its
+        pinned batch (LakeTable.merge(collect_file_stats=True) - saves a
+        rescan of the batch), else from a tiny aggregate over ``batch``
+        (one row per source file)."""
         now = time.time()
         rows: list[dict] = []
         total = 0
-        if batch is not None and file_col in batch.columns:
-            per_file = (
-                batch.groupBy(file_col)
+        if file_stats is None and batch is not None and file_col in batch.columns:
+            file_stats = [
+                {
+                    "source_file": r[file_col],
+                    "min_lsn": r["min_lsn"],
+                    "max_lsn": r["max_lsn"],
+                    "event_count": r["event_count"],
+                }
+                for r in batch.groupBy(file_col)
                 .agg(
                     F.min(lsn_col).alias("min_lsn"),
                     F.max(lsn_col).alias("max_lsn"),
                     F.count(F.lit(1)).alias("event_count"),
                 )
                 .collect()
+            ]
+        for r in file_stats or []:
+            total += r["event_count"]
+            rows.append(
+                {
+                    "pipeline_id": pipeline_id,
+                    "epoch_id": epoch_id,
+                    "kind": "FILE",
+                    "source_file": r["source_file"],
+                    "min_lsn": r["min_lsn"],
+                    "max_lsn": r["max_lsn"],
+                    "event_count": r["event_count"],
+                    "applied_events": None,
+                    "snapshot_version": snapshot_version,
+                    "duration_ms": None,
+                    "throughput_rps": None,
+                    "status": status,
+                    "committed_at": now,
+                }
             )
-            for r in per_file:
-                total += r["event_count"]
-                rows.append(
-                    {
-                        "pipeline_id": pipeline_id,
-                        "epoch_id": epoch_id,
-                        "kind": "FILE",
-                        "source_file": r[file_col],
-                        "min_lsn": r["min_lsn"],
-                        "max_lsn": r["max_lsn"],
-                        "event_count": r["event_count"],
-                        "applied_events": None,
-                        "snapshot_version": snapshot_version,
-                        "duration_ms": None,
-                        "throughput_rps": None,
-                        "status": status,
-                        "committed_at": now,
-                    }
-                )
         throughput = (total / (duration_ms / 1000.0)) if duration_ms > 0 else None
         rows.append(
             {

@@ -204,6 +204,9 @@ def apply_changes(
                 hot_key_threshold=config.hot_key_threshold,
                 salt_buckets=config.salt_buckets,
                 write_mode=getattr(config, "write_mode", "cow"),
+                # the merge computes per-file offset ranges from its pinned
+                # batch so the lineage log below never rescans the source
+                collect_file_stats=lineage is not None,
             )
         else:
             snap = table.append(
@@ -222,6 +225,7 @@ def apply_changes(
                 snapshot_version=(snap.version if snap else None),
                 duration_ms=duration_ms,
                 status="SUCCESS" if snap is not None else "SKIPPED_DUPLICATE_EPOCH",
+                file_stats=(snap.summary.get("file_stats") if snap else None),
             )
 
     if schema is None:
