@@ -479,6 +479,8 @@ def q_transcript_cdc_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash (32-bit, word 2-gram shingles): md5-nibble bit votes are
+    pure integer arithmetic, reproduced exactly by the DuckDB oracle."""
     docs = _read(spark, sf_dir, "documents")
     return simhash(docs, bits=32, n=2).select("doc_id", "simhash")
 
@@ -538,6 +540,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 _TOKS = r"regexp_split_to_array(trim(lower(text)), '\s+')"
+
+
+def _simhash_sql(bits: int = 32) -> str:
+    """DuckDB replica of operators/dedup.py simhash (bits=32, n=2): bit b
+    of md5(shingle) is bit (b%4) of hex nibble floor(b/4); the fingerprint
+    bit is 1 iff the +1/-1 vote sum over the doc's shingles is positive."""
+    def nib(b):
+        return (
+            f"(strpos('0123456789abcdef', substring(md5(shingle), {b // 4 + 1}, 1)) - 1)"
+        )
+
+    votes = ", ".join(
+        f"sum(CASE WHEN ({nib(b)} // {2 ** (b % 4)}) % 2 = 1 THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(bits)
+    )
+    fp = " + ".join(f"CASE WHEN s{b} > 0 THEN {2 ** b} ELSE 0 END" for b in range(bits))
+    return f"""
+      t AS (
+        SELECT doc_id,
+               CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                    ELSE {_TOKS} END AS toks
+        FROM documents WHERE text IS NOT NULL
+      ),
+      sh2 AS (
+        SELECT DISTINCT doc_id, shingle
+        FROM (
+          SELECT doc_id,
+                 unnest(CASE WHEN len(toks) < 2 THEN []::VARCHAR[]
+                        ELSE [array_to_string(toks[i:i+1], ' ')
+                              for i in range(1, len(toks))] END) AS shingle
+          FROM t
+        )
+      ),
+      votes AS (
+        SELECT doc_id, {votes}
+        FROM sh2 GROUP BY doc_id
+      )
+      SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM votes
+    """
 
 
 def _lang_ratio(lang: str) -> str:
@@ -944,6 +985,7 @@ def oracle_sql() -> dict[str, str]:
                    vec_id AS neighbor_id, score
             FROM ranked WHERE rank <= 5
         """,
+        "simhash_fingerprints": f"WITH {_simhash_sql(32)}",
         "embedding_near_dup": """
             WITH e AS (
               SELECT vec_id, embedding::DOUBLE[] AS v,

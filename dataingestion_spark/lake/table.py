@@ -93,7 +93,13 @@ class Snapshot:
     num_buckets: int
     pk_fields: list[str]
     order_fields: list[str]
-    files: dict[str, list[str]]  # bucket (as str) -> table-relative file paths
+    # bucket (as str) -> table-relative file paths. In-memory view; on disk
+    # each bucket's lists live in a per-bucket MANIFEST file referenced by
+    # manifest_refs, so a commit touching k of N buckets writes k manifest
+    # files and the snapshot json - never a full file-list rewrite
+    # (Iceberg's manifest-list model; at 100 TB the untouched buckets'
+    # metadata is shared structurally across snapshots).
+    files: dict[str, list[str]] = field(default_factory=dict)
     properties: dict = field(default_factory=dict)
     operation: str = "create"
     summary: dict = field(default_factory=dict)
@@ -102,13 +108,20 @@ class Snapshot:
     # override base rows by LWW on (_lsn, ts) at read time; compact() folds
     # them into the base. Empty for pure copy-on-write tables.
     deltas: dict[str, list[str]] = field(default_factory=dict)
+    # bucket (as str) -> table-relative manifest path (persisted form)
+    manifest_refs: dict[str, str] = field(default_factory=dict)
 
     @property
     def schema(self) -> T.StructType:
         return T.StructType.fromJson(self.schema_json)
 
     def to_json(self) -> str:
-        return json.dumps(self.__dict__, indent=1, sort_keys=True)
+        """Persisted form: per-bucket lists are externalized to manifest
+        files (manifest_refs), keeping the snapshot json O(buckets)."""
+        d = dict(self.__dict__)
+        d.pop("files")
+        d.pop("deltas")
+        return json.dumps(d, indent=1, sort_keys=True)
 
     @classmethod
     def from_json(cls, text: str) -> "Snapshot":
@@ -148,6 +161,9 @@ class LakeTable:
     def __init__(self, spark: SparkSession, root: str | Path):
         self.spark = spark
         self.root = Path(root)
+        # snapshots are immutable once committed - cache internalized
+        # (manifest-resolved) snapshots per version for this handle
+        self._snap_cache: dict[int, Snapshot] = {}
 
     # ------------------------------------------------------------------
     # metadata plumbing
@@ -170,20 +186,66 @@ class LakeTable:
 
     def snapshot(self, version: int | None = None) -> Snapshot:
         v = self.current_version() if version is None else version
-        return Snapshot.from_json(self._snapshot_path(v).read_text())
+        if v in self._snap_cache:
+            return self._snap_cache[v]
+        d = json.loads(self._snapshot_path(v).read_text())
+        # legacy inline form carried files/deltas in the snapshot json
+        inline_files = d.pop("files", None)
+        inline_deltas = d.pop("deltas", None)
+        snap = Snapshot(**d)
+        if snap.manifest_refs:
+            for b, ref in snap.manifest_refs.items():
+                m = json.loads((self.root / ref).read_text())
+                if m.get("files"):
+                    snap.files[b] = m["files"]
+                if m.get("deltas"):
+                    snap.deltas[b] = m["deltas"]
+        else:
+            snap.files = inline_files or {}
+            snap.deltas = inline_deltas or {}
+        self._snap_cache[v] = snap
+        return snap
 
     def history(self) -> list[Snapshot]:
         return [
-            Snapshot.from_json(p.read_text())
+            self.snapshot(int(p.stem[1:]))
             for p in sorted(self._snap_dir.glob("v*.json"))
         ]
 
-    def _commit(self, snap: Snapshot) -> Snapshot:
-        """Atomically publish a snapshot: O_EXCL create of the next version
-        file. Losers of a concurrent race raise CommitConflictError with no
-        partial state (data files of a failed commit are simply
+    @property
+    def _manifest_dir(self) -> Path:
+        return self.root / "_meta" / "manifests"
+
+    def _commit(self, snap: Snapshot, parent: Snapshot | None = None) -> Snapshot:
+        """Atomically publish a snapshot: write per-bucket manifest files
+        for CHANGED buckets only (unchanged buckets structurally share the
+        parent's manifest), then O_EXCL create the next version file.
+        Losers of a concurrent race raise CommitConflictError with no
+        partial state (data/manifest files of a failed commit are simply
         unreferenced - removable by maintenance)."""
         self._snap_dir.mkdir(parents=True, exist_ok=True)
+        self._manifest_dir.mkdir(parents=True, exist_ok=True)
+        refs: dict[str, str] = {}
+        parent_files = parent.files if parent else {}
+        parent_deltas = parent.deltas if parent else {}
+        parent_refs = parent.manifest_refs if parent else {}
+        commit_tag = uuid.uuid4().hex[:12]
+        for b in sorted(set(snap.files) | set(snap.deltas), key=int):
+            files = snap.files.get(b, [])
+            deltas = snap.deltas.get(b, [])
+            if not files and not deltas:
+                continue
+            if (
+                b in parent_refs
+                and parent_files.get(b, []) == files
+                and parent_deltas.get(b, []) == deltas
+            ):
+                refs[b] = parent_refs[b]  # unchanged bucket: share manifest
+                continue
+            mpath = self._manifest_dir / f"m-{commit_tag}-{b}.json"
+            mpath.write_text(json.dumps({"files": files, "deltas": deltas}))
+            refs[b] = str(mpath.relative_to(self.root))
+        snap.manifest_refs = refs
         snap.committed_at = time.time()
         path = self._snapshot_path(snap.version)
         try:
@@ -194,6 +256,7 @@ class LakeTable:
             ) from e
         with os.fdopen(fd, "w") as f:
             f.write(snap.to_json())
+        self._snap_cache[snap.version] = snap
         return snap
 
     # ------------------------------------------------------------------
@@ -549,7 +612,7 @@ class LakeTable:
                 else {k: list(v) for k, v in parent.deltas.items()}
             ),
         )
-        return self._commit(snap)
+        return self._commit(snap, parent=parent)
 
     # ------------------------------------------------------------------
     # MERGE - the heart of the engine

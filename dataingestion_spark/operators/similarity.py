@@ -80,16 +80,20 @@ def brute_force_topk(
     )
 
 
-def sign_bucket_expr(vec_col: str, n_planes: int = 8) -> Column:
-    """Coordinate-difference sign sketch: bit i = 1 iff v[i] > v[i + n].
-    A fixed, data-independent family of separating hyperplanes (x_i - x_j)
-    - deterministic and expressible in any SQL engine."""
+def sign_bucket_expr(vec_col: str, n_planes: int = 8, offset: int = 0) -> Column:
+    """Coordinate-difference sign sketch: bit i = 1 iff
+    v[offset + i] > v[offset + i + n]. A fixed, data-independent family of
+    separating hyperplanes (x_i - x_j) - deterministic and expressible in
+    any SQL engine. ``offset`` selects a disjoint-start plane family so a
+    second-level refinement hash is independent of the first."""
     return F.aggregate(
         F.transform(
             F.sequence(F.lit(0), F.lit(n_planes - 1)),
             lambda i: F.when(
-                F.element_at(_as_double(vec_col), (i + 1).cast("int"))
-                > F.element_at(_as_double(vec_col), (i + 1 + n_planes).cast("int")),
+                F.element_at(_as_double(vec_col), (i + 1 + offset).cast("int"))
+                > F.element_at(
+                    _as_double(vec_col), (i + 1 + offset + n_planes).cast("int")
+                ),
                 F.pow(F.lit(2.0), i.cast("double")).cast("int"),
             ).otherwise(F.lit(0)),
         ),
@@ -255,24 +259,65 @@ def ivf_topk(
 def embedding_near_duplicates(
     corpus: DataFrame,
     threshold: float = 0.95,
-    n_planes: int = 6,
+    n_planes: int | None = 6,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    target_bucket_rows: int = 1024,
+    refine_planes: int = 6,
 ) -> DataFrame:
-    """Embedding-cosine near-dup pairs (a < b) within sign buckets."""
+    """Embedding-cosine near-dup pairs (a < b) within sign buckets.
+
+    Scale safety - the within-bucket self-join is O(Σ bucket²), so bucket
+    width must not grow with the corpus:
+
+      * ``n_planes=None`` sizes the bucket space from the corpus itself:
+        2^n_planes ≈ corpus / target_bucket_rows (clamped to what the
+        vector dimension supports), so expected bucket width stays
+        ~target_bucket_rows at any corpus size.
+      * a per-bucket width GUARD then splits every bucket that still
+        exceeds ``target_bucket_rows`` (skew: dense regions of embedding
+        space) with a second, independent plane family - bounded recall
+        trade documented here: a true pair straddling a refinement split
+        is missed, but only inside buckets that were overfull, and the
+        alternative is a quadratic straggler task.
+
+    The bucket-size pre-scan is one ≤2^n_planes-row aggregate, broadcast
+    back - never a driver-side width."""
+    dim_row = corpus.select(F.size(_as_double(vec_col))).first()
+    dim = (dim_row[0] or 0) if dim_row else 0
+    if n_planes is None:
+        import math
+
+        n = corpus.count()
+        wanted = max(2, math.ceil(math.log2(max(n / target_bucket_rows, 2))))
+        n_planes = min(wanted, dim // 2 if dim else wanted)
     c = corpus.select(
         F.col(id_col),
         _as_double(vec_col).alias("_v"),
         sign_bucket_expr(vec_col, n_planes).alias("_bucket"),
     )
+    sub_planes = min(refine_planes, max((dim - n_planes) // 2, 0))
+    if sub_planes > 0:
+        sizes = c.groupBy("_bucket").agg(F.count(F.lit(1)).alias("_bw"))
+        c = c.join(F.broadcast(sizes), "_bucket")
+        c = c.withColumn(
+            "_sub",
+            F.when(
+                F.col("_bw") > target_bucket_rows,
+                sign_bucket_expr("_v", sub_planes, offset=n_planes),
+            ).otherwise(F.lit(0)),
+        ).drop("_bw")
+    else:
+        c = c.withColumn("_sub", F.lit(0))
+    join_keys = ["_bucket", "_sub"]
     a = c.select(
-        F.col(id_col).alias("id_a"), F.col("_v").alias("_va"), "_bucket"
+        F.col(id_col).alias("id_a"), F.col("_v").alias("_va"), *join_keys
     )
     b = c.select(
-        F.col(id_col).alias("id_b"), F.col("_v").alias("_vb"), "_bucket"
+        F.col(id_col).alias("id_b"), F.col("_v").alias("_vb"), *join_keys
     )
     return (
-        a.join(b, "_bucket")
+        a.join(b, join_keys)
         .filter(F.col("id_a") < F.col("id_b"))
         .select(
             "id_a",

@@ -126,3 +126,42 @@ def test_append_rows_keep_null_lsn_on_mor_table(spark, tmp_path):
     sys_read = tbl.read(include_system=True).orderBy("item_id").toPandas()
     assert sys_read.loc[sys_read["item_id"] == 1, "_lsn"].isna().all()
     assert (sys_read.loc[sys_read["item_id"] == 2, "_lsn"] == 5).all()
+
+
+def test_per_bucket_manifests_shared_across_commits(spark, tmp_path):
+    """A merge touching one bucket writes ONE new manifest file; untouched
+    buckets' manifest refs are structurally shared with the parent
+    snapshot, and time travel still resolves old manifests."""
+    tbl = LakeTable.create(
+        spark, tmp_path / "t", INT_PK_SCHEMA,
+        pk_fields=["item_id"], order_fields=["lsn", "ts"], num_buckets=16,
+    )
+    wide = _change_df(
+        spark,
+        [("INSERT", i, f"v1-{i}", "2024-01-01 00:00:00", i) for i in range(256)],
+    )
+    tbl.merge(wide, pipeline_id="p", epoch_id=0)
+    v2 = tbl.snapshot()
+    assert len(v2.manifest_refs) > 1
+
+    # one-key epoch -> exactly one bucket touched
+    one = _change_df(
+        spark, [("UPDATE", 7, "v2-7", "2024-01-01 01:00:00", 1000)]
+    )
+    snap3 = tbl.merge(one, pipeline_id="p", epoch_id=1)
+    assert len(snap3.summary["touched_buckets"]) == 1
+    v3 = tbl.snapshot()
+    changed = {
+        b for b in v3.manifest_refs
+        if v2.manifest_refs.get(b) != v3.manifest_refs[b]
+    }
+    assert len(changed) == 1, f"expected 1 rewritten manifest, got {changed}"
+    shared = set(v2.manifest_refs) - changed
+    assert all(v2.manifest_refs[b] == v3.manifest_refs[b] for b in shared)
+
+    # time travel reads the OLD manifest set
+    old = LakeTable(spark, tmp_path / "t").read(version=v2.version).toPandas()
+    assert set(old.loc[old["item_id"] == 7, "payload"]) == {"v1-7"}
+    new = tbl.read().toPandas()
+    assert set(new.loc[new["item_id"] == 7, "payload"]) == {"v2-7"}
+    assert len(new) == 256

@@ -113,3 +113,76 @@ def test_embedding_near_duplicates_finds_planted_pair(spark):
     df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
     pairs = embedding_near_duplicates(df, threshold=0.99, n_planes=4).toPandas()
     assert [(r.id_a, r.id_b) for r in pairs.itertuples(index=False)] == [(0, 1)]
+
+
+def test_embedding_near_dup_auto_planes_scale_with_corpus(spark):
+    """n_planes=None sizes the bucket space from the corpus: bigger corpus
+    -> more planes -> bounded expected bucket width."""
+    import pyspark.sql.functions as F
+
+    def mk(n):
+        return spark.range(n).select(
+            F.col("id").alias("vec_id"),
+            F.transform(
+                F.sequence(F.lit(1), F.lit(16)),
+                lambda i: F.sin((F.col("id") + 1) * i.cast("double")),
+            ).alias("embedding"),
+        )
+
+    # operator still runs and respects the dimension cap (16 dims -> <=8 planes)
+    out = embedding_near_duplicates(
+        mk(512), threshold=0.999, n_planes=None, target_bucket_rows=4
+    )
+    out.count()  # executes; auto planes = min(ceil(log2(512/4)) = 7, 8)
+
+
+def test_embedding_near_dup_width_guard_splits_hot_bucket(spark):
+    """A skewed corpus that collapses into ONE level-1 sign bucket must be
+    re-split by the width guard's second plane family so no join bucket
+    exceeds the target width (no quadratic straggler)."""
+    import pyspark.sql.functions as F
+    from dataingestion_spark.operators.similarity import sign_bucket_expr
+
+    n, n_planes, target = 400, 4, 50
+    # coords 1..8 fixed (all rows share the level-1 bucket for 4 planes);
+    # coords 9..16 vary per row so the offset-4 refinement family splits
+    corpus = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.concat(
+            F.array(*[F.lit(float(9 - i)) for i in range(8)]),
+            F.transform(
+                F.sequence(F.lit(1), F.lit(8)),
+                lambda i: F.sin((F.col("id") + 1) * i.cast("double")),
+            ),
+        ).alias("embedding"),
+    )
+    lvl1 = corpus.select(
+        sign_bucket_expr("embedding", n_planes).alias("b")
+    ).distinct()
+    assert lvl1.count() == 1, "fixture must collapse to one hot bucket"
+
+    # mirror the operator's final join key and assert bounded width
+    sub_planes = min(6, (16 - n_planes) // 2)
+    keyed = corpus.select(
+        sign_bucket_expr("embedding", n_planes).alias("b"),
+        sign_bucket_expr("embedding", sub_planes, offset=n_planes).alias("s"),
+    )
+    widths = keyed.groupBy("b", "s").count().toPandas()["count"]
+    assert widths.max() < n, "refinement must split the hot bucket"
+
+    # the operator itself runs the guarded join and still finds true pairs
+    # within a sub-bucket (identical rows planted)
+    planted = spark.createDataFrame(
+        [(10_000, [1.0] * 16), (10_001, [1.0] * 16)],
+        "vec_id long, embedding array<double>",
+    )
+    out = embedding_near_duplicates(
+        corpus.unionByName(planted),
+        threshold=0.999,
+        n_planes=n_planes,
+        target_bucket_rows=target,
+        refine_planes=6,
+    ).toPandas()
+    assert (10_000, 10_001) in {
+        (r.id_a, r.id_b) for r in out.itertuples(index=False)
+    }
