@@ -149,12 +149,14 @@ def main() -> int:
     trials = int(sys.argv[2]) if len(sys.argv) > 2 else 3
     p416_mor = bench_pair(4, 16, events, trials, write_mode="mor")
     p416 = bench_pair(4, 16, events, trials, write_mode="cow")
+    p832_mor = bench_pair(8, 32, events, trials, write_mode="mor")
     p832 = bench_pair(8, 32, events, trials, write_mode="cow")
     c416 = cpu_ceiling(4, 16)
     c832 = cpu_ceiling(8, 32)
     attach_ceiling(p416, c416)
     attach_ceiling(p416_mor, c416)
     attach_ceiling(p832, c832)
+    attach_ceiling(p832_mor, c832)
 
     def row(p, label):
         return (
@@ -204,11 +206,13 @@ background compaction - O(batch) write amplification per epoch.
 |---|---|---|---|---|---|---|
 {row(p416_mor, '4 -> 16, mor')}
 {row(p416, '4 -> 16, cow')}
+{row(p832_mor, '8 -> 32, mor')}
 {row(p832, '8 -> 32, cow')}
 
 North-rule target: efficiency >= 0.8 at N->4N executors. Normalized
 efficiency: **{p416_mor['efficiency_normalized']:.3f}** (4->16 mor),
 **{p416['efficiency_normalized']:.3f}** (4->16 cow),
+**{p832_mor['efficiency_normalized']:.3f}** (8->32 mor),
 **{p832['efficiency_normalized']:.3f}** (8->32 cow).
 
 Note: eff/ceiling is capped at 1.0; a raw efficiency above the
@@ -232,12 +236,22 @@ The reference's documented single-node numbers
 baseline (4 cores), 50,000 rec/s optimized (20 cores). This engine
 applies {p832['r_m']['events_per_sec']:,.0f} events/s at local[32] /
 {p416['r_m']['events_per_sec']:,.0f} events/s at local[16] in COW mode
-({p416_mor['r_m']['events_per_sec']:,.0f} events/s at local[16] in MOR
+({p832_mor['r_m']['events_per_sec']:,.0f} events/s at local[32] /
+{p416_mor['r_m']['events_per_sec']:,.0f} events/s at local[16] in MOR
 mode), including all exactly-once / lineage / schema-gate overhead.
 """
     (HERE / "BASELINE.md").write_text(report)
     print(report)
-    print(json.dumps({"p416_mor": p416_mor, "p416": p416, "p832": p832}))
+    print(
+        json.dumps(
+            {
+                "p416_mor": p416_mor,
+                "p416": p416,
+                "p832_mor": p832_mor,
+                "p832": p832,
+            }
+        )
+    )
     return 0
 
 

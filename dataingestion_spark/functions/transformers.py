@@ -41,11 +41,55 @@ Transformer = Callable[[DataFrame], DataFrame]
 # ---------------------------------------------------------------------------
 # loading / validation / chaining (TransformerLoader + Phase2Job fold)
 # ---------------------------------------------------------------------------
-def load_transformer(spec: str | dict) -> Transformer:
-    """Resolve "pkg.module:name" (callable or factory) into a transformer.
+# Candidate-name probing for bare transformer names, the analog of the
+# reference's class-name discovery patterns (TransformerLoader.scala:46-54
+# tries common class names; :117-129 tries name-pattern x package
+# combinations). A bare name "normalize_text" (or "NormalizeText") is
+# probed against these module paths before failing.
+DISCOVERY_MODULES = [
+    "dataingestion_spark.functions.transformers",
+    "transformers",
+    "transform",
+]
 
-    dict form: {"path": "pkg.module:name", "args": {...}} calls the factory
-    with kwargs. Validation mirrors TransformerLoader.validateTransformer
+
+def _snake(name: str) -> str:
+    out = []
+    for i, ch in enumerate(name):
+        if ch.isupper() and i > 0 and not name[i - 1].isupper():
+            out.append("_")
+        out.append(ch.lower())
+    return "".join(out)
+
+
+def _discover(name: str):
+    """Probe DISCOVERY_MODULES for ``name`` (as given and snake_cased),
+    mirroring TransformerLoader's candidate-name loop. Returns the first
+    callable found, else None."""
+    for mod_name in DISCOVERY_MODULES:
+        try:
+            mod = importlib.import_module(mod_name)
+        except ImportError:
+            continue
+        for attr in (name, _snake(name)):
+            obj = getattr(mod, attr, None)
+            if callable(obj):
+                return obj
+    return None
+
+
+def load_transformer(spec: str | dict) -> Transformer:
+    """Resolve a transformer spec into a callable.
+
+    Accepted forms:
+      * "pkg.module:name" - explicit dotted path (callable or factory);
+      * "name" / "CamelName" - bare name, discovered by probing
+        DISCOVERY_MODULES (reference parity: TransformerLoader's
+        candidate-class-name patterns, TransformerLoader.scala:46-54,117-129);
+      * {"path": <either form>, "args": {...}} - calls the factory with
+        kwargs.
+
+    Validation mirrors TransformerLoader.validateTransformer
     (/root/reference/spark/src/main/scala/com/example/core/TransformerLoader.scala:145-165):
     the resolved object must be callable.
     """
@@ -55,13 +99,44 @@ def load_transformer(spec: str | dict) -> Transformer:
         path, kwargs = spec["path"], spec.get("args")
     mod_name, _, attr = path.partition(":")
     if not attr:
-        raise ValueError(f"transformer spec needs 'module:attr', got {path!r}")
-    obj = getattr(importlib.import_module(mod_name), attr)
+        obj = _discover(path)
+        if obj is None:
+            raise ValueError(
+                f"transformer {path!r} not found by name discovery in "
+                f"{DISCOVERY_MODULES}; use an explicit 'module:attr' path"
+            )
+    else:
+        obj = getattr(importlib.import_module(mod_name), attr)
     if kwargs is not None:
         obj = obj(**kwargs)
+    elif not _takes_dataframe(obj):
+        # a FACTORY named without args: instantiate with its defaults
+        # (raises a clear TypeError if the factory has required params)
+        obj = obj()
     if not callable(obj):
         raise TypeError(f"transformer {path!r} is not callable")
     return obj
+
+
+def _takes_dataframe(obj) -> bool:
+    """True when the callable is already a transformer (first parameter is
+    the DataFrame), False when it is a config factory that must be called
+    to PRODUCE the transformer. Distinguished by the first parameter's
+    annotation/name - all transformers here and in user code take
+    ``df: DataFrame`` first."""
+    import inspect
+
+    try:
+        params = list(inspect.signature(obj).parameters.values())
+    except (TypeError, ValueError):
+        return True
+    if not params:
+        return False
+    first = params[0]
+    ann = first.annotation
+    if ann is not inspect.Parameter.empty:
+        return "DataFrame" in str(ann)
+    return first.name in ("df", "dataframe", "batch")
 
 
 def build_chain(specs: list[str | dict]) -> list[Transformer]:

@@ -470,20 +470,69 @@ class LakeTable:
                     f"breaking schema change rejected: {cmp.describe()}"
                 )
             return snap.schema, snap.schema_version, None
-        # NON_BREAKING: evolve - mark old version OBSOLETE, new ACTIVE.
+        # NON_BREAKING: evolve - mark old version OBSOLETE, new ACTIVE. If
+        # the evolved schema matches an outstanding PENDING proposal
+        # (propose_schema), this apply PROMOTES it - the reference's
+        # PENDING -> ACTIVE lifecycle (/root/reference/artifacts/lld/LLD.md:103,110).
         evolved = merge_schemas(snap.schema, batch_schema)
         new_version = snap.schema_version + 1
+        evolved_json = json.loads(evolved.json())
+        ledger = self.schema_ledger()
+        promoted = bool(
+            ledger
+            and ledger[-1].get("status") == SchemaStatus.PENDING.value
+            and ledger[-1].get("schema_json") == evolved_json
+        )
         self._ledger_append(
             {
                 "schema_version": new_version,
                 "status": SchemaStatus.ACTIVE.value,
-                "previous_status": SchemaStatus.OBSOLETE.value,
+                "previous_status": (
+                    SchemaStatus.PENDING.value
+                    if promoted
+                    else SchemaStatus.OBSOLETE.value
+                ),
                 "change_type": cmp.change_type.value,
                 "detail": cmp.describe(),
-                "schema_json": json.loads(evolved.json()),
+                "schema_json": evolved_json,
             }
         )
         return evolved, new_version, cmp.describe()
+
+    def propose_schema(self, schema: T.StructType) -> dict | None:
+        """Register a schema-evolution REQUEST as a PENDING version - the
+        reference's ADD COLUMN / drop-column admin flow creates a PENDING
+        row that the next successful apply promotes to ACTIVE
+        (/root/reference/artifacts/lld/LLD.md:103,110,122). Returns the
+        ledger entry (None when the proposal is a no-op); raises on a
+        breaking proposal, recording it BLOCKED."""
+        snap = self.snapshot()
+        cmp = compare_schemas(snap.schema, schema)
+        if cmp.change_type == ChangeType.NO_CHANGE:
+            return None
+        if cmp.change_type == ChangeType.BREAKING:
+            self._ledger_append(
+                {
+                    "schema_version": snap.schema_version,
+                    "status": SchemaStatus.BLOCKED.value,
+                    "change_type": cmp.change_type.value,
+                    "detail": cmp.describe(),
+                    "schema_json": json.loads(schema.json()),
+                }
+            )
+            raise SchemaEvolutionError(
+                f"breaking schema proposal rejected: {cmp.describe()}"
+            )
+        evolved = merge_schemas(snap.schema, schema)
+        entry = {
+            "schema_version": snap.schema_version + 1,
+            "status": SchemaStatus.PENDING.value,
+            "change_type": cmp.change_type.value,
+            "detail": cmp.describe(),
+            "schema_json": json.loads(evolved.json()),
+        }
+        self._ledger_append(entry)
+        return entry
 
     # ------------------------------------------------------------------
     # writes

@@ -207,3 +207,47 @@ class TestLakeEvolution:
         got = tbl.read().toPandas().sort_values("conv_id").reset_index(drop=True)
         assert tbl.snapshot().schema["latency"].dataType == T.LongType()
         assert list(got["latency"]) == [5, 6_000_000_000]
+
+
+class TestPendingLifecycle:
+    """Reference PENDING -> ACTIVE promotion (LLD.md:103,110,122): an
+    evolution REQUEST records a PENDING version; the next apply whose
+    evolved schema matches it promotes it to ACTIVE."""
+
+    def test_propose_then_apply_promotes_pending(self, spark, tmp_table_dir):
+        tbl = LakeTable.create(
+            spark, tmp_table_dir, TRANSCRIPT_SCHEMA,
+            pk_fields=["conv_id", "turn_idx"], order_fields=["lsn", "ts"],
+            num_buckets=2,
+        )
+        proposed = T.StructType(
+            list(TRANSCRIPT_SCHEMA.fields)
+            + [T.StructField("tool_meta", T.StringType(), True)]
+        )
+        entry = tbl.propose_schema(proposed)
+        assert entry["status"] == "PENDING"
+        assert entry["schema_version"] == 2
+        # table schema unchanged until an apply carries the new column
+        assert tbl.snapshot().schema_version == 1
+
+        v2 = gen_changes(
+            spark, n_events=100, n_convs=5, seed=5, schema_version=2
+        ).drop("latency_ms")
+        tbl.merge(v2, pipeline_id="t", epoch_id=0)
+        ledger = tbl.schema_ledger()
+        assert ledger[-1]["status"] == "ACTIVE"
+        assert ledger[-1]["previous_status"] == "PENDING"
+        assert ledger[-1]["schema_version"] == 2
+        assert tbl.snapshot().schema_version == 2
+
+    def test_propose_noop_and_breaking(self, spark, tmp_table_dir):
+        tbl = LakeTable.create(
+            spark, tmp_table_dir, TRANSCRIPT_SCHEMA,
+            pk_fields=["conv_id", "turn_idx"], order_fields=["lsn", "ts"],
+            num_buckets=2,
+        )
+        assert tbl.propose_schema(TRANSCRIPT_SCHEMA) is None
+        dropped = T.StructType(TRANSCRIPT_SCHEMA.fields[:-1])  # removes ts
+        with pytest.raises(SchemaEvolutionError):
+            tbl.propose_schema(dropped)
+        assert tbl.schema_ledger()[-1]["status"] == "BLOCKED"

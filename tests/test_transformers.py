@@ -91,3 +91,18 @@ def test_load_and_chain_by_dotted_path(spark):
     df = spark.createDataFrame([(1, {"a": "x"})], "id int, s struct<a:string>")
     out = apply_chain(df, chain)
     assert out.columns == ["id", "s_a", "is_valid"]
+
+
+def test_bare_name_discovery():
+    """TransformerLoader-style candidate-name probing: bare names resolve
+    against DISCOVERY_MODULES, CamelCase probes its snake_case form."""
+    from dataingestion_spark.functions.transformers import load_transformer
+
+    fn = load_transformer("flatten_structs")
+    assert callable(fn)
+    fn2 = load_transformer({"path": "NormalizeText", "args": {"column": "text"}})
+    assert callable(fn2)
+    import pytest
+
+    with pytest.raises(ValueError, match="name discovery"):
+        load_transformer("NoSuchTransformerAnywhere")
