@@ -8,8 +8,10 @@ orders lineitem events documents embeddings). Column names and rounding are
 aligned on both sides so the driver's order-insensitive value-hash matches.
 
 Non-SQL-expressible entries (full CDC replay through the lake table,
-SimHash, multimodal mapInPandas plumbing) have no oracle - the driver
-records the weaker rows-only check for those, by design.
+multimodal mapInPandas plumbing) have no oracle - the driver records the
+weaker rows-only check for those, by design. Everything else - including
+SimHash's md5-nibble bit arithmetic and the four CDC wire-format
+adapters - is hash-verified three ways against DuckDB.
 """
 
 from __future__ import annotations
@@ -383,6 +385,17 @@ def q_doc_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_exact(docs).select("doc_id")
 
 
+def q_doc_near_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup FILTERING (the training-pipeline step after detection):
+    drop every doc that is a verified near-duplicate of a lower-id doc."""
+    from dataingestion_spark.operators.dedup import dedup_near
+
+    docs = _read(spark, sf_dir, "documents")
+    return dedup_near(
+        docs, n=3, num_hashes=8, num_bands=4, threshold=0.5
+    ).select("doc_id")
+
+
 def q_order_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sort + limit (§2.6): top 10 orders by total price, deterministic
     key tiebreak."""
@@ -520,6 +533,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_by_nation": q_revenue_by_nation,
         "doc_exact_dup_groups": q_doc_exact_dup_groups,
         "doc_dedup_keep": q_doc_dedup_keep,
+        "doc_near_dedup_keep": q_doc_near_dedup_keep,
         "order_topn": q_order_topn,
         "embedding_ann_lsh": q_embedding_ann_lsh,
         "embedding_ivf_topk": q_embedding_ivf_topk,
@@ -954,6 +968,46 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes na ON na.doc_id = i.id_a
             JOIN sizes nb ON nb.doc_id = i.id_b
             WHERE n_inter / CAST(na.n + nb.n - n_inter AS DOUBLE) >= 0.5
+        """,
+        "doc_near_dedup_keep": f"""
+            WITH {shingle_cte},
+            sig AS (
+              SELECT doc_id,
+                     min(md5('0:' || shingle)) AS h0, min(md5('1:' || shingle)) AS h1,
+                     min(md5('2:' || shingle)) AS h2, min(md5('3:' || shingle)) AS h3,
+                     min(md5('4:' || shingle)) AS h4, min(md5('5:' || shingle)) AS h5,
+                     min(md5('6:' || shingle)) AS h6, min(md5('7:' || shingle)) AS h7
+              FROM sh GROUP BY doc_id
+            ),
+            banded AS (
+              SELECT doc_id, 0 AS band_idx, md5(h0 || '|' || h1) AS band_hash FROM sig
+              UNION ALL SELECT doc_id, 1, md5(h2 || '|' || h3) FROM sig
+              UNION ALL SELECT doc_id, 2, md5(h4 || '|' || h5) FROM sig
+              UNION ALL SELECT doc_id, 3, md5(h6 || '|' || h7) FROM sig
+            ),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM banded a JOIN banded b
+                ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+               AND a.doc_id < b.doc_id
+            ),
+            sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            inter AS (
+              SELECT c.id_a, c.id_b, count(*) AS n_inter
+              FROM cand c
+              JOIN sh sa ON sa.doc_id = c.id_a
+              JOIN sh sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
+              GROUP BY c.id_a, c.id_b
+            ),
+            drops AS (
+              SELECT DISTINCT i.id_b AS doc_id
+              FROM inter i
+              JOIN sizes na ON na.doc_id = i.id_a
+              JOIN sizes nb ON nb.doc_id = i.id_b
+              WHERE n_inter / CAST(na.n + nb.n - n_inter AS DOUBLE) >= 0.5
+            )
+            SELECT d.doc_id FROM documents d
+            WHERE d.doc_id NOT IN (SELECT doc_id FROM drops)
         """,
         "embedding_lsh_bucket": """
             SELECT vec_id,

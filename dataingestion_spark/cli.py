@@ -93,6 +93,11 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--kafka-topic", default=None)
     p.add_argument("--starting-offsets", default="earliest")
     p.add_argument("--max-offsets-per-trigger", type=int, default=None)
+    p.add_argument(
+        "--dedup-within-watermark", default=None,
+        help="drop exact (conv_id, turn_idx, lsn) re-deliveries across "
+        "micro-batches with bounded state, e.g. '10 minutes'",
+    )
 
     p = sub.add_parser("apply")
     _add_common(p)
@@ -147,6 +152,7 @@ def main(argv: list[str] | None = None) -> int:
             trigger=a.trigger,
             source_format=a.source_format,
             kafka_options=kafka_opts,
+            dedup_within_watermark=a.dedup_within_watermark,
         )
         q.awaitTermination()
     elif a.cmd == "apply":

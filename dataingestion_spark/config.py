@@ -58,6 +58,10 @@ class DatasetConfig:
     # files + read-time LWW + compaction; O(batch) write amplification
     # for 10^10-event replay scale).
     write_mode: str = "cow"
+    # MOR read-amplification bound: after each applied epoch, buckets whose
+    # delta chain reaches this many files are compacted (0 disables - run
+    # compaction out-of-band via the CLI instead).
+    compact_delta_files: int = 0
 
     def to_json(self) -> str:
         return json.dumps(asdict(self), indent=2)

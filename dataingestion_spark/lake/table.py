@@ -689,12 +689,16 @@ class LakeTable:
 
           1. epoch marker check - re-delivered epochs are skipped whole.
           2. schema gate - evolve or fail fast (metadata only).
-          3. in-batch LWW dedup to one winner per (conv_id, turn_idx)
-             (map-side-combining aggregate, operators/lww.py).
+          3. ONE (bucket, key) pre-scan job: touched-bucket set, batch
+             size, exact hot-key gate (and, for the rare hot epoch, the
+             hot keys themselves from the same shuffle).
           4. bucket pruning - only buckets present in the batch are read.
-          5. full-outer join winners vs current rows of touched buckets on
-             the pk; source wins iff s.lsn >= t._lsn. DELETE winners write
-             tombstones.
+          5. ONE map-side-combining LWW aggregate over (batch ∪ resolved
+             current rows of touched buckets), max_by ordered by
+             (lsn, source-over-table, ts) - subsumes the in-batch dedup,
+             the batch-vs-table probe and the "source wins iff
+             s.lsn >= t._lsn" guard of a classic MERGE join. DELETE
+             winners are tombstone rows.
           6. salted copy-on-write rewrite of touched buckets; atomic
              snapshot commit referencing untouched buckets' old files.
 
@@ -933,35 +937,87 @@ class LakeTable:
                 deltas=deltas,
             )
 
-        # (5) COW path: ONE map-side-combining LWW aggregate over
-        # (batch ∪ resolved current rows of touched buckets) replaces the
-        # former dedup-then-full-outer-join pair - the in-batch dedup, the
-        # batch-vs-table probe and the lsn guard all collapse into a single
-        # max_by ordered by (lsn, source-over-table, ts):
-        #   * equal-lsn ties go to the batch row (_pref=1), the exact
-        #     "s.lsn >= t._lsn" rule of a guarded MERGE;
-        #   * duplicate deliveries inside the batch collapse map-side
-        #     before the exchange (identical payloads, order is total);
-        #   * a DELETE winner IS the tombstone row, nothing to translate.
-        # Shuffle volume: batch + touched-bucket rows, once - strictly less
-        # than the old plan, which shuffled the batch twice (dedup + join).
+        # (5) COW plan selection - two physically different plans with
+        # identical semantics, chosen by epoch size (same threshold as the
+        # AQE regime; both measured, see SCALE.md):
+        #
+        #   * SMALL epochs - ONE map-side-combining LWW aggregate over
+        #     (batch ∪ resolved current rows of touched buckets): in-batch
+        #     dedup, batch-vs-table probe and the lsn guard collapse into a
+        #     single max_by ordered by (lsn, source-over-table, ts). One
+        #     shuffle, minimal stage count - wins where fixed per-stage
+        #     latency dominates (measured ~1.2x at 250k-event epochs).
+        #   * LARGE epochs - classic dedup-then-full-outer-join: the
+        #     aggregate's hash state carries the FULL row per key, which
+        #     stops fitting the hash-agg memory budget at multi-million-row
+        #     epochs (sort-based fallback + spill of wide structs measured
+        #     2.6x slower at 8M-event epochs); the join instead streams
+        #     sorted narrow-keyed runs and scales with data, not state.
+        #
+        # Both: equal-lsn ties go to the batch row (the "s.lsn >= t._lsn"
+        # rule of a guarded MERGE); a DELETE winner IS the tombstone row.
         current = self._resolved(snap, touched, schema=schema)
-        union = src.withColumn("_pref", F.lit(1)).unionByName(
-            current.withColumn("_pref", F.lit(0))
-        )
-        union = union.withColumn(
-            "_lsn_ord", F.coalesce(F.col(LSN_COL), F.lit(-1))
-        )
-        merged = lww_dedupe(
-            union,
-            pk,
-            ["_lsn_ord", "_pref"] + list(order_fields[1:]),
-            tiebreak_fields=[],
-        )
-        # applied = keys whose winner came from THIS batch, observed inside
-        # the write job (no extra action).
-        merged = merged.observe(obs, F.sum("_pref").alias("applied"))
-        merged = merged.drop("_pref", "_lsn_ord")
+        if batch_events < self.SMALL_EPOCH_EVENTS:
+            union = src.withColumn("_pref", F.lit(1)).unionByName(
+                current.withColumn("_pref", F.lit(0))
+            )
+            union = union.withColumn(
+                "_lsn_ord", F.coalesce(F.col(LSN_COL), F.lit(-1))
+            )
+            merged = lww_dedupe(
+                union,
+                pk,
+                ["_lsn_ord", "_pref"] + list(order_fields[1:]),
+                tiebreak_fields=[],
+            )
+            # applied = keys whose winner came from THIS batch, observed
+            # inside the write job (no extra action).
+            merged = merged.observe(obs, F.sum("_pref").alias("applied"))
+            merged = merged.drop("_pref", "_lsn_ord")
+        else:
+            winners = lww_dedupe(
+                src, pk, [LSN_COL] + list(order_fields[1:]), strategy="agg"
+            )
+            winners = winners.observe(obs, F.count(F.lit(1)).alias("applied"))
+            payload_cols = [
+                f.name for f in schema.fields if f.name not in pk
+            ]
+            s = winners.select(
+                *pk,
+                *[F.col(c).alias(f"_s_{c}") for c in payload_cols],
+                F.col(LSN_COL).alias("_s_lsn"),
+                F.col(DELETED_COL).alias("_s_deleted"),
+                F.col(BUCKET_COL).alias("_s_bucket"),
+            )
+            t = current.select(
+                *pk,
+                *[F.col(c).alias(f"_t_{c}") for c in payload_cols],
+                F.col(LSN_COL).alias("_t_lsn"),
+                F.col(DELETED_COL).alias("_t_deleted"),
+                F.col(BUCKET_COL).alias("_t_bucket"),
+            )
+            joined = s.join(t, on=pk, how="full_outer")
+            source_wins = F.col("_s_lsn").isNotNull() & (
+                F.col("_t_lsn").isNull() | (F.col("_s_lsn") >= F.col("_t_lsn"))
+            )
+            merged = joined.select(
+                *pk,
+                *[
+                    F.when(source_wins, F.col(f"_s_{c}"))
+                    .otherwise(F.col(f"_t_{c}"))
+                    .alias(c)
+                    for c in payload_cols
+                ],
+                F.when(source_wins, F.col("_s_lsn"))
+                .otherwise(F.col("_t_lsn"))
+                .alias(LSN_COL),
+                F.when(source_wins, F.col("_s_deleted"))
+                .otherwise(F.coalesce(F.col("_t_deleted"), F.lit(False)))
+                .alias(DELETED_COL),
+                F.coalesce(F.col("_s_bucket"), F.col("_t_bucket")).alias(
+                    BUCKET_COL
+                ),
+            )
 
         # (6) salted rewrite of touched buckets; outstanding deltas of
         # those buckets are folded in (the union read them) and cleared.
@@ -1007,6 +1063,25 @@ class LakeTable:
     # ------------------------------------------------------------------
     # maintenance
     # ------------------------------------------------------------------
+    def maybe_compact(
+        self, max_delta_files_per_bucket: int = 8
+    ) -> Snapshot | None:
+        """Compact ONLY buckets whose merge-on-read delta chain has reached
+        ``max_delta_files_per_bucket`` - the operational policy that bounds
+        read amplification (every read of a bucket resolves its whole delta
+        chain) without rewriting healthy buckets. Per-bucket, so at cluster
+        scale compaction parallelizes and can run off the ingest path.
+        Returns the compaction snapshot, or None when no bucket is due."""
+        snap = self.snapshot()
+        due = sorted(
+            int(b)
+            for b, fl in snap.deltas.items()
+            if len(fl) >= max_delta_files_per_bucket
+        )
+        if not due:
+            return None
+        return self.compact(buckets=due)
+
     def compact(
         self,
         purge_tombstones_below_lsn: int | None = None,

@@ -217,6 +217,34 @@ def minhash_near_duplicates(
     return out
 
 
+def dedup_near(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 16,
+    num_bands: int = 4,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Near-duplicate FILTERING: drop every document that is a verified
+    near-duplicate of a lower-id document; keep the rest (null-text rows
+    pass through untouched).
+
+    Greedy min-id survivor rule: a doc survives unless some pair
+    (a < b, jaccard >= threshold) names it as ``b``. Unlike
+    connected-component clustering this needs no iteration - one
+    anti-join against the pair list - and at worst keeps an extra doc per
+    duplicate chain (a-b near, b-c near, a-c not: keeps a and c), which is
+    the standard trade in web-scale near-dedup pipelines. Scale = the
+    MinHash-LSH pipeline's (banded candidates, no all-pairs) plus one
+    broadcast-able anti-join on the drop list."""
+    pairs = minhash_near_duplicates(
+        df, id_col, text_col, n, num_hashes, num_bands, threshold
+    )
+    drop = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(drop, id_col, "left_anti")
+
+
 def simhash(
     df: DataFrame,
     id_col: str = "doc_id",

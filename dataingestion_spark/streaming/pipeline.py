@@ -97,8 +97,20 @@ def stage_changes(
     trigger: str | None = None,
     source_format: str = "parquet",
     kafka_options: dict[str, str] | None = None,
+    dedup_within_watermark: str | None = None,
+    dedup_keys: list[str] | None = None,
+    event_time_col: str = "ts",
 ) -> StreamingQuery:
     """Phase-1: change source -> staged change log with provenance.
+
+    ``dedup_within_watermark`` (e.g. "10 minutes") drops exact
+    re-deliveries of the same (conv_id, turn_idx, lsn) ACROSS micro-batches
+    at the staging stage via ``dropDuplicatesWithinWatermark`` - bounded
+    state (keys are evicted once the watermark passes), so
+    redelivery-heavy sources stop amplifying downstream staged volume.
+    Purely an optimization: the apply-side LWW merge is idempotent to
+    duplicates regardless, so late duplicates past the watermark remain
+    correct.
 
     Source selection mirrors the reference's Phase-1
     (/root/reference/spark/src/main/scala/com/example/Phase1Job.scala:51-53):
@@ -143,6 +155,11 @@ def stage_changes(
         if max_files_per_trigger:
             reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
         stream = reader.format(source_format).load(landing_dir)
+        if dedup_within_watermark:
+            keys = dedup_keys or ["conv_id", "turn_idx", "lsn"]
+            stream = stream.withWatermark(
+                event_time_col, dedup_within_watermark
+            ).dropDuplicatesWithinWatermark(keys)
         staged = stream.withColumn(
             "_meta",
             F.struct(
@@ -208,6 +225,9 @@ def apply_changes(
                 # batch so the lineage log below never rescans the source
                 collect_file_stats=lineage is not None,
             )
+            limit = getattr(config, "compact_delta_files", 0)
+            if snap is not None and limit:
+                table.maybe_compact(max_delta_files_per_bucket=limit)
         else:
             snap = table.append(
                 df.drop("op"),

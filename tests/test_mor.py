@@ -150,3 +150,64 @@ def test_cow_merge_folds_outstanding_deltas(spark, tmp_path):
     tbl.merge(parts[1], pipeline_id="m", epoch_id=1, write_mode="cow")
     assert_table_equals_oracle(tbl.read(), expected)
     changes.unpersist()
+
+
+def test_maybe_compact_only_due_buckets(spark, tmp_path):
+    """maybe_compact folds only buckets whose delta chain reached the
+    limit; healthy buckets keep their deltas; state is unchanged."""
+    changes = gen_changes(spark, n_events=3_000, n_convs=40, n_files=4, seed=24)
+    changes.persist()
+    expected = oracle.replay(changes.toPandas())
+    tbl = _mk(spark, tmp_path / "t", buckets=8)
+    for e, part in enumerate(_epochs(changes, 4)):
+        tbl.merge(part, pipeline_id="m", epoch_id=e, write_mode="mor")
+    snap = tbl.snapshot()
+    chains = {b: len(fl) for b, fl in snap.deltas.items() if fl}
+    limit = max(chains.values())  # only the deepest chains are due
+    due = {b for b, n in chains.items() if n >= limit}
+    assert due and due != set(chains), "fixture must leave healthy buckets"
+
+    out = tbl.maybe_compact(max_delta_files_per_bucket=limit)
+    assert out is not None
+    after = tbl.snapshot()
+    assert all(not after.deltas.get(b) for b in due), "due buckets compacted"
+    healthy = set(chains) - due
+    assert any(after.deltas.get(b) for b in healthy), "healthy deltas kept"
+    assert_table_equals_oracle(tbl.read(), expected)
+
+    # nothing due -> no-op, no new snapshot
+    v = tbl.current_version()
+    assert tbl.maybe_compact(max_delta_files_per_bucket=10_000) is None
+    assert tbl.current_version() == v
+    changes.unpersist()
+
+
+def test_apply_changes_auto_compaction(spark, tmp_path):
+    """compact_delta_files in the dataset config bounds MOR delta chains
+    through the streaming apply path."""
+    from dataingestion_spark.config import DatasetConfig
+    from dataingestion_spark.sources.datagen import write_change_files
+    from dataingestion_spark.streaming.pipeline import apply_changes, bootstrap_table
+
+    landing = tmp_path / "landing"
+    changes = gen_changes(spark, n_events=2_000, n_convs=25, n_files=4, seed=25)
+    changes.persist()
+    write_change_files(changes, landing)
+    cfg = DatasetConfig(
+        name="autocompact",
+        table_path=str(tmp_path / "table"),
+        num_buckets=4,
+        write_mode="mor",
+        compact_delta_files=2,
+    )
+    bootstrap_table(spark, cfg, TRANSCRIPT_SCHEMA)
+    q = apply_changes(
+        spark, cfg, str(landing), str(tmp_path / "ckpt"), max_files_per_trigger=1
+    )
+    q.awaitTermination()
+    tbl = LakeTable(spark, cfg.table_path)
+    snap = tbl.snapshot()
+    assert all(len(fl) < 2 + 1 for fl in snap.deltas.values()), snap.deltas
+    expected = oracle.replay(changes.toPandas())
+    assert_table_equals_oracle(tbl.read(), expected)
+    changes.unpersist()

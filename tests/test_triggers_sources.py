@@ -135,3 +135,55 @@ def test_apply_schema_inference_from_staged_parquet(spark, tmp_path):
     tbl = bootstrap_table(spark, cfg, TRANSCRIPT_SCHEMA)
     expected = oracle.replay(changes.toPandas())
     assert_table_equals_oracle(tbl.read(), expected)
+
+
+def test_stage_dedup_within_watermark(spark, tmp_path):
+    """Exact re-deliveries of (conv_id, turn_idx, lsn) across micro-batches
+    are dropped at staging when dedup_within_watermark is set; distinct
+    events all survive."""
+    from pyspark.sql import types as T
+    from dataingestion_spark.cli import CHANGE_SCHEMA
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    rows = [
+        ("INSERT", "c1", 0, "user", "v1", None, "2024-01-01 00:00:00", 10, "f0"),
+        ("INSERT", "c1", 1, "user", "v1", None, "2024-01-01 00:00:30", 12, "f0"),
+    ]
+    schema = (
+        "op string, conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts string, lsn long, source_file string"
+    )
+    import shutil
+
+    def land(name, rs):
+        stage = tmp_path / f"_stage_{name}"
+        df = spark.createDataFrame(rs, schema).withColumn(
+            "ts", F.to_timestamp("ts")
+        )
+        df.coalesce(1).write.mode("overwrite").parquet(str(stage))
+        part = next(stage.glob("part-*.parquet"))
+        shutil.move(str(part), landing / f"{name}.parquet")
+
+    land("f0", rows)
+    # second file: one exact redelivery + one new event, within watermark
+    land(
+        "f1",
+        [
+            ("INSERT", "c1", 0, "user", "v1", None, "2024-01-01 00:00:00", 10, "f1"),
+            ("UPDATE", "c1", 0, "user", "v2", None, "2024-01-01 00:01:00", 14, "f1"),
+        ],
+    )
+
+    q = stage_changes(
+        spark, str(landing), str(tmp_path / "staged"), str(tmp_path / "ckpt"),
+        schema=CHANGE_SCHEMA,
+        max_files_per_trigger=1,
+        dedup_within_watermark="10 minutes",
+    )
+    q.awaitTermination()
+    staged = spark.read.parquet(str(tmp_path / "staged"))
+    got = staged.select("conv_id", "turn_idx", "lsn").orderBy("lsn").collect()
+    assert [(r.conv_id, r.turn_idx, r.lsn) for r in got] == [
+        ("c1", 0, 10), ("c1", 1, 12), ("c1", 0, 14)
+    ], "redelivery of lsn=10 must be dropped, distinct events kept"
