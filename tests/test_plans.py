@@ -85,3 +85,46 @@ def test_merge_read_prunes_to_manifest_files(spark, tmp_path):
     # pruned read only sees rows of that bucket)
     assert pruned.count() < full.count()
     assert pruned.filter(F.col("_bucket") != some_bucket).count() == 0
+
+
+def test_cow_join_plan_shape_no_python_in_hot_path(spark, tmp_path):
+    """Large-epoch COW plan: the in-batch dedup keeps its partial
+    (map-side) combine, the batch-vs-table probe is a real join (not a
+    nested loop), and no Python eval appears anywhere in the merge job."""
+    from pyspark.sql import types as T
+    from dataingestion_spark.lake import LakeTable
+    from dataingestion_spark.sources.datagen import gen_changes
+    from tests.util import TRANSCRIPT_SCHEMA
+
+    tbl = LakeTable.create(
+        spark, tmp_path / "t", TRANSCRIPT_SCHEMA,
+        pk_fields=["conv_id", "turn_idx"], order_fields=["lsn", "ts"],
+        num_buckets=4,
+    )
+    tbl.merge(
+        gen_changes(spark, n_events=500, n_convs=10, seed=50),
+        pipeline_id="p", epoch_id=0,
+    )
+    # reproduce the large-epoch plan: conform + winners + full-outer join
+    snap = tbl.snapshot()
+    schema = snap.schema
+    changes = gen_changes(spark, n_events=500, n_convs=10, seed=51)
+    from dataingestion_spark.lake.table import (
+        BUCKET_COL, DELETED_COL, LSN_COL, bucket_expr,
+    )
+    from dataingestion_spark.operators.lww import lww_dedupe
+
+    src = (
+        changes.withColumn(DELETED_COL, F.col("op") == "DELETE")
+        .withColumn(LSN_COL, F.col("lsn").cast("long"))
+    )
+    src = tbl._conform(src, schema).withColumn(
+        BUCKET_COL, bucket_expr("conv_id", snap.num_buckets)
+    )
+    winners = lww_dedupe(src, ["conv_id", "turn_idx"], [LSN_COL, "ts"])
+    current = tbl._resolved(snap, None, schema=schema)
+    joined = winners.join(current, ["conv_id", "turn_idx"], "full_outer")
+    plan = _plan(joined)
+    assert "partial_max_by" in plan, "in-batch dedup lost map-side combine"
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
