@@ -76,6 +76,10 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--checkpoint", required=True)
     p.add_argument("--max-files-per-trigger", type=int, default=None)
     p.add_argument(
+        "--max-bytes-per-trigger", default=None,
+        help="byte-based rate cap per micro-batch, e.g. '1g' or a byte count",
+    )
+    p.add_argument(
         "--source-format", default="parquet",
         choices=["parquet", "json", "kafka"],
     )
@@ -86,7 +90,7 @@ def main(argv: list[str] | None = None) -> int:
     )
     p.add_argument(
         "--trigger", default=None,
-        help="processing-time cadence: fast|normal|slow|continuous|'45 seconds'; "
+        help="processing-time cadence: fast|normal|slow|'45 seconds'; "
         "default drains available input and stops",
     )
     p.add_argument("--kafka-servers", default=None)
@@ -107,8 +111,12 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--lineage", default=None)
     p.add_argument("--max-files-per-trigger", type=int, default=None)
     p.add_argument(
+        "--max-bytes-per-trigger", default=None,
+        help="byte-based rate cap per micro-batch, e.g. '1g' or a byte count",
+    )
+    p.add_argument(
         "--trigger", default=None,
-        help="processing-time cadence: fast|normal|slow|continuous|'45 seconds'",
+        help="processing-time cadence: fast|normal|slow|'45 seconds'",
     )
 
     p = sub.add_parser("datagen")
@@ -149,6 +157,7 @@ def main(argv: list[str] | None = None) -> int:
             spark, a.landing, a.staged, a.checkpoint,
             schema=None if (a.infer_schema or a.source_format == "kafka") else CHANGE_SCHEMA,
             max_files_per_trigger=a.max_files_per_trigger,
+            max_bytes_per_trigger=a.max_bytes_per_trigger,
             trigger=a.trigger,
             source_format=a.source_format,
             kafka_options=kafka_opts,
@@ -163,6 +172,7 @@ def main(argv: list[str] | None = None) -> int:
             spark, cfg, a.source, a.checkpoint,
             lineage_path=a.lineage, transformers=chain,
             max_files_per_trigger=a.max_files_per_trigger,
+            max_bytes_per_trigger=a.max_bytes_per_trigger,
             trigger=a.trigger,
         )
         q.awaitTermination()

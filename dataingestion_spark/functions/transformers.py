@@ -98,7 +98,8 @@ def load_transformer(spec: str | dict) -> Transformer:
     else:
         path, kwargs = spec["path"], spec.get("args")
     mod_name, _, attr = path.partition(":")
-    if not attr:
+    bare = not attr
+    if bare:
         obj = _discover(path)
         if obj is None:
             raise ValueError(
@@ -109,9 +110,13 @@ def load_transformer(spec: str | dict) -> Transformer:
         obj = getattr(importlib.import_module(mod_name), attr)
     if kwargs is not None:
         obj = obj(**kwargs)
-    elif not _takes_dataframe(obj):
-        # a FACTORY named without args: instantiate with its defaults
-        # (raises a clear TypeError if the factory has required params)
+    elif bare and not _takes_dataframe(obj):
+        # a FACTORY discovered by bare name without args: instantiate with
+        # its defaults (raises a clear TypeError if it has required params).
+        # Explicit 'module:attr' specs keep the original contract - the
+        # resolved object is returned as-is when no args are given, so a
+        # plain transformer whose first parameter the heuristic can't
+        # classify (e.g. ``def clean(frame):``) is never mis-invoked.
         obj = obj()
     if not callable(obj):
         raise TypeError(f"transformer {path!r} is not callable")
@@ -136,7 +141,7 @@ def _takes_dataframe(obj) -> bool:
     ann = first.annotation
     if ann is not inspect.Parameter.empty:
         return "DataFrame" in str(ann)
-    return first.name in ("df", "dataframe", "batch")
+    return first.name in ("df", "dataframe", "batch", "frame", "sdf", "data", "ds")
 
 
 def build_chain(specs: list[str | dict]) -> list[Transformer]:

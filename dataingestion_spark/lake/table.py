@@ -52,8 +52,10 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 import time
 import uuid
+from collections import OrderedDict
 from dataclasses import dataclass, field
 from pathlib import Path
 
@@ -82,6 +84,21 @@ SYSTEM_COLS = [LSN_COL, DELETED_COL, BUCKET_COL]
 
 class CommitConflictError(RuntimeError):
     """Another writer committed the same snapshot version first."""
+
+
+# Serializes the merge's session-conf tuned window (AQE off + pinned shuffle
+# partitions for small epochs). Spark has no per-query AQE toggle, so the
+# tuning necessarily goes through session-global conf; without coordination
+# a concurrent merge could capture the OTHER merge's overrides as "session
+# values" and restore them permanently. The lock makes conf save/restore
+# race-free: exactly one merge holds the tuned window at a time, and a
+# merge that finds the lock taken simply runs UNDER THE SESSION CONF
+# (correct, marginally slower for small epochs) instead of waiting.
+# Caveat (documented contract): while a holder has AQE off, unrelated
+# queries planned concurrently on the same SparkSession also plan with AQE
+# off - a perf effect only, never correctness. Pipelines that need full
+# isolation should use one SparkSession per pipeline.
+_TUNE_LOCK = threading.Lock()
 
 
 @dataclass
@@ -158,12 +175,22 @@ class LakeTable:
     # amortizes and runtime coalesce/skew-split earn their keep.
     SMALL_EPOCH_EVENTS = 20_000_000
 
+    # Bounded snapshot cache: a long-running apply stream commits one
+    # snapshot per epoch, and each internalized Snapshot holds every
+    # bucket's file list - an unbounded cache leaks driver memory
+    # O(epochs x buckets x files) over thousands of epochs, undermining the
+    # O(buckets) manifest design. An LRU of the latest few versions keeps
+    # the hot path (current snapshot re-read per epoch) cached while old
+    # epochs age out; history()/time-travel re-reads evicted manifests from
+    # disk, which is what they cost on a fresh handle anyway.
+    SNAP_CACHE_SIZE = 8
+
     def __init__(self, spark: SparkSession, root: str | Path):
         self.spark = spark
         self.root = Path(root)
-        # snapshots are immutable once committed - cache internalized
+        # snapshots are immutable once committed - LRU-cache internalized
         # (manifest-resolved) snapshots per version for this handle
-        self._snap_cache: dict[int, Snapshot] = {}
+        self._snap_cache: OrderedDict[int, Snapshot] = OrderedDict()
 
     # ------------------------------------------------------------------
     # metadata plumbing
@@ -184,9 +211,16 @@ class LakeTable:
             raise FileNotFoundError(f"no snapshots under {self.root}")
         return max(versions)
 
+    def _cache_put(self, version: int, snap: Snapshot) -> None:
+        self._snap_cache[version] = snap
+        self._snap_cache.move_to_end(version)
+        while len(self._snap_cache) > self.SNAP_CACHE_SIZE:
+            self._snap_cache.popitem(last=False)
+
     def snapshot(self, version: int | None = None) -> Snapshot:
         v = self.current_version() if version is None else version
         if v in self._snap_cache:
+            self._snap_cache.move_to_end(v)
             return self._snap_cache[v]
         d = json.loads(self._snapshot_path(v).read_text())
         # legacy inline form carried files/deltas in the snapshot json
@@ -203,7 +237,7 @@ class LakeTable:
         else:
             snap.files = inline_files or {}
             snap.deltas = inline_deltas or {}
-        self._snap_cache[v] = snap
+        self._cache_put(v, snap)
         return snap
 
     def history(self) -> list[Snapshot]:
@@ -256,7 +290,7 @@ class LakeTable:
             ) from e
         with os.fdopen(fd, "w") as f:
             f.write(snap.to_json())
-        self._snap_cache[snap.version] = snap
+        self._cache_put(snap.version, snap)
         return snap
 
     # ------------------------------------------------------------------
@@ -740,14 +774,21 @@ class LakeTable:
         # Small-epoch tuning (see SMALL_EPOCH_EVENTS): start in the tuned
         # regime - the pre-scan is always a tiny collect - and restore the
         # session settings for the write once the pre-scan proves the epoch
-        # is large.
+        # is large. The tuned window is guarded by _TUNE_LOCK (see its
+        # comment): only the lock holder mutates session conf, so the
+        # capture/restore pair can never race with a concurrent merge. A
+        # merge that cannot take the lock runs untuned under the session
+        # conf - same results, small epochs just pay AQE's fixed latency.
         conf = self.spark.conf
+        tuned = False
+        locked = _TUNE_LOCK.acquire(blocking=False)
         sess_aqe = conf.get("spark.sql.adaptive.enabled", "true")
         sess_sp = conf.get("spark.sql.shuffle.partitions", "200")
-        tuned = False
 
         def _tune_small():
             nonlocal tuned
+            if not locked:
+                return
             conf.set("spark.sql.adaptive.enabled", "false")
             conf.set(
                 "spark.sql.shuffle.partitions",
@@ -756,11 +797,14 @@ class LakeTable:
             tuned = True
 
         def _restore():
-            nonlocal tuned
+            nonlocal tuned, locked
             if tuned:
                 conf.set("spark.sql.adaptive.enabled", sess_aqe)
                 conf.set("spark.sql.shuffle.partitions", sess_sp)
                 tuned = False
+            if locked:
+                _TUNE_LOCK.release()
+                locked = False
 
         _tune_small()
         try:
@@ -975,9 +1019,16 @@ class LakeTable:
             merged = merged.observe(obs, F.sum("_pref").alias("applied"))
             merged = merged.drop("_pref", "_lsn_ord")
         else:
+            # In-batch fold on a COALESCED lsn ordinal (null lsn -> -1) so
+            # the two plans order null-lsn rows identically (a null-lsn
+            # change row is reachable, e.g. a CDC adapter failing to parse
+            # an lsn field - parse_mongo_change_stream's regexp_extract).
             winners = lww_dedupe(
-                src, pk, [LSN_COL] + list(order_fields[1:]), strategy="agg"
-            )
+                src.withColumn("_lsn_ord", F.coalesce(F.col(LSN_COL), F.lit(-1))),
+                pk,
+                ["_lsn_ord"] + list(order_fields[1:]),
+                strategy="agg",
+            ).drop("_lsn_ord")
             winners = winners.observe(obs, F.count(F.lit(1)).alias("applied"))
             payload_cols = [
                 f.name for f in schema.fields if f.name not in pk
@@ -997,8 +1048,20 @@ class LakeTable:
                 F.col(BUCKET_COL).alias("_t_bucket"),
             )
             joined = s.join(t, on=pk, how="full_outer")
-            source_wins = F.col("_s_lsn").isNotNull() & (
-                F.col("_t_lsn").isNull() | (F.col("_s_lsn") >= F.col("_t_lsn"))
+            # Row presence is tested on the bucket columns (never null for
+            # a present row - pmod(xxhash64) is non-null even for null pk),
+            # NOT on lsn: the null-lsn rule must match the small-epoch
+            # union plan exactly - null lsn orders as -1, so a null-lsn
+            # batch row loses to any real target lsn but beats a null-lsn
+            # (append-originated) target row via batch preference. Without
+            # this a batch's visible result would depend on which side of
+            # SMALL_EPOCH_EVENTS it landed.
+            source_wins = F.col("_s_bucket").isNotNull() & (
+                F.col("_t_bucket").isNull()
+                | (
+                    F.coalesce(F.col("_s_lsn"), F.lit(-1))
+                    >= F.coalesce(F.col("_t_lsn"), F.lit(-1))
+                )
             )
             merged = joined.select(
                 *pk,

@@ -233,11 +233,16 @@ def dedup_near(
     Greedy min-id survivor rule: a doc survives unless some pair
     (a < b, jaccard >= threshold) names it as ``b``. Unlike
     connected-component clustering this needs no iteration - one
-    anti-join against the pair list - and at worst keeps an extra doc per
-    duplicate chain (a-b near, b-c near, a-c not: keeps a and c), which is
-    the standard trade in web-scale near-dedup pipelines. Scale = the
-    MinHash-LSH pipeline's (banded candidates, no all-pairs) plus one
-    broadcast-able anti-join on the drop list."""
+    anti-join against the pair list. The trade, stated precisely: on a
+    transitive chain (a-b near, b-c near, a-c not near) the drop list is
+    {b, c}, so only ``a`` survives - ``c`` is dropped even though its only
+    near-duplicate ``b`` was itself dropped. The greedy rule may therefore
+    drop docs that are NOT near-duplicates of any surviving doc (it
+    over-drops chains rather than over-keeping); recovering ``c`` would
+    need iterative clustering, which web-scale near-dedup pipelines skip
+    for exactly this one-pass property. Scale = the MinHash-LSH pipeline's
+    (banded candidates, no all-pairs) plus one broadcast-able anti-join on
+    the drop list."""
     pairs = minhash_near_duplicates(
         df, id_col, text_col, n, num_hashes, num_bands, threshold
     )

@@ -259,7 +259,7 @@ def ivf_topk(
 def embedding_near_duplicates(
     corpus: DataFrame,
     threshold: float = 0.95,
-    n_planes: int | None = 6,
+    n_planes: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     target_bucket_rows: int = 1024,

@@ -74,16 +74,34 @@ def build_kafka_options(
 
 def _with_trigger(writer, trigger: str | None, available_now: bool):
     """Apply the trigger choice: a named cadence from TRIGGERS, an explicit
-    interval string ('45 seconds'), 'continuous', or the replay default
-    (availableNow when requested, else Spark's as-fast-as-possible
-    default). Mirrors SparkUtils.scala:151-156 + Phase1Job.scala:78."""
+    interval string ('45 seconds'), or the replay default (availableNow
+    when requested, else Spark's as-fast-as-possible default). Mirrors
+    SparkUtils.scala:151-156 + Phase1Job.scala:78.
+
+    The reference menu also lists ``continuous`` (SparkUtils.scala:151-156),
+    but Spark's continuous processing mode supports neither file sources
+    nor ``foreachBatch`` sinks - i.e. no source/sink combination this
+    engine ships can ever run under it - so it is rejected (fail-fast at
+    pipeline entry via _validate_trigger) instead of failing deep inside
+    ``.start()``."""
     if trigger is not None:
-        if trigger == "continuous":
-            return writer.trigger(continuous="1 second")
+        _validate_trigger(trigger)
         return writer.trigger(processingTime=TRIGGERS.get(trigger, trigger))
     if available_now:
         return writer.trigger(availableNow=True)
     return writer
+
+
+def _validate_trigger(trigger: str | None) -> None:
+    if trigger == "continuous":
+        raise ValueError(
+            "trigger='continuous' is not supported: Spark continuous "
+            "processing works only with Kafka-like sources and simple "
+            "sinks, never with file sources or foreachBatch (both of "
+            "which this engine's pipelines use). Use a processing-time "
+            "trigger ('fast'|'normal'|'slow'|'<interval>') or "
+            "availableNow instead."
+        )
 
 
 def stage_changes(
@@ -93,6 +111,7 @@ def stage_changes(
     checkpoint_dir: str,
     schema: T.StructType | None,
     max_files_per_trigger: int | None = None,
+    max_bytes_per_trigger: int | str | None = None,
     available_now: bool = True,
     trigger: str | None = None,
     source_format: str = "parquet",
@@ -126,7 +145,10 @@ def stage_changes(
         the tested end-to-end route.
 
     Rate limiting via maxFilesPerTrigger mirrors the reference's
-    maxOffsetsPerTrigger (/root/reference/artifacts/lld/LLD.md:384)."""
+    maxOffsetsPerTrigger (/root/reference/artifacts/lld/LLD.md:384);
+    maxBytesPerTrigger adds the byte-based cap of the reference's tuning
+    guide (PERFORMANCE_TUNING_GUIDE.md:86-88)."""
+    _validate_trigger(trigger)
     if source_format == "kafka":
         if not kafka_options:
             raise ValueError("kafka source requires kafka_options")
@@ -154,6 +176,11 @@ def stage_changes(
         reader = spark.readStream.schema(schema)
         if max_files_per_trigger:
             reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+        if max_bytes_per_trigger:
+            # byte-based rate cap alongside the file-count cap (reference
+            # PERFORMANCE_TUNING_GUIDE.md:86-88); Spark accepts "10g"-style
+            # size strings or a plain byte count
+            reader = reader.option("maxBytesPerTrigger", max_bytes_per_trigger)
         stream = reader.format(source_format).load(landing_dir)
         if dedup_within_watermark:
             keys = dedup_keys or ["conv_id", "turn_idx", "lsn"]
@@ -186,6 +213,7 @@ def apply_changes(
     lineage_path: str | None = None,
     transformers: list[Callable[[DataFrame], DataFrame]] | None = None,
     max_files_per_trigger: int | None = None,
+    max_bytes_per_trigger: int | str | None = None,
     available_now: bool = True,
     trigger: str | None = None,
 ) -> StreamingQuery:
@@ -197,6 +225,7 @@ def apply_changes(
     gate still classifies every micro-batch against the table. ``trigger``
     selects a processing-time cadence (see TRIGGERS) for long-running
     deployments; the default availableNow serves replay/backfill."""
+    _validate_trigger(trigger)
     table = LakeTable(spark, config.table_path)
     lineage = LineageLog(spark, lineage_path) if lineage_path else None
     # Epoch ids are only meaningful relative to ONE checkpoint lineage -
@@ -253,6 +282,8 @@ def apply_changes(
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    if max_bytes_per_trigger:
+        reader = reader.option("maxBytesPerTrigger", max_bytes_per_trigger)
     stream = reader.parquet(source_dir)
     writer = (
         stream.writeStream.foreachBatch(process_batch)
