@@ -454,12 +454,16 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# non-SQL-expressible (rows-only checks)
+# end-to-end replay (oracle-verified via the portable md5 datagen mode)
 # ---------------------------------------------------------------------------
 def q_transcript_cdc_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship capability end-to-end: deterministic synthetic binlog ->
     multi-epoch LWW MERGE into a fresh lake table -> final transcript state.
-    Not SQL-expressible (snapshot commits, tombstones, epoch markers)."""
+
+    Runs the REAL lake path (snapshot commits, tombstones, epoch markers,
+    bucket pruning); hash_mode='md5' makes the generator portable so the
+    DuckDB oracle replays generator + LWW + delete semantics in plain SQL
+    (reference replay oracle: demo/test_pipeline.sh:225-286)."""
     from dataingestion_spark.lake import LakeTable
     from dataingestion_spark.sources.datagen import gen_changes
     from pyspark.sql import types as T
@@ -484,7 +488,10 @@ def q_transcript_cdc_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         pk_fields=["conv_id", "turn_idx"], order_fields=["lsn", "ts"],
         num_buckets=8,
     )
-    changes = gen_changes(spark, n_events=10_000, n_convs=80, max_turns=40, seed=42)
+    changes = gen_changes(
+        spark, n_events=10_000, n_convs=80, max_turns=40, seed=42,
+        hash_mode="md5",
+    )
     for epoch, lo, hi in [(0, 0, 7_000), (1, 7_000, 10_000)]:
         part = changes.filter((F.col("lsn") >= lo * 2) & (F.col("lsn") < hi * 2))
         tbl.merge(part, pipeline_id="entry", epoch_id=epoch)
@@ -499,9 +506,20 @@ def q_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing end-to-end: gen_media's md5-derived binary blobs
+    -> mapInPandas Arrow batches -> fake_image_decoder byte math. Every
+    output is integer/md5 arithmetic, so the DuckDB oracle replays it
+    exactly; f0 is rounded in DOUBLE after the float32 decode so both
+    engines round the same representation (3 of 256 byte values straddle
+    the 6-dp boundary between float32 and float64)."""
     media = gen_media(spark, n=200, seed=42)
     feats = extract_features(media, decoder=fake_image_decoder, feature_dim=16)
-    return feats.select("media_id", "kind", "n_bytes", F.element_at("feature", 1).alias("f0"))
+    return feats.select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        F.round(F.element_at("feature", 1).cast("double"), 6).alias("f0"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -592,6 +610,78 @@ def _simhash_sql(bits: int = 32) -> str:
         FROM sh2 GROUP BY doc_id
       )
       SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM votes
+    """
+
+
+def _replay_sql(
+    n_events: int = 10_000,
+    n_convs: int = 80,
+    max_turns: int = 40,
+    seed: int = 42,
+    dup_frac: float = 0.05,
+) -> str:
+    """DuckDB replay of the flagship transcript_cdc_replay query: rebuild
+    gen_changes(hash_mode='md5') row-for-row (sources/datagen.py), then
+    apply the reference's replay semantics - LWW per (conv_id, turn_idx)
+    by lsn, DELETE winners drop the key (demo/test_pipeline.sh:225-286).
+    Exact-duplicate re-deliveries share lsn AND payload, so the LWW tie is
+    value-irrelevant."""
+    from dataingestion_spark.sources.datagen import md5_hash_sql
+
+    n_base = max(int(n_events * (1.0 - dup_frac)), 1)
+
+    def H(col, stream, mod):
+        return md5_hash_sql(col, seed, stream, mod)
+
+    return f"""
+      WITH ids AS (SELECT range AS gen_id FROM range(0, {n_events})),
+      base AS (
+        SELECT CASE WHEN gen_id < {n_base} THEN gen_id
+                    ELSE {H('gen_id', 7, n_base)} END AS b
+        FROM ids
+      ),
+      hs AS (
+        SELECT b,
+               {H('b', 1, 1 << 20)} AS h1,
+               {H('b', 2, max_turns)} AS h2,
+               {H('b', 3, 1 << 20)} AS h3,
+               {H('b', 4, 4)} AS h4,
+               {H('b', 5, 20)} AS h5,
+               {H('b', 6, 64)} AS h6
+        FROM base
+      ),
+      ev AS (
+        SELECT b * 2 AS lsn,
+               printf('conv_%06d',
+                      CAST(floor({n_convs} * h1 * h1 / {float(1 << 40)!r}) AS INT)) AS conv_id,
+               CAST(h2 AS INT) AS turn_idx,
+               CASE WHEN h3 / {float(1 << 20)!r} < 0.5 THEN 'INSERT'
+                    WHEN h3 / {float(1 << 20)!r} < 0.9 THEN 'UPDATE'
+                    ELSE 'DELETE' END AS op,
+               (['user','assistant','system','tool'])[CAST(h4 AS INT) + 1] AS role0,
+               h5, h6,
+               TIMESTAMP '2023-11-14 22:13:20' + INTERVAL (b) SECOND AS ts
+        FROM hs
+      ),
+      ev2 AS (
+        SELECT lsn, conv_id, turn_idx, op, ts,
+               CASE WHEN op = 'DELETE' THEN NULL ELSE role0 END AS role,
+               CASE WHEN op = 'DELETE' THEN NULL
+                    WHEN role0 = 'tool' THEN printf('tool_%02d', CAST(h5 AS INT))
+               END AS tool,
+               CASE WHEN op = 'DELETE' THEN NULL
+                    ELSE printf('turn text %s/%d seq=%d %s', conv_id, turn_idx,
+                                lsn, repeat('x', CAST(h6 + 8 AS INT)))
+               END AS text
+        FROM ev
+      ),
+      ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+                                     ORDER BY lsn DESC) AS rn
+        FROM ev2
+      )
+      SELECT conv_id, turn_idx, role, text, tool, ts
+      FROM ranked WHERE rn = 1 AND op <> 'DELETE'
     """
 
 
@@ -1040,6 +1130,24 @@ def oracle_sql() -> dict[str, str]:
             FROM ranked WHERE rank <= 5
         """,
         "simhash_fingerprints": f"WITH {_simhash_sql(32)}",
+        "transcript_cdc_replay": _replay_sql(
+            n_events=10_000, n_convs=80, max_turns=40, seed=42
+        ),
+        "media_features": """
+            WITH m AS (
+              SELECT range AS media_id,
+                     md5('blob' || range) AS h,
+                     md5('kind:42:' || range) AS kh
+              FROM range(0, 200)
+            )
+            SELECT media_id,
+                   (['image','audio','video'])[
+                     CAST(('0x' || substring(kh, 1, 15))::UBIGINT % 3 AS INT) + 1
+                   ] AS kind,
+                   CAST(64 AS BIGINT) AS n_bytes,
+                   round(((('0x' || substring(h, 1, 2))::INT) / 255.0)::REAL::DOUBLE, 6) AS f0
+            FROM m
+        """,
         "embedding_near_dup": """
             WITH e AS (
               SELECT vec_id, embedding::DOUBLE[] AS v,

@@ -112,12 +112,22 @@ def media_stats(df: DataFrame) -> DataFrame:
 
 def gen_media(spark, n: int = 100, seed: int = 42) -> DataFrame:
     """Deterministic synthetic media table (binary payload derived from the
-    id) for tests/benches - no external data."""
+    id) for tests/benches - no external data.
+
+    ``kind`` and ``content`` are derived through md5 (not engine-private
+    hashes) so any SQL engine can replay them - that is what lets the
+    driver's DuckDB oracle verify the mapInPandas feature path end-to-end
+    (__spark_entry__.oracle_sql()['media_features'])."""
+    kind_hash = F.conv(
+        F.substring(F.md5(F.format_string("kind:%d:%d", F.lit(seed), F.col("id"))), 1, 15),
+        16,
+        10,
+    ).cast("long")
     return spark.range(n).select(
         F.col("id").alias("media_id"),
         F.element_at(
             F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
-            (F.pmod(F.xxhash64("id", F.lit(seed)), F.lit(3)) + 1).cast("int"),
+            (F.pmod(kind_hash, F.lit(3)) + 1).cast("int"),
         ).alias("kind"),
         F.to_binary(
             F.repeat(F.md5(F.concat(F.lit("blob"), F.col("id"))), 4), F.lit("hex")

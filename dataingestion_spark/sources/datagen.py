@@ -51,6 +51,38 @@ def _h(col, seed: int, stream: int, mod: int):
     return F.pmod(F.xxhash64(col, F.lit(seed), F.lit(stream)), F.lit(mod))
 
 
+# Portable (md5) hash family - used by hash_mode="md5". xxhash64 is
+# engine-private (no other SQL engine reproduces Spark's seeding), which is
+# fine for bulk bench data but blocks a cross-engine oracle. md5 of a
+# canonical "seed:stream:id" string is identical everywhere, so a DuckDB
+# replay of the SAME generator expressions is possible - that is what turns
+# the flagship transcript_cdc_replay driver query from rows-only into a
+# fully hash-verified check. 15 hex chars = 60 bits, exact in a long.
+_MD5_U_MOD = 1 << 20  # u = h / 2^20: exact in binary FP on every engine
+
+
+def _h_md5(col, seed: int, stream: int, mod: int):
+    return F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.format_string(f"{seed}:{stream}:%d", col)), 1, 15
+            ),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(mod),
+    )
+
+
+def md5_hash_sql(col: str, seed: int, stream: int, mod: int) -> str:
+    """The DuckDB-side twin of _h_md5 - emitted into oracle SQL strings so
+    generator and oracle share one definition per stream."""
+    return (
+        f"(('0x' || substring(md5('{seed}:{stream}:' || {col}), 1, 15))"
+        f"::UBIGINT % {mod})::BIGINT"
+    )
+
+
 def gen_changes(
     spark: SparkSession,
     n_events: int,
@@ -65,6 +97,7 @@ def gen_changes(
     schema_version: int = 1,
     lsn_offset: int = 0,
     parallelism: int | None = None,
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """Build the change-event DataFrame.
 
@@ -73,26 +106,64 @@ def gen_changes(
     conversation ids: conv = floor(n_convs * u**zipf_exp).
     ``lsn_offset`` lets callers generate consecutive non-overlapping
     segments (e.g. a v2 tail after a v1 head).
+
+    ``hash_mode="md5"`` swaps the engine-private xxhash64 seeding for the
+    portable md5 family (_h_md5/md5_hash_sql) so an external SQL engine
+    can replay the generator row-for-row - the basis of the DuckDB oracle
+    for the flagship replay query. In this mode every derived quantity is
+    exact integer or power-of-two binary-FP arithmetic (no ``pow``), so
+    ``zipf_exp`` must be 1.0 or 2.0: cross-engine libm pow() differs by
+    ulps, and a 1-ulp difference under floor() would silently desync the
+    oracle.
     """
     n_base = int(n_events * (1.0 - dup_frac))
     n_base = max(n_base, 1)
     rng = spark.range(0, n_events, numPartitions=parallelism or spark.sparkContext.defaultParallelism)
 
+    if hash_mode == "md5":
+        if zipf_exp not in (1.0, 2.0):
+            raise ValueError(
+                "hash_mode='md5' supports zipf_exp in {1.0, 2.0} only "
+                "(exact cross-engine arithmetic, no libm pow)"
+            )
+        h = _h_md5
+    elif hash_mode == "xxhash64":
+        h = _h
+    else:
+        raise ValueError(f"unknown hash_mode: {hash_mode!r}")
+
     # Re-deliveries: rows past n_base clone the payload of a hashed earlier
     # event. Everything downstream derives from base_id, so a duplicate is
     # byte-identical to its original (matching at-least-once redelivery).
     base_id = F.when(F.col("id") < n_base, F.col("id")).otherwise(
-        _h(F.col("id"), seed, 7, n_base)
+        h(F.col("id"), seed, 7, n_base)
     )
     df = rng.select(
         F.col("id").alias("_gen_id"), base_id.cast("long").alias("_base_id")
     )
 
-    conv = F.floor(
-        F.lit(n_convs) * F.pow(_u(F.col("_base_id"), seed, 1), F.lit(zipf_exp))
-    ).cast("int")
-    turn = _h(F.col("_base_id"), seed, 2, max_turns).cast("int")
-    u_op = _u(F.col("_base_id"), seed, 3)
+    if hash_mode == "md5":
+        h1 = h(F.col("_base_id"), seed, 1, _MD5_U_MOD)
+        if zipf_exp == 2.0:
+            # floor(n_convs * (h1/2^20)^2) as exact binary-FP arithmetic:
+            # n_convs*h1*h1 <= n_convs*2^40 stays exact in a double for any
+            # realistic n_convs, and division by 2^40 is exact.
+            conv = F.floor(
+                (F.lit(n_convs) * h1 * h1) / F.lit(float(1 << 40))
+            ).cast("int")
+        else:
+            conv = F.floor(
+                (F.lit(n_convs) * h1) / F.lit(float(_MD5_U_MOD))
+            ).cast("int")
+        u_op = h(F.col("_base_id"), seed, 3, _MD5_U_MOD) / F.lit(
+            float(_MD5_U_MOD)
+        )
+    else:
+        conv = F.floor(
+            F.lit(n_convs) * F.pow(_u(F.col("_base_id"), seed, 1), F.lit(zipf_exp))
+        ).cast("int")
+        u_op = _u(F.col("_base_id"), seed, 3)
+    turn = h(F.col("_base_id"), seed, 2, max_turns).cast("int")
     op = (
         F.when(u_op < insert_frac, F.lit("INSERT"))
         .when(u_op < insert_frac + update_frac, F.lit("UPDATE"))
@@ -101,11 +172,11 @@ def gen_changes(
     lsn = (F.col("_base_id") * 2 + F.lit(lsn_offset)).cast("long")
     role = F.element_at(
         F.array(F.lit("user"), F.lit("assistant"), F.lit("system"), F.lit("tool")),
-        (_h(F.col("_base_id"), seed, 4, 4) + 1).cast("int"),
+        (h(F.col("_base_id"), seed, 4, 4) + 1).cast("int"),
     )
     tool = F.when(
         role == "tool",
-        F.format_string("tool_%02d", _h(F.col("_base_id"), seed, 5, 20).cast("int")),
+        F.format_string("tool_%02d", h(F.col("_base_id"), seed, 5, 20).cast("int")),
     ).otherwise(F.lit(None).cast("string"))
     ts = F.timestamp_seconds(F.lit(_TS_BASE) + F.col("_base_id"))
     conv_id = F.format_string("conv_%06d", conv)
@@ -117,11 +188,11 @@ def gen_changes(
             conv_id,
             turn,
             lsn,
-            F.repeat(F.lit("x"), (_h(F.col("_base_id"), seed, 6, 64) + 8).cast("int")),
+            F.repeat(F.lit("x"), (h(F.col("_base_id"), seed, 6, 64) + 8).cast("int")),
         )
     )
     source_file = F.format_string(
-        "chunk_%05d", _h(F.col("_gen_id"), seed, 9, n_files).cast("int")
+        "chunk_%05d", h(F.col("_gen_id"), seed, 9, n_files).cast("int")
     )
 
     out = df.select(
@@ -144,7 +215,7 @@ def gen_changes(
             ).otherwise(F.lit(None).cast("string")),
         ).withColumn(
             "latency_ms",
-            F.pmod(F.xxhash64("lsn", F.lit(seed), F.lit(11)), F.lit(5000)).cast("long"),
+            h(F.col("lsn"), seed, 11, 5000).cast("long"),
         )
     return out
 

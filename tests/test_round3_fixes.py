@@ -206,6 +206,66 @@ def test_max_bytes_per_trigger_limits_batches(spark, tmp_path):
     assert n_batches > 1, "byte cap should split the drain into >1 batches"
 
 
+# --- portable (md5) datagen mode -----------------------------------------
+def test_md5_hash_mode_matches_duckdb_replay(spark):
+    """hash_mode='md5' is the cross-engine contract behind the flagship
+    oracle: a DuckDB replay of the same md5 expressions must reproduce the
+    generated events byte-for-byte."""
+    import duckdb
+
+    from dataingestion_spark.sources.datagen import md5_hash_sql
+
+    df = gen_changes(
+        spark, n_events=500, n_convs=20, max_turns=10, seed=9, hash_mode="md5"
+    )
+    got = (
+        df.select("op", "conv_id", "turn_idx", "lsn", "role", "text", "tool")
+        .toPandas()
+        .sort_values(["lsn", "op"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+
+    def H(col, stream, mod):
+        return md5_hash_sql(col, 9, stream, mod)
+
+    want = duckdb.sql(f"""
+        WITH ids AS (SELECT range AS gen_id FROM range(0, 500)),
+        base AS (SELECT CASE WHEN gen_id < 475 THEN gen_id
+                             ELSE {H('gen_id', 7, 475)} END AS b FROM ids),
+        hs AS (SELECT b, {H('b', 1, 1 << 20)} AS h1, {H('b', 2, 10)} AS h2,
+                      {H('b', 3, 1 << 20)} AS h3, {H('b', 4, 4)} AS h4,
+                      {H('b', 5, 20)} AS h5, {H('b', 6, 64)} AS h6 FROM base),
+        ev AS (
+          SELECT b * 2 AS lsn,
+                 printf('conv_%06d',
+                        CAST(floor(20 * h1 * h1 / {float(1 << 40)!r}) AS INT)) AS conv_id,
+                 CAST(h2 AS INT) AS turn_idx,
+                 CASE WHEN h3 / {float(1 << 20)!r} < 0.5 THEN 'INSERT'
+                      WHEN h3 / {float(1 << 20)!r} < 0.9 THEN 'UPDATE'
+                      ELSE 'DELETE' END AS op,
+                 (['user','assistant','system','tool'])[CAST(h4 AS INT) + 1] AS role0,
+                 h5, h6
+          FROM hs)
+        SELECT op, conv_id, turn_idx, lsn,
+               CASE WHEN op = 'DELETE' THEN NULL ELSE role0 END AS role,
+               CASE WHEN op = 'DELETE' THEN NULL
+                    ELSE printf('turn text %s/%d seq=%d %s', conv_id, turn_idx,
+                                lsn, repeat('x', CAST(h6 + 8 AS INT))) END AS text,
+               CASE WHEN op = 'DELETE' THEN NULL
+                    WHEN role0 = 'tool' THEN printf('tool_%02d', CAST(h5 AS INT))
+               END AS tool
+        FROM ev ORDER BY lsn, op
+    """).df().reset_index(drop=True)
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_md5_hash_mode_rejects_unreplayable_zipf(spark):
+    with pytest.raises(ValueError, match="zipf_exp"):
+        gen_changes(spark, n_events=10, zipf_exp=1.5, hash_mode="md5")
+
+
 # --- transformer loading contract (ADVICE.md transformers.py:112) ---------
 def clean_frames(frame):  # first param deliberately not named df/annotated
     return frame.withColumn("cleaned", F.lit(True))
