@@ -498,6 +498,68 @@ def q_transcript_cdc_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tbl.read().orderBy("conv_id", "turn_idx")
 
 
+def q_cdc_partial_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """update_mode='partial' end-to-end: $set-style masked UPDATE payloads
+    through the real lake merge - epoch 0 as merge-on-read (overlay delta
+    rows), epoch 1 as copy-on-write (folds the overlays via the
+    partial-aware read) - against the reference oracle's dict-merge
+    semantics in DuckDB (demo/test_pipeline.sh:244-262)."""
+    import atexit
+    import shutil
+
+    from pyspark.sql import types as T
+
+    from dataingestion_spark.lake import LakeTable
+    from dataingestion_spark.sources.datagen import gen_changes
+
+    schema = T.StructType(
+        [
+            T.StructField("conv_id", T.StringType()),
+            T.StructField("turn_idx", T.IntegerType()),
+            T.StructField("role", T.StringType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("tool", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    tmp = tempfile.mkdtemp(prefix="cdc_partial_")
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    tbl = LakeTable.create(
+        spark, f"{tmp}/transcripts", schema,
+        pk_fields=["conv_id", "turn_idx"], order_fields=["lsn", "ts"],
+        num_buckets=8,
+    )
+    changes = gen_changes(
+        spark, n_events=8_000, n_convs=60, max_turns=30, seed=43,
+        hash_mode="md5",
+    )
+    upd = F.col("op") == "UPDATE"
+    changes = (
+        changes.withColumn(
+            "role",
+            F.when(upd & (F.col("turn_idx") % 3 == 0), F.lit(None).cast("string"))
+            .otherwise(F.col("role")),
+        )
+        .withColumn(
+            "tool",
+            F.when(upd & (F.col("turn_idx") % 3 == 0), F.lit(None).cast("string"))
+            .otherwise(F.col("tool")),
+        )
+        .withColumn(
+            "text",
+            F.when(upd & (F.col("turn_idx") % 2 == 0), F.lit(None).cast("string"))
+            .otherwise(F.col("text")),
+        )
+    )
+    for epoch, lo, hi, wm in [(0, 0, 5_000, "mor"), (1, 5_000, 8_000, "cow")]:
+        part = changes.filter((F.col("lsn") >= lo * 2) & (F.col("lsn") < hi * 2))
+        tbl.merge(
+            part, pipeline_id="entry", epoch_id=epoch, write_mode=wm,
+            update_mode="partial",
+        )
+    return tbl.read().orderBy("conv_id", "turn_idx")
+
+
 def q_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash (32-bit, word 2-gram shingles): md5-nibble bit votes are
     pure integer arithmetic, reproduced exactly by the DuckDB oracle."""
@@ -566,6 +628,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk": q_embedding_topk,
         "embedding_near_dup": q_embedding_near_dup,
         "transcript_cdc_replay": q_transcript_cdc_replay,
+        "cdc_partial_replay": q_cdc_partial_replay,
         "simhash_fingerprints": q_simhash_fingerprints,
         "media_features": q_media_features,
     }
@@ -682,6 +745,62 @@ def _replay_sql(
       )
       SELECT conv_id, turn_idx, role, text, tool, ts
       FROM ranked WHERE rn = 1 AND op <> 'DELETE'
+    """
+
+
+def _partial_replay_sql(
+    n_events: int,
+    n_convs: int,
+    max_turns: int,
+    seed: int,
+) -> str:
+    """DuckDB replay of cdc_partial_replay: the generator CTEs of
+    _replay_sql, UPDATE payloads masked the same way the Spark query masks
+    them ($set-style partial documents), then the reference oracle's
+    dict-merge fold in SQL - barrier = latest INSERT/DELETE, per-column
+    last non-null UPDATE after the barrier, keys without an INSERT barrier
+    don't exist (demo/test_pipeline.sh:244-262)."""
+    base = _replay_sql(n_events, n_convs, max_turns, seed)
+    head, _, _ = base.rpartition("ranked AS (")
+    upd = "op = 'UPDATE'"
+    bar = "CASE WHEN op <> 'UPDATE' THEN lsn END"
+    return head + f"""masked AS (
+        SELECT lsn, conv_id, turn_idx, op, ts,
+               CASE WHEN {upd} AND turn_idx % 3 = 0 THEN NULL ELSE role END AS role,
+               CASE WHEN {upd} AND turn_idx % 3 = 0 THEN NULL ELSE tool END AS tool,
+               CASE WHEN {upd} AND turn_idx % 2 = 0 THEN NULL ELSE text END AS text
+        FROM ev2
+      ),
+      wb AS (
+        SELECT *, max({bar}) OVER (PARTITION BY conv_id, turn_idx) AS b_lsn
+        FROM masked
+      ),
+      agg AS (
+        SELECT conv_id, turn_idx,
+               arg_max(op, {bar}) AS b_op,
+               -- struct-wrapped: DuckDB arg_max skips NULL args, but a
+               -- barrier row's NULL payload value (e.g. tool on a non-tool
+               -- INSERT) must win as NULL, not fall back to an older row
+               arg_max({{'v': role}}, {bar})['v'] AS b_role,
+               arg_max({{'v': text}}, {bar})['v'] AS b_text,
+               arg_max({{'v': tool}}, {bar})['v'] AS b_tool,
+               arg_max({{'v': ts}}, {bar})['v'] AS b_ts,
+               arg_max(role, CASE WHEN {upd} AND lsn > b_lsn
+                                   AND role IS NOT NULL THEN lsn END) AS u_role,
+               arg_max(text, CASE WHEN {upd} AND lsn > b_lsn
+                                   AND text IS NOT NULL THEN lsn END) AS u_text,
+               arg_max(tool, CASE WHEN {upd} AND lsn > b_lsn
+                                   AND tool IS NOT NULL THEN lsn END) AS u_tool,
+               arg_max(ts, CASE WHEN {upd} AND lsn > b_lsn
+                                   AND ts IS NOT NULL THEN lsn END) AS u_ts
+        FROM wb GROUP BY conv_id, turn_idx
+      )
+      SELECT conv_id, turn_idx,
+             coalesce(u_role, b_role) AS role,
+             coalesce(u_text, b_text) AS text,
+             coalesce(u_tool, b_tool) AS tool,
+             coalesce(u_ts, b_ts) AS ts
+      FROM agg WHERE b_op = 'INSERT'
     """
 
 
@@ -1132,6 +1251,9 @@ def oracle_sql() -> dict[str, str]:
         "simhash_fingerprints": f"WITH {_simhash_sql(32)}",
         "transcript_cdc_replay": _replay_sql(
             n_events=10_000, n_convs=80, max_turns=40, seed=42
+        ),
+        "cdc_partial_replay": _partial_replay_sql(
+            n_events=8_000, n_convs=60, max_turns=30, seed=43
         ),
         "media_features": """
             WITH m AS (

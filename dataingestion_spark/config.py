@@ -62,6 +62,11 @@ class DatasetConfig:
     # delta chain reaches this many files are compacted (0 disables - run
     # compaction out-of-band via the CLI instead).
     compact_delta_files: int = 0
+    # UPDATE semantics: "full" (full-row replace, Hudi/Iceberg MERGE
+    # parity) or "partial" (the reference replay oracle's dict-merge -
+    # NULL payload columns on an UPDATE mean "not set"; required for
+    # Mongo $set change streams, demo/test_pipeline.sh:244-262).
+    update_mode: str = "full"
 
     def to_json(self) -> str:
         return json.dumps(asdict(self), indent=2)

@@ -59,7 +59,7 @@ from collections import OrderedDict
 from dataclasses import dataclass, field
 from pathlib import Path
 
-from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -78,6 +78,8 @@ BUCKET_COL = "_bucket"
 LSN_COL = "_lsn"
 DELETED_COL = "_deleted"
 DELTA_SEQ_COL = "_seq"  # commit ordinal stamped into MOR delta files
+PARTIAL_COL = "_partial"  # MOR delta rows that are per-column overlays
+_OP_COL = "_op"  # transient: change op carried through _conform for partial
 _PARTITION_DIR_COL = "_pb"  # physical partition dir; _bucket stays a data column
 SYSTEM_COLS = [LSN_COL, DELETED_COL, BUCKET_COL]
 
@@ -349,13 +351,16 @@ class LakeTable:
         schema: T.StructType | None = None,
         file_map: dict[str, list[str]] | None = None,
         with_seq: bool = False,
+        with_partial: bool = False,
     ) -> DataFrame:
         """Read a snapshot's files (base by default, or any manifest dict
         such as ``snap.deltas``), optionally restricted to buckets and
         optionally under an evolved (wider) schema: pre-evolution files
         null-fill added columns and widen promoted ones natively.
         ``with_seq`` additionally surfaces the per-commit delta ordinal
-        column stamped into merge-on-read delta files."""
+        column stamped into merge-on-read delta files; ``with_partial``
+        surfaces the overlay flag of partial-update delta rows (null-filled
+        False for full-row delta files)."""
         source = snap.files if file_map is None else file_map
         wanted = (
             source
@@ -367,6 +372,10 @@ class LakeTable:
         if with_seq:
             phys = T.StructType(
                 list(phys.fields) + [T.StructField(DELTA_SEQ_COL, T.LongType(), True)]
+            )
+        if with_partial:
+            phys = T.StructType(
+                list(phys.fields) + [T.StructField(PARTIAL_COL, T.BooleanType(), True)]
             )
         if not files:
             return self.spark.createDataFrame([], phys)
@@ -400,9 +409,18 @@ class LakeTable:
         )
         if not has_deltas:
             return base
-        deltas = self._read_files(
-            snap, buckets, schema, file_map=snap.deltas, with_seq=True
+        partial_buckets = {
+            int(b) for b in snap.properties.get("partial_delta_buckets", [])
+        }
+        has_partial = any(
+            buckets is None or b in buckets for b in partial_buckets
         )
+        deltas = self._read_files(
+            snap, buckets, schema, file_map=snap.deltas, with_seq=True,
+            with_partial=has_partial,
+        )
+        if has_partial:
+            return self._resolve_partial(snap, base, deltas, schema)
         union = base.withColumn(
             "_pref", F.lit(0).cast("long")
         ).unionByName(
@@ -417,6 +435,85 @@ class LakeTable:
             union, snap.pk_fields, ["_lsn_ord", "_pref"], tiebreak_fields=[]
         )
         return resolved.drop("_pref", "_lsn_ord")
+
+    def _resolve_partial(
+        self,
+        snap: Snapshot,
+        base: DataFrame,
+        deltas: DataFrame,
+        schema: T.StructType | None = None,
+    ) -> DataFrame:
+        """Read-time resolution when merge-on-read delta chains contain
+        PARTIAL overlay rows (update_mode='partial' commits): per key,
+        the newest FULL row (base row, full delta row, or tombstone) is the
+        barrier; overlay rows ordered after it contribute their non-null
+        columns, last writer per column. Overlays with no barrier at all
+        (an update that arrived before any insert - the reference's
+        'UPDATE on missing key' case, demo/test_pipeline.sh:256-258) stay
+        invisible until a barrier lands underneath them."""
+        payload_cols = [
+            f.name for f in (schema or snap.schema).fields
+            if f.name not in snap.pk_fields
+        ]
+        pk = snap.pk_fields
+        union = base.withColumn("_pref", F.lit(0).cast("long")).withColumn(
+            PARTIAL_COL, F.lit(False)
+        ).unionByName(
+            deltas.withColumn(
+                "_pref", F.coalesce(F.col(DELTA_SEQ_COL), F.lit(1)).cast("long")
+            )
+            .withColumn(PARTIAL_COL, F.coalesce(F.col(PARTIAL_COL), F.lit(False)))
+            .drop(DELTA_SEQ_COL)
+        )
+        union = union.withColumn(
+            "_ord",
+            F.struct(
+                F.coalesce(F.col(LSN_COL), F.lit(-1)).alias("l"),
+                F.col("_pref").alias("p"),
+            ),
+        )
+        is_full = ~F.col(PARTIAL_COL)
+        w = Window.partitionBy(*pk)
+        union = union.withColumn(
+            "_b_ord", F.max(F.when(is_full, F.col("_ord"))).over(w)
+        )
+        after_barrier = F.col(PARTIAL_COL) & (F.col("_ord") > F.col("_b_ord"))
+        agg = union.groupBy(*pk).agg(
+            F.max_by(
+                F.struct(
+                    *[F.col(c).alias(c) for c in payload_cols],
+                    F.col(LSN_COL).alias(LSN_COL),
+                    F.col(DELETED_COL).alias(DELETED_COL),
+                    F.col(BUCKET_COL).alias(BUCKET_COL),
+                ),
+                F.when(is_full, F.col("_ord")),
+            ).alias("_b"),
+            F.max(F.when(after_barrier, F.col(LSN_COL))).alias("_m_lsn"),
+            *[
+                F.max_by(
+                    F.col(c),
+                    F.when(after_barrier & F.col(c).isNotNull(), F.col("_ord")),
+                ).alias(f"_u_{c}")
+                for c in payload_cols
+            ],
+        )
+        # overlay-only keys (no barrier): invisible
+        agg = agg.filter(F.col("_b").isNotNull())
+        b_deleted = F.coalesce(F.col(f"_b.{DELETED_COL}"), F.lit(False))
+        return agg.select(
+            *pk,
+            *[
+                F.when(b_deleted, F.col(f"_b.{c}"))
+                .otherwise(F.coalesce(F.col(f"_u_{c}"), F.col(f"_b.{c}")))
+                .alias(c)
+                for c in payload_cols
+            ],
+            F.greatest(
+                F.col(f"_b.{LSN_COL}"), F.col("_m_lsn")
+            ).alias(LSN_COL),
+            F.col(f"_b.{DELETED_COL}").alias(DELETED_COL),
+            F.col(f"_b.{BUCKET_COL}").alias(BUCKET_COL),
+        )
 
     def read(
         self,
@@ -615,7 +712,11 @@ class LakeTable:
                 cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
             else:
                 cols.append(F.lit(None).cast(f.dataType).alias(f.name))
-        extra = [c for c in df.columns if c in (LSN_COL, DELETED_COL, BUCKET_COL, SALT_COL)]
+        extra = [
+            c
+            for c in df.columns
+            if c in (LSN_COL, DELETED_COL, BUCKET_COL, SALT_COL, _OP_COL)
+        ]
         return df.select(*cols, *[F.col(c) for c in extra])
 
     def append(
@@ -673,10 +774,30 @@ class LakeTable:
         epoch_id: int | None,
         summary: dict,
         deltas: dict[str, list[str]] | None = None,
+        partial_buckets_add: list[str] | None = None,
     ) -> Snapshot:
         props = json.loads(json.dumps(parent.properties))  # deep copy
         if pipeline_id is not None and epoch_id is not None:
             props.setdefault("pipelines", {})[pipeline_id] = {"last_epoch": int(epoch_id)}
+        # partial_delta_buckets tracks which buckets' delta chains contain
+        # per-column overlay rows (update_mode='partial' MOR commits) and
+        # therefore need the partial-aware read resolution. Invariant kept
+        # here for EVERY commit: a bucket leaves the set the moment its
+        # delta chain is cleared (COW rewrite or compaction folds overlays
+        # into full rows).
+        eff_deltas = (
+            deltas if deltas is not None else parent.deltas
+        )
+        plist = {
+            b
+            for b in props.get("partial_delta_buckets", [])
+            if eff_deltas.get(str(b))
+        }
+        plist.update(partial_buckets_add or [])
+        if plist:
+            props["partial_delta_buckets"] = sorted(plist, key=int)
+        else:
+            props.pop("partial_delta_buckets", None)
         snap = Snapshot(
             version=parent.version + 1,
             parent=parent.version,
@@ -711,6 +832,7 @@ class LakeTable:
         salt_buckets: int = 8,
         lineage: dict | None = None,
         write_mode: str = "cow",
+        update_mode: str = "full",
         collect_file_stats: bool = False,
         file_col: str = "source_file",
     ) -> Snapshot | None:
@@ -736,6 +858,22 @@ class LakeTable:
           6. salted copy-on-write rewrite of touched buckets; atomic
              snapshot commit referencing untouched buckets' old files.
 
+        ``update_mode="partial"`` switches UPDATE events from full-row
+        replace to the reference replay oracle's dict-merge semantics
+        (demo/test_pipeline.sh:244-262: ``user_state[pk].update(data)``):
+        an UPDATE's NULL payload columns mean "not set" and retain the
+        current value; an UPDATE on a missing or deleted key is DROPPED
+        (the oracle's ``if primary_key in user_state`` guard); INSERT stays
+        a full-row replace and DELETE a full-row tombstone. This makes the
+        Mongo ``$set`` adapter (sources/cdc_formats.py) honest end-to-end -
+        its unwrapped partial documents no longer null-out unset fields.
+        Two caveats, both inherent to the semantics: a partial UPDATE can
+        never set a column back to NULL, and cross-epoch ordering assumes
+        per-key in-order delivery (the binlog guarantee; the reference
+        oracle likewise replays in delivery order). COW partial merges use
+        one fold+join plan at every epoch size - the single-max_by union
+        plan cannot express per-column folds.
+
         ``write_mode="mor"`` (merge-on-read, the Hudi-MOR analog) replaces
         steps 5-6 with an append of the batch winners as per-bucket DELTA
         files: write amplification is O(batch) instead of O(table), which
@@ -759,6 +897,8 @@ class LakeTable:
                 print(f"merge[{epoch_id}] {label}: {now - t0[0]:.2f}s", file=sys.stderr)
                 t0[0] = now
 
+        if update_mode not in ("full", "partial"):
+            raise ValueError(f"unknown update_mode: {update_mode!r}")
         snap = self.snapshot()
         if (
             pipeline_id is not None
@@ -811,8 +951,8 @@ class LakeTable:
             return self._merge_impl(
                 changes, snap, pk, order_fields, lsn_src, pipeline_id,
                 epoch_id, op_col, fail_on_breaking, hot_key_threshold,
-                salt_buckets, lineage, write_mode, collect_file_stats,
-                file_col, _tick, _restore,
+                salt_buckets, lineage, write_mode, update_mode,
+                collect_file_stats, file_col, _tick, _restore,
             )
         finally:
             _restore()
@@ -832,6 +972,7 @@ class LakeTable:
         salt_buckets: int,
         lineage: dict | None,
         write_mode: str,
+        update_mode: str,
         collect_file_stats: bool,
         file_col: str,
         _tick,
@@ -930,10 +1071,21 @@ class LakeTable:
             changes.withColumn(DELETED_COL, F.col(op_col) == F.lit("DELETE"))
             .withColumn(LSN_COL, F.col(lsn_src).cast("long"))
         )
+        if update_mode == "partial":
+            src = src.withColumn(_OP_COL, F.col(op_col))
         src = self._conform(src, schema).withColumn(
             BUCKET_COL, bucket_expr(pk[0], snap.num_buckets)
         )
         obs = Observation(f"merge_applied_{uuid.uuid4().hex[:8]}")
+
+        if update_mode == "partial":
+            snap2 = self._merge_partial(
+                src, snap, schema, schema_version, pk, touched, hot,
+                salt_buckets, write_mode, pipeline_id, epoch_id, evo,
+                file_stats, lineage, obs,
+            )
+            _tick("partial fold + write")
+            return snap2
 
         if write_mode == "mor":
             # (5'/6') in-batch LWW winners appended as delta files - no
@@ -1110,6 +1262,246 @@ class LakeTable:
             schema,
             schema_version,
             "merge",
+            pipeline_id,
+            epoch_id,
+            {
+                "applied_events": applied,
+                "touched_buckets": [int(b) for b in touched],
+                "hot_keys": hot,
+                "evolution": evo,
+                "file_stats": file_stats,
+                **(lineage or {}),
+            },
+            deltas=deltas,
+        )
+
+    # ------------------------------------------------------------------
+    # partial-update (dict-merge) MERGE arm
+    # ------------------------------------------------------------------
+    def _fold_partial(
+        self, src: DataFrame, pk: list[str], payload_cols: list[str]
+    ) -> DataFrame:
+        """Per-key fold of a partial-mode batch in ONE shuffle: a window
+        (max barrier lsn per key) followed by a grouped aggregate on the
+        same keys - Catalyst reuses the window's hash partitioning, so no
+        second exchange. Produces per key:
+
+          _b        the barrier row (latest INSERT/DELETE), null if none
+          _max_lsn  max lsn over ALL of the key's events
+          _u_<c>    last non-null value of column c among UPDATEs ordered
+                    after the barrier (the dict-merge fold)
+          _ul_<c>   that update's lsn (for the cross-epoch staleness guard)
+
+        Scale: state per key is one barrier struct + one scalar per column
+        - bounded by schema width, never by events per key; hot keys
+        collapse map-side like any combinable aggregate... except the
+        window pass, which shuffles all rows of the batch once (same cost
+        class as the full-mode in-batch dedup)."""
+        is_barrier = F.col(_OP_COL) != F.lit("UPDATE")
+        lsn_ord = F.coalesce(F.col(LSN_COL), F.lit(-1))
+        w = Window.partitionBy(*pk)
+        src = src.withColumn(
+            "_b_lsn", F.max(F.when(is_barrier, lsn_ord)).over(w)
+        )
+        after_b = (~is_barrier) & (
+            lsn_ord > F.coalesce(F.col("_b_lsn"), F.lit(-(1 << 62)))
+        )
+        return src.groupBy(*pk).agg(
+            F.max_by(
+                F.struct(
+                    *[F.col(c).alias(c) for c in payload_cols],
+                    F.col(DELETED_COL).alias(DELETED_COL),
+                    F.col(LSN_COL).alias(LSN_COL),
+                ),
+                F.when(is_barrier, lsn_ord),
+            ).alias("_b"),
+            F.max(F.col(LSN_COL)).alias("_max_lsn"),
+            F.max(F.col(BUCKET_COL)).alias(BUCKET_COL),  # constant per key
+            *[
+                F.max_by(
+                    F.col(c),
+                    F.when(after_b & F.col(c).isNotNull(), lsn_ord),
+                ).alias(f"_u_{c}")
+                for c in payload_cols
+            ],
+            *[
+                F.max(
+                    F.when(after_b & F.col(c).isNotNull(), F.col(LSN_COL))
+                ).alias(f"_ul_{c}")
+                for c in payload_cols
+            ],
+        )
+
+    def _merge_partial(
+        self,
+        src: DataFrame,
+        snap: Snapshot,
+        schema: T.StructType,
+        schema_version: int,
+        pk: list[str],
+        touched: list[int],
+        hot: list,
+        salt_buckets: int,
+        write_mode: str,
+        pipeline_id: str | None,
+        epoch_id: int | None,
+        evo: str | None,
+        file_stats: list | None,
+        lineage: dict | None,
+        obs: Observation,
+    ) -> Snapshot:
+        """Apply a folded partial-mode batch (see merge() docstring for the
+        semantics; reference oracle demo/test_pipeline.sh:244-262).
+
+        COW: fold + full-outer-join against the touched buckets' resolved
+        rows - the per-column dict-merge needs per-column values and lsns
+        on the probe side, which the single-max_by union plan cannot carry.
+        MOR: the folded rows are appended as delta files; keys WITH an
+        in-batch barrier become full rows, keys with only updates become
+        _partial overlay rows resolved (and guarded against missing keys)
+        at read time by _resolve_partial."""
+        payload_cols = [f.name for f in schema.fields if f.name not in pk]
+        folded = self._fold_partial(src, pk, payload_cols)
+        folded = folded.observe(obs, F.count(F.lit(1)).alias("applied"))
+        has_b = F.col("_b").isNotNull()
+        b_deleted = F.coalesce(F.col(f"_b.{DELETED_COL}"), F.lit(False))
+
+        if write_mode == "mor":
+            rows = folded.select(
+                *pk,
+                *[
+                    F.when(
+                        has_b & b_deleted,
+                        F.lit(None).cast(schema[c].dataType),
+                    )
+                    .when(
+                        has_b,
+                        F.coalesce(F.col(f"_u_{c}"), F.col(f"_b.{c}")),
+                    )
+                    .otherwise(F.col(f"_u_{c}"))
+                    .alias(c)
+                    for c in payload_cols
+                ],
+                F.col("_max_lsn").alias(LSN_COL),
+                F.when(has_b, b_deleted).otherwise(F.lit(False)).alias(
+                    DELETED_COL
+                ),
+                F.col(BUCKET_COL),
+                (~has_b).alias(PARTIAL_COL),
+                F.lit(snap.version + 1).cast("long").alias(DELTA_SEQ_COL),
+            )
+            salted = with_salt(
+                rows, hot, salt_buckets,
+                key=pk[0], sub_key=pk[1] if len(pk) > 1 else pk[0],
+            )
+            target_parts = max(len(touched), 1) * (salt_buckets if hot else 1)
+            new_files = self._write_data_files(
+                salted, target_partitions=target_parts
+            )
+            applied = int(obs.get["applied"]) if touched else 0
+            deltas = {k: list(v) for k, v in snap.deltas.items()}
+            for b, fl in new_files.items():
+                deltas.setdefault(b, [])
+                deltas[b] = deltas[b] + fl
+            return self._commit_write(
+                snap,
+                {k: list(v) for k, v in snap.files.items()},
+                schema,
+                schema_version,
+                "merge-mor-partial",
+                pipeline_id,
+                epoch_id,
+                {
+                    "applied_events": applied,
+                    "touched_buckets": [int(b) for b in touched],
+                    "hot_keys": hot,
+                    "evolution": evo,
+                    "file_stats": file_stats,
+                    **(lineage or {}),
+                },
+                deltas=deltas,
+                partial_buckets_add=sorted(new_files),
+            )
+
+        # COW: dict-merge against the current rows of touched buckets
+        current = self._resolved(snap, touched, schema=schema)
+        t = current.select(
+            *pk,
+            *[F.col(c).alias(f"_t_{c}") for c in payload_cols],
+            F.col(LSN_COL).alias("_t_lsn"),
+            F.col(DELETED_COL).alias("_t_deleted"),
+            F.col(BUCKET_COL).alias("_t_bucket"),
+        )
+        joined = folded.join(t, on=pk, how="full_outer")
+        s_present = F.col(BUCKET_COL).isNotNull()
+        t_present = F.col("_t_bucket").isNotNull()
+        t_live = t_present & ~F.coalesce(F.col("_t_deleted"), F.lit(False))
+        t_lsn_ord = F.coalesce(F.col("_t_lsn"), F.lit(-1))
+        b_lsn_ord = F.coalesce(F.col(f"_b.{LSN_COL}"), F.lit(-1))
+        # a barrier takes effect unless it is a stale redelivery (older
+        # than the target row); its trailing updates still apply by the
+        # per-column lsn guard below
+        eff_barrier = (
+            s_present & has_b & (~t_present | (b_lsn_ord >= t_lsn_ord))
+        )
+        # update-on-missing-key is dropped (the reference oracle's
+        # `if primary_key in user_state` guard)
+        merged = joined.filter(eff_barrier | t_present).select(
+            *pk,
+            *[
+                F.when(
+                    eff_barrier & b_deleted,
+                    F.lit(None).cast(schema[c].dataType),
+                )
+                .when(
+                    eff_barrier,
+                    F.coalesce(F.col(f"_u_{c}"), F.col(f"_b.{c}")),
+                )
+                .when(
+                    t_live
+                    & F.col(f"_ul_{c}").isNotNull()
+                    & (F.col(f"_ul_{c}") >= t_lsn_ord),
+                    F.col(f"_u_{c}"),
+                )
+                .otherwise(F.col(f"_t_{c}"))
+                .alias(c)
+                for c in payload_cols
+            ],
+            F.when(eff_barrier, F.col("_max_lsn"))
+            .when(t_live, F.greatest(F.col("_t_lsn"), F.col("_max_lsn")))
+            .otherwise(F.col("_t_lsn"))
+            .alias(LSN_COL),
+            F.when(eff_barrier, b_deleted)
+            .otherwise(F.coalesce(F.col("_t_deleted"), F.lit(False)))
+            .alias(DELETED_COL),
+            F.coalesce(F.col(BUCKET_COL), F.col("_t_bucket")).alias(
+                BUCKET_COL
+            ),
+        )
+        salted = with_salt(
+            merged, hot, salt_buckets,
+            key=pk[0], sub_key=pk[1] if len(pk) > 1 else pk[0],
+        )
+        target_parts = max(len(touched), 1) * (salt_buckets if hot else 1)
+        new_files = self._write_data_files(salted, target_partitions=target_parts)
+        applied = int(obs.get["applied"] or 0) if touched else 0
+        stray = set(new_files) - {str(b) for b in touched}
+        if stray:
+            raise RuntimeError(
+                f"partial merge wrote buckets {sorted(stray)} outside the "
+                f"touched set {touched}"
+            )
+        files = {k: list(v) for k, v in snap.files.items()}
+        deltas = {k: list(v) for k, v in snap.deltas.items()}
+        for b in touched:
+            files[str(b)] = new_files.get(str(b), [])
+            deltas.pop(str(b), None)
+        return self._commit_write(
+            snap,
+            files,
+            schema,
+            schema_version,
+            "merge-partial",
             pipeline_id,
             epoch_id,
             {

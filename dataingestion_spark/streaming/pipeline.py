@@ -250,6 +250,7 @@ def apply_changes(
                 hot_key_threshold=config.hot_key_threshold,
                 salt_buckets=config.salt_buckets,
                 write_mode=getattr(config, "write_mode", "cow"),
+                update_mode=getattr(config, "update_mode", "full"),
                 # the merge computes per-file offset ranges from its pinned
                 # batch so the lineage log below never rescans the source
                 collect_file_stats=lineage is not None,
