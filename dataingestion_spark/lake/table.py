@@ -668,8 +668,48 @@ class LakeTable:
     # ------------------------------------------------------------------
     # writes
     # ------------------------------------------------------------------
+    def _single_exchange_layout(
+        self,
+        df: DataFrame,
+        pk: list[str],
+        touched: list[int],
+        hot: list[str],
+        salt_buckets: int,
+    ) -> tuple[DataFrame, list[str], int]:
+        """Repartition ONCE by the write-layout keys; returns
+        (df, layout key names to prepend to the LWW grouping, partition
+        count). The grouping must CONTAIN the partitioning keys so
+        Catalyst elides the aggregate's own exchange - the fold and the
+        per-bucket file write then share one shuffle.
+
+        The cold path (no hot keys) deliberately carries NO salt column:
+        ``_salt = lit(0)`` constant-folds, and a HashPartitioning over
+        ``Literal(0)`` can never semantically match the aggregate's
+        grouping attribute, so Catalyst re-inserts the exchange - sized by
+        spark.sql.shuffle.partitions, scattering every bucket across every
+        reduce task (measured: 16 files/bucket instead of 1). Bucket-only
+        layout keeps the proof intact. The hot path's salt is a real
+        when/otherwise expression (operators/salting.py) and survives."""
+        if hot and salt_buckets > 1:
+            df = with_salt(
+                df, hot, salt_buckets,
+                key=pk[0], sub_key=pk[1] if len(pk) > 1 else pk[0],
+            )
+            target_parts = max(len(touched), 1) * salt_buckets
+            return (
+                df.repartition(target_parts, F.col(BUCKET_COL), F.col(SALT_COL)),
+                [BUCKET_COL, SALT_COL],
+                target_parts,
+            )
+        target_parts = max(len(touched), 1)
+        return (
+            df.repartition(target_parts, F.col(BUCKET_COL)),
+            [BUCKET_COL],
+            target_parts,
+        )
+
     def _write_data_files(
-        self, df: DataFrame, target_partitions: int
+        self, df: DataFrame, target_partitions: int, pre_partitioned: bool = False
     ) -> dict[str, list[str]]:
         """Write rows (must carry BUCKET_COL, and SALT_COL if salted) as
         immutable files under a fresh commit dir; returns bucket->files.
@@ -677,19 +717,23 @@ class LakeTable:
         Repartitioning by (_bucket, _salt) makes file writes line up with
         the bucket layout while letting hot buckets fan out across salt
         sub-partitions (the reconcile is metadata-only: all of a bucket's
-        salted files are listed under that bucket in the manifest)."""
+        salted files are listed under that bucket in the manifest).
+        ``pre_partitioned=True`` skips that exchange: the caller already
+        partitioned the plan by (_bucket, _salt) - the single-exchange
+        merge plans do this BEFORE their per-key aggregate so the fold and
+        the file layout share one shuffle."""
         commit_id = uuid.uuid4().hex[:12]
         commit_dir = self.root / "data" / commit_id
-        part_cols = [BUCKET_COL] + ([SALT_COL] if SALT_COL in df.columns else [])
-        out = (
-            df.withColumn(_PARTITION_DIR_COL, F.col(BUCKET_COL))
-            .repartition(target_partitions, *[F.col(c) for c in part_cols])
-            .drop(SALT_COL)
-            if SALT_COL in df.columns
-            else df.withColumn(_PARTITION_DIR_COL, F.col(BUCKET_COL)).repartition(
-                target_partitions, F.col(BUCKET_COL)
+        out = df.withColumn(_PARTITION_DIR_COL, F.col(BUCKET_COL))
+        if not pre_partitioned:
+            part_cols = [BUCKET_COL] + (
+                [SALT_COL] if SALT_COL in df.columns else []
             )
-        )
+            out = out.repartition(
+                target_partitions, *[F.col(c) for c in part_cols]
+            )
+        if SALT_COL in df.columns:
+            out = out.drop(SALT_COL)
         out.write.partitionBy(_PARTITION_DIR_COL).mode("append").parquet(
             str(commit_dir)
         )
@@ -926,15 +970,29 @@ class LakeTable:
         sess_sp = conf.get("spark.sql.shuffle.partitions", "200")
 
         def _tune_small():
+            # Pre-scan phase: its shuffle output is O(distinct keys) rows,
+            # so reduce-task count is pure scheduling overhead - 8 tasks
+            # measured ~2x faster than 32 at 250k-event epochs (the write
+            # phase re-sizes via _tune_write once the pre-scan reports the
+            # batch size).
             nonlocal tuned
             if not locked:
                 return
             conf.set("spark.sql.adaptive.enabled", "false")
+            conf.set("spark.sql.shuffle.partitions", str(min(int(sess_sp), 8)))
+            tuned = True
+
+        def _tune_write(batch_events: int):
+            # Write phase: size the LWW exchange by BATCH VOLUME, not the
+            # bucket count - at micro-batch scale (<=1M events) 16 reduce
+            # tasks beat 32+ (measured ~0.65s vs ~1.0s per 500k-row LWW at
+            # local[32]); large batches grow toward the session setting.
+            if not tuned:
+                return
             conf.set(
                 "spark.sql.shuffle.partitions",
-                str(min(int(sess_sp), max(snap.num_buckets, 16))),
+                str(min(int(sess_sp), max(16, batch_events // 16_000))),
             )
-            tuned = True
 
         def _restore():
             nonlocal tuned, locked
@@ -952,7 +1010,7 @@ class LakeTable:
                 changes, snap, pk, order_fields, lsn_src, pipeline_id,
                 epoch_id, op_col, fail_on_breaking, hot_key_threshold,
                 salt_buckets, lineage, write_mode, update_mode,
-                collect_file_stats, file_col, _tick, _restore,
+                collect_file_stats, file_col, _tick, _restore, _tune_write,
             )
         finally:
             _restore()
@@ -977,6 +1035,7 @@ class LakeTable:
         file_col: str,
         _tick,
         _restore,
+        _tune_write,
     ) -> Snapshot | None:
 
         # Payload schema of the batch = everything except op/ordering/source
@@ -996,6 +1055,20 @@ class LakeTable:
         schema, schema_version, evo = self._resolve_schema(
             snap, batch_payload_schema, fail_on_breaking
         )
+        # A pk TYPE widening (int->long) changes every row's xxhash64, so
+        # the stored _bucket values of pre-widening rows no longer match
+        # bucket_expr under the new type. Left alone, a later batch would
+        # probe the NEW bucket of a key whose row still sits in its OLD
+        # bucket - the row isn't read, the merge can't see it, and the key
+        # silently duplicates. The one-time fix: the widening epoch runs a
+        # FULL-TABLE REBUCKET - every bucket is touched, every current
+        # row's bucket is recomputed under the widened type, and the whole
+        # table is rewritten into the new layout (copy-on-write even if
+        # the pipeline runs merge-on-read, since delta files can't move
+        # base rows between buckets). Widenings are rare one-time events;
+        # the invariant "stored bucket == bucket_expr(pk) under the
+        # current schema" holds at every other time.
+        pk_widened = snap.schema[pk[0]].dataType != schema[pk[0]].dataType
 
         _tick("plan+schema gate")
         # (4) touched-bucket pruning + hot-key detection from ONE shuffle:
@@ -1019,16 +1092,65 @@ class LakeTable:
             ).alias(BUCKET_COL),
             F.col(pk[0]).alias("_k"),
         ).agg(F.count(F.lit(1)).alias("_n"))
-        raw_stats = (
-            per_key.groupBy(BUCKET_COL)
-            .agg(F.sum("_n").alias("_n"), F.max("_n").alias("_max_k"))
-            .collect()
+        bucket_stats = per_key.groupBy(BUCKET_COL).agg(
+            F.sum("_n").alias("_n"), F.max("_n").alias("_max_k")
         )
+        file_stats: list[dict] | None = None
+        if collect_file_stats and file_col in changes.columns:
+            # Fused into the SAME driver action as the pre-scan: the two
+            # aggregates read disjoint column slices of the staged batch,
+            # so a tagged union costs the same I/O as either alone but one
+            # fewer job per epoch (round-2 review item 5). The branches
+            # keep their own shuffles; only the collect is shared.
+            fstats = changes.groupBy(F.col(file_col).alias("_f")).agg(
+                F.min(F.col(lsn_src)).cast("long").alias("_min_lsn"),
+                F.max(F.col(lsn_src)).cast("long").alias("_max_lsn"),
+                F.count(F.lit(1)).alias("_n"),
+            )
+            unioned = bucket_stats.select(
+                F.lit("b").alias("_t"),
+                F.col(BUCKET_COL),
+                F.col("_n"),
+                F.col("_max_k"),
+                F.lit(None).cast("string").alias("_f"),
+                F.lit(None).cast("long").alias("_min_lsn"),
+                F.lit(None).cast("long").alias("_max_lsn"),
+            ).unionByName(
+                fstats.select(
+                    F.lit("f").alias("_t"),
+                    F.lit(None).cast("int").alias(BUCKET_COL),
+                    F.col("_n"),
+                    F.lit(None).cast("long").alias("_max_k"),
+                    F.col("_f"),
+                    F.col("_min_lsn"),
+                    F.col("_max_lsn"),
+                )
+            )
+            rows = unioned.collect()
+            raw_stats = [r for r in rows if r["_t"] == "b"]
+            file_stats = [
+                {
+                    "source_file": r["_f"],
+                    "min_lsn": r["_min_lsn"],
+                    "max_lsn": r["_max_lsn"],
+                    "event_count": r["_n"],
+                }
+                for r in rows
+                if r["_t"] == "f"
+            ]
+        else:
+            raw_stats = bucket_stats.collect()
         touched = sorted(int(r[BUCKET_COL]) for r in raw_stats)
         batch_events = sum(r["_n"] for r in raw_stats)
+        if pk_widened:
+            # full rebucket: every OLD bucket must be read and every NEW
+            # bucket is a legal write target
+            touched = list(range(snap.num_buckets))
         _tick("bucket/key pre-scan")
         if batch_events >= self.SMALL_EPOCH_EVENTS:
             _restore()  # large epoch: AQE coalesce/skew-split pay for themselves
+        else:
+            _tune_write(batch_events)
 
         hot: list[str] = []
         if batch_events > 0 and any(
@@ -1043,27 +1165,6 @@ class LakeTable:
                 .collect()
             ]
         _tick("hot-key detect")
-
-        file_stats: list[dict] | None = None
-        if collect_file_stats and file_col in changes.columns:
-            # a <= files-per-epoch-row aggregate over the PINNED batch - the
-            # caller's lineage log consumes this instead of rescanning
-            file_stats = [
-                {
-                    "source_file": r["_f"],
-                    "min_lsn": r["_min_lsn"],
-                    "max_lsn": r["_max_lsn"],
-                    "event_count": r["_n"],
-                }
-                for r in changes.groupBy(F.col(file_col).alias("_f"))
-                .agg(
-                    F.min(F.col(lsn_src)).alias("_min_lsn"),
-                    F.max(F.col(lsn_src)).alias("_max_lsn"),
-                    F.count(F.lit(1)).alias("_n"),
-                )
-                .collect()
-            ]
-            _tick("file lineage stats")
 
         # (3) the conformed source relation: op -> tombstone flag, lsn
         # column, cast to the (possibly evolved) table schema, bucketed.
@@ -1081,13 +1182,13 @@ class LakeTable:
         if update_mode == "partial":
             snap2 = self._merge_partial(
                 src, snap, schema, schema_version, pk, touched, hot,
-                salt_buckets, write_mode, pipeline_id, epoch_id, evo,
-                file_stats, lineage, obs,
+                salt_buckets, "cow" if pk_widened else write_mode,
+                pipeline_id, epoch_id, evo, file_stats, lineage, obs,
             )
             _tick("partial fold + write")
             return snap2
 
-        if write_mode == "mor":
+        if write_mode == "mor" and not pk_widened:
             # (5'/6') in-batch LWW winners appended as delta files - no
             # table read, no join; O(batch) write amplification. Rows are
             # stamped with the committing snapshot version so read-time LWW
@@ -1095,19 +1196,24 @@ class LakeTable:
             # deterministically (newest commit wins, matching the COW tie
             # rule). The winner count comes out of the write job via the
             # Observation API (no extra action).
+            # Single-exchange fold+write (same trick as the small COW
+            # plan): repartition once by the write-layout keys, group the
+            # LWW by (layout keys + pk) so no second exchange is planned,
+            # write pre-partitioned.
+            src_s, group_prefix, target_parts = self._single_exchange_layout(
+                src, pk, touched, hot, salt_buckets
+            )
             winners = lww_dedupe(
-                src, pk, [LSN_COL] + list(order_fields[1:]), strategy="agg"
+                src_s, group_prefix + pk,
+                [LSN_COL] + list(order_fields[1:]), strategy="agg",
             )
             winners = winners.observe(obs, F.count(F.lit(1)).alias("applied"))
-            salted = with_salt(
-                winners.withColumn(
-                    DELTA_SEQ_COL, F.lit(snap.version + 1).cast("long")
-                ),
-                hot, salt_buckets,
-                key=pk[0], sub_key=pk[1] if len(pk) > 1 else pk[0],
+            winners = winners.withColumn(
+                DELTA_SEQ_COL, F.lit(snap.version + 1).cast("long")
             )
-            target_parts = max(len(touched), 1) * (salt_buckets if hot else 1)
-            new_files = self._write_data_files(salted, target_partitions=target_parts)
+            new_files = self._write_data_files(
+                winners, target_partitions=target_parts, pre_partitioned=True
+            )
             applied = int(obs.get["applied"]) if touched else 0
             _tick("LWW + delta write")
             deltas = {k: list(v) for k, v in snap.deltas.items()}
@@ -1153,16 +1259,37 @@ class LakeTable:
         # Both: equal-lsn ties go to the batch row (the "s.lsn >= t._lsn"
         # rule of a guarded MERGE); a DELETE winner IS the tombstone row.
         current = self._resolved(snap, touched, schema=schema)
+        # Recompute the bucket under the CURRENT schema type (a no-op
+        # whenever the stored-bucket invariant holds; the healing step of
+        # the pk-widening rebucket otherwise) - the union plan groups by
+        # it, so both sides must agree for every key.
+        current = current.withColumn(
+            BUCKET_COL,
+            bucket_expr(pk[0], snap.num_buckets, key_type=schema[pk[0]].dataType),
+        )
         if batch_events < self.SMALL_EPOCH_EVENTS:
+            # SINGLE-exchange plan (round 3): repartition ONCE by the
+            # write-layout keys, then run the LWW aggregate GROUPED BY
+            # (layout keys + pk). Because the partitioning keys are a
+            # subset of the grouping keys, Catalyst proves the exchange
+            # satisfies the aggregate's distribution and inserts no second
+            # shuffle - the same exchange that co-locates keys for the
+            # fold also lays rows out for the per-bucket file write
+            # (pre_partitioned=True). Measured ~1.2x per epoch over the
+            # former agg-exchange + write-repartition pair at 250k-event
+            # epochs.
             union = src.withColumn("_pref", F.lit(1)).unionByName(
                 current.withColumn("_pref", F.lit(0))
             )
             union = union.withColumn(
                 "_lsn_ord", F.coalesce(F.col(LSN_COL), F.lit(-1))
             )
+            union, group_prefix, target_parts = self._single_exchange_layout(
+                union, pk, touched, hot, salt_buckets
+            )
             merged = lww_dedupe(
                 union,
-                pk,
+                group_prefix + pk,
                 ["_lsn_ord", "_pref"] + list(order_fields[1:]),
                 tiebreak_fields=[],
             )
@@ -1170,6 +1297,15 @@ class LakeTable:
             # inside the write job (no extra action).
             merged = merged.observe(obs, F.sum("_pref").alias("applied"))
             merged = merged.drop("_pref", "_lsn_ord")
+            new_files = self._write_data_files(
+                merged, target_partitions=target_parts, pre_partitioned=True
+            )
+            applied = int(obs.get["applied"] or 0) if touched else 0
+            _tick("LWW-union + rewrite")
+            return self._finish_cow_commit(
+                snap, schema, schema_version, touched, hot, new_files,
+                applied, pipeline_id, epoch_id, evo, file_stats, lineage,
+            )
         else:
             # In-batch fold on a COALESCED lsn ordinal (null lsn -> -1) so
             # the two plans order null-lsn rows identically (a null-lsn
@@ -1235,13 +1371,35 @@ class LakeTable:
             )
 
         # (6) salted rewrite of touched buckets; outstanding deltas of
-        # those buckets are folded in (the union read them) and cleared.
+        # those buckets are folded in (the join read them) and cleared.
         salted = with_salt(merged, hot, salt_buckets, key=pk[0], sub_key=pk[1] if len(pk) > 1 else pk[0])
         target_parts = max(len(touched), 1) * (salt_buckets if hot else 1)
         new_files = self._write_data_files(salted, target_partitions=target_parts)
         applied = int(obs.get["applied"] or 0) if touched else 0
-        _tick("LWW-union + rewrite")
+        _tick("LWW-join + rewrite")
+        return self._finish_cow_commit(
+            snap, schema, schema_version, touched, hot, new_files, applied,
+            pipeline_id, epoch_id, evo, file_stats, lineage,
+        )
 
+    def _finish_cow_commit(
+        self,
+        snap: Snapshot,
+        schema: T.StructType,
+        schema_version: int,
+        touched: list[int],
+        hot: list,
+        new_files: dict[str, list[str]],
+        applied: int,
+        pipeline_id: str | None,
+        epoch_id: int | None,
+        evo: str | None,
+        file_stats: list | None,
+        lineage: dict | None,
+    ) -> Snapshot:
+        """Shared COW commit tail: stray-bucket safety net, manifest
+        bookkeeping (touched buckets replaced, their delta chains cleared),
+        snapshot commit."""
         # Safety net behind the typed pre-scan: a written bucket outside the
         # touched set means its current rows were NOT joined - committing it
         # would lose data. Fail loudly instead.
@@ -1425,6 +1583,10 @@ class LakeTable:
 
         # COW: dict-merge against the current rows of touched buckets
         current = self._resolved(snap, touched, schema=schema)
+        current = current.withColumn(
+            BUCKET_COL,
+            bucket_expr(pk[0], snap.num_buckets, key_type=schema[pk[0]].dataType),
+        )
         t = current.select(
             *pk,
             *[F.col(c).alias(f"_t_{c}") for c in payload_cols],
@@ -1554,6 +1716,20 @@ class LakeTable:
                 {int(b) for b in snap.files} | {int(b) for b in snap.deltas}
             )
         df = self._resolved(snap, target)
+        if buckets is None:
+            # Full compaction also HEALS stored buckets against the current
+            # schema's hashing (no-op under the stored-bucket invariant;
+            # repairs tables written before the pk-widening rebucket
+            # existed). Partial compaction preserves stored buckets - a
+            # healed row could land outside the compacted set.
+            df = df.withColumn(
+                BUCKET_COL,
+                bucket_expr(
+                    snap.pk_fields[0],
+                    snap.num_buckets,
+                    key_type=snap.schema[snap.pk_fields[0]].dataType,
+                ),
+            )
         if purge_tombstones_below_lsn is not None:
             df = df.filter(
                 ~(
@@ -1564,7 +1740,7 @@ class LakeTable:
         new_files = self._write_data_files(df, target_partitions=max(len(target), 1))
         files = {k: list(v) for k, v in snap.files.items()}
         deltas = {k: list(v) for k, v in snap.deltas.items()}
-        for b in target:
+        for b in set(target) | {int(b) for b in new_files}:
             files[str(b)] = new_files.get(str(b), [])
             deltas.pop(str(b), None)
         return self._commit_write(

@@ -165,3 +165,84 @@ def test_per_bucket_manifests_shared_across_commits(spark, tmp_path):
     new = tbl.read().toPandas()
     assert set(new.loc[new["item_id"] == 7, "payload"]) == {"v2-7"}
     assert len(new) == 256
+
+
+def test_pk_widening_partial_batch_rebuckets_whole_table(spark, tmp_path):
+    """The round-3 rebucket rule: a widening epoch that touches only SOME
+    keys must still rebucket every pre-widening row - otherwise a later
+    batch probes a key's NEW bucket while its row sits in the OLD bucket,
+    the merge never sees it, and the key silently duplicates."""
+    tbl = LakeTable.create(
+        spark, tmp_path / "t", INT_PK_SCHEMA,
+        pk_fields=["item_id"], order_fields=["lsn", "ts"], num_buckets=8,
+    )
+    n = 64
+    v1 = _change_df(
+        spark,
+        [("INSERT", i, f"v1-{i}", "2024-01-01 00:00:00", i) for i in range(n)],
+    )
+    tbl.merge(v1, pipeline_id="p", epoch_id=0)
+
+    # widening epoch touches ONE key only
+    v2 = _change_df(
+        spark, [("UPDATE", 0, "v2-0", "2024-01-01 01:00:00", 1000)],
+        pk_type="long",
+    )
+    tbl.merge(v2, pipeline_id="p", epoch_id=1)
+    snap = tbl.snapshot()
+    assert snap.schema["item_id"].dataType == T.LongType()
+    # every row's stored bucket must now equal the long-typed hash
+    from dataingestion_spark.lake.table import bucket_expr
+
+    rows = tbl.read(include_system=True).withColumn(
+        "_expect", bucket_expr("item_id", 8, key_type=T.LongType())
+    )
+    assert rows.filter(F.col("_bucket") != F.col("_expect")).count() == 0
+
+    # a later epoch updating a key UNTOUCHED during the widening must not
+    # duplicate it
+    v3 = _change_df(
+        spark, [("UPDATE", 37, "v3-37", "2024-01-01 02:00:00", 2000)],
+        pk_type="long",
+    )
+    tbl.merge(v3, pipeline_id="p", epoch_id=2)
+    got = tbl.read().toPandas()
+    assert len(got) == n, "post-widening update duplicated a key"
+    assert (
+        got.set_index("item_id").loc[37, "payload"] == "v3-37"
+    ), "update against a pre-widening row was lost"
+
+
+def test_pk_widening_mor_falls_back_to_rebucket(spark, tmp_path):
+    """A widening epoch under write_mode='mor' must still rebucket (delta
+    files cannot move base rows between buckets), then resume MOR."""
+    tbl = LakeTable.create(
+        spark, tmp_path / "t", INT_PK_SCHEMA,
+        pk_fields=["item_id"], order_fields=["lsn", "ts"], num_buckets=8,
+    )
+    n = 32
+    tbl.merge(
+        _change_df(
+            spark,
+            [("INSERT", i, f"v1-{i}", "2024-01-01 00:00:00", i) for i in range(n)],
+        ),
+        pipeline_id="p", epoch_id=0, write_mode="mor",
+    )
+    tbl.merge(
+        _change_df(
+            spark, [("UPDATE", 3, "v2-3", "2024-01-01 01:00:00", 1000)],
+            pk_type="long",
+        ),
+        pipeline_id="p", epoch_id=1, write_mode="mor",
+    )
+    assert tbl.snapshot().operation == "merge", "widening epoch must be COW"
+    tbl.merge(
+        _change_df(
+            spark, [("UPDATE", 17, "v3-17", "2024-01-01 02:00:00", 2000)],
+            pk_type="long",
+        ),
+        pipeline_id="p", epoch_id=2, write_mode="mor",
+    )
+    got = tbl.read().toPandas()
+    assert len(got) == n
+    assert got.set_index("item_id").loc[17, "payload"] == "v3-17"
