@@ -1071,14 +1071,21 @@ class LakeTable:
         pk_widened = snap.schema[pk[0]].dataType != schema[pk[0]].dataType
 
         _tick("plan+schema gate")
-        # (4) touched-bucket pruning + hot-key detection from ONE shuffle:
-        # group the raw batch by (bucket, key). The map side combines to at
-        # most one row per (partition, key), the reduce side holds one row
-        # per distinct key - O(keys), never O(events). From it:
-        #   job 1: per-bucket totals + the max per-key count  ->  touched
-        #          set, batch size, and an EXACT hotness gate;
-        #   job 2 (only when the gate fires): the hot keys themselves -
-        #          reuses job 1's shuffle files, no second batch scan.
+        # (4) touched-bucket pruning + hot-key detection, cheapest-first:
+        # job 1 groups the raw batch by BUCKET only - the map side combines
+        # to <= num_buckets rows per partition, so the shuffle is O(maps x
+        # buckets) regardless of batch size. That yields the touched set,
+        # the exact batch size, and a SOUND hotness pre-gate: a key holding
+        # >= hot_key_threshold of the batch forces its bucket's count over
+        # the same threshold, so "no bucket above threshold" proves "no hot
+        # key" without ever counting per key. Only when a bucket trips the
+        # gate (rare: requires real skew or very few buckets) does job 2
+        # run the per-key count - and only over the suspect buckets, which
+        # keeps the exact per-key hot list while the common case pays one
+        # tiny aggregate. (Round-1 shape grouped by (bucket, key) up front:
+        # an O(distinct keys) shuffle on every epoch, ~1.5x the pre-scan
+        # cost at 250k-event epochs, to compute a max_k that almost every
+        # epoch ignores.)
         # The batch is deliberately NOT cached: each auxiliary job reads a
         # column-pruned slice straight from the staged parquet (cheaper than
         # materializing the full batch into executor storage), and the
@@ -1086,15 +1093,11 @@ class LakeTable:
         # The pre-scan hashes the pk CAST TO THE RESOLVED TABLE TYPE so it
         # agrees with the conformed winners' bucket assignment even across a
         # pk type widening (xxhash64(int) != xxhash64(long) for equal values).
-        per_key = changes.groupBy(
+        bucket_stats = changes.groupBy(
             bucket_expr(
                 pk[0], snap.num_buckets, key_type=schema[pk[0]].dataType
-            ).alias(BUCKET_COL),
-            F.col(pk[0]).alias("_k"),
+            ).alias(BUCKET_COL)
         ).agg(F.count(F.lit(1)).alias("_n"))
-        bucket_stats = per_key.groupBy(BUCKET_COL).agg(
-            F.sum("_n").alias("_n"), F.max("_n").alias("_max_k")
-        )
         file_stats: list[dict] | None = None
         if collect_file_stats and file_col in changes.columns:
             # Fused into the SAME driver action as the pre-scan: the two
@@ -1111,7 +1114,6 @@ class LakeTable:
                 F.lit("b").alias("_t"),
                 F.col(BUCKET_COL),
                 F.col("_n"),
-                F.col("_max_k"),
                 F.lit(None).cast("string").alias("_f"),
                 F.lit(None).cast("long").alias("_min_lsn"),
                 F.lit(None).cast("long").alias("_max_lsn"),
@@ -1120,7 +1122,6 @@ class LakeTable:
                     F.lit("f").alias("_t"),
                     F.lit(None).cast("int").alias(BUCKET_COL),
                     F.col("_n"),
-                    F.lit(None).cast("long").alias("_max_k"),
                     F.col("_f"),
                     F.col("_min_lsn"),
                     F.col("_max_lsn"),
@@ -1153,14 +1154,23 @@ class LakeTable:
             _tune_write(batch_events)
 
         hot: list[str] = []
-        if batch_events > 0 and any(
-            r["_max_k"] >= hot_key_threshold * batch_events for r in raw_stats
-        ):
+        hot_floor = hot_key_threshold * batch_events
+        suspect_buckets = [
+            int(r[BUCKET_COL]) for r in raw_stats if r["_n"] >= hot_floor
+        ]
+        if batch_events > 0 and suspect_buckets:
+            # exact per-key pass, restricted to the buckets that COULD
+            # contain a hot key (see the gate soundness argument above)
             hot = [
                 r["_k"]
-                for r in per_key.filter(
-                    F.col("_n") >= hot_key_threshold * batch_events
+                for r in changes.filter(
+                    bucket_expr(
+                        pk[0], snap.num_buckets, key_type=schema[pk[0]].dataType
+                    ).isin(suspect_buckets)
                 )
+                .groupBy(F.col(pk[0]).alias("_k"))
+                .agg(F.count(F.lit(1)).alias("_n"))
+                .filter(F.col("_n") >= hot_floor)
                 .select("_k")
                 .collect()
             ]

@@ -308,3 +308,62 @@ def test_bare_name_factory_still_autocalled(spark):
     t = load_transformer("normalize_text")
     df = spark.createDataFrame([("  a   b  ",)], "text string")
     assert t(df).first()["text"] == "a b"
+
+
+# --- two-phase hot-key gate (bucket pre-gate + suspect-bucket-only scan) ---
+
+
+def _brute_force_hot(changes, threshold):
+    import pyspark.sql.functions as F
+
+    total = changes.count()
+    rows = (
+        changes.groupBy("conv_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= threshold * total)
+        .collect()
+    )
+    return sorted(r["conv_id"] for r in rows)
+
+
+def test_hot_gate_parity_skewed(spark, tmp_path):
+    """The bucket-level pre-gate + suspect-bucket per-key scan finds
+    EXACTLY the keys a full per-key count would (soundness: a key with
+    >= theta of the batch forces its bucket over theta, so restricting
+    the exact scan to suspect buckets loses nothing)."""
+    from dataingestion_spark.lake import LakeTable
+    from dataingestion_spark.sources.datagen import gen_changes
+    from tests.util import TRANSCRIPT_SCHEMA
+
+    changes = gen_changes(
+        spark, n_events=4_000, n_convs=300, zipf_exp=3.0, seed=31
+    )
+    tbl = LakeTable.create(
+        spark, tmp_path / "t", TRANSCRIPT_SCHEMA,
+        pk_fields=["conv_id", "turn_idx"], order_fields=["lsn", "ts"],
+        num_buckets=8,
+    )
+    tbl.merge(changes, pipeline_id="t", epoch_id=0, hot_key_threshold=0.05)
+    assert sorted(tbl.snapshot().summary["hot_keys"]) == _brute_force_hot(
+        changes, 0.05
+    )
+
+
+def test_hot_gate_parity_uniform_no_hot(spark, tmp_path):
+    """A uniform batch over many buckets trips no bucket gate and yields
+    no hot keys — same answer as the brute-force per-key count."""
+    from dataingestion_spark.lake import LakeTable
+    from dataingestion_spark.sources.datagen import gen_changes
+    from tests.util import TRANSCRIPT_SCHEMA
+
+    changes = gen_changes(
+        spark, n_events=4_000, n_convs=500, zipf_exp=1.0, seed=32
+    )
+    tbl = LakeTable.create(
+        spark, tmp_path / "t", TRANSCRIPT_SCHEMA,
+        pk_fields=["conv_id", "turn_idx"], order_fields=["lsn", "ts"],
+        num_buckets=64,
+    )
+    tbl.merge(changes, pipeline_id="t", epoch_id=0, hot_key_threshold=0.05)
+    hot = tbl.snapshot().summary["hot_keys"]
+    assert hot == [] and _brute_force_hot(changes, 0.05) == []
