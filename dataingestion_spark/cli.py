@@ -14,6 +14,7 @@ Subcommands:
   apply      Phase-2: staged changelog -> exactly-once MERGE into the lake
   datagen    deterministic synthetic change stream (FIXTURES.md §2)
   compact    lake maintenance (small files + tombstone purge)
+  vacuum     lake maintenance (snapshot expiry + orphan-file removal)
 """
 
 from __future__ import annotations
@@ -133,6 +134,20 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--config", required=True)
     p.add_argument("--purge-tombstones-below-lsn", type=int, default=None)
 
+    p = sub.add_parser("vacuum")
+    _add_common(p)
+    p.add_argument("--config", required=True)
+    p.add_argument(
+        "--keep-last", type=int, default=None,
+        help="first expire all but the newest N snapshots",
+    )
+    p.add_argument(
+        "--older-than", type=float, default=3600.0,
+        help="grace window in seconds; only files older than this are "
+        "removed (keeps vacuum safe beside concurrent writers)",
+    )
+    p.add_argument("--dry-run", action="store_true")
+
     a = parser.parse_args(argv)
     spark = build_session(
         app_name=f"cdc-{a.cmd}",
@@ -189,6 +204,25 @@ def main(argv: list[str] | None = None) -> int:
         tbl = LakeTable(spark, cfg.table_path)
         snap = tbl.compact(purge_tombstones_below_lsn=a.purge_tombstones_below_lsn)
         print(json.dumps({"version": snap.version}))
+    elif a.cmd == "vacuum":
+        cfg = DatasetConfig.load(a.config)
+        tbl = LakeTable(spark, cfg.table_path)
+        expired = (
+            tbl.expire_snapshots(keep_last=a.keep_last, dry_run=a.dry_run)
+            if a.keep_last is not None
+            else []
+        )
+        removed = tbl.vacuum(older_than_s=a.older_than, dry_run=a.dry_run)
+        print(
+            json.dumps(
+                {
+                    "expired_versions": expired,
+                    "removed_data_files": len(removed["data"]),
+                    "removed_manifest_files": len(removed["manifests"]),
+                    "dry_run": a.dry_run,
+                }
+            )
+        )
     return 0
 
 

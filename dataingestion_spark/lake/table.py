@@ -52,6 +52,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import threading
 import time
 import uuid
@@ -1812,3 +1813,87 @@ class LakeTable:
             {"compacted_buckets": [int(b) for b in target]},
             deltas=deltas,
         )
+
+    # ------------------------------------------------------------------
+    # maintenance: snapshot expiry + orphan-file vacuum
+    # ------------------------------------------------------------------
+    def expire_snapshots(
+        self, keep_last: int = 10, dry_run: bool = False
+    ) -> list[int]:
+        """Delete snapshot version files older than the newest
+        ``keep_last`` (Iceberg's expire_snapshots). Time travel to an
+        expired version stops working; the data/manifest/chunk files only
+        those versions referenced become orphans, reclaimed by
+        ``vacuum()``. The CURRENT version is always retained. Driver-side
+        metadata ops only - O(versions), no Spark job."""
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        versions = sorted(
+            int(p.stem[1:]) for p in self._snap_dir.glob("v*.json")
+        )
+        expired = versions[:-keep_last]
+        if not dry_run:
+            for v in expired:
+                self._snapshot_path(v).unlink()
+                self._snap_cache.pop(v, None)
+        return expired
+
+    def vacuum(
+        self, older_than_s: float = 3600.0, dry_run: bool = False
+    ) -> dict[str, list[str]]:
+        """Remove orphan data/manifest/chunk files referenced by NO live
+        snapshot (failed commits, expired versions, replaced COW files).
+        Only files older than ``older_than_s`` seconds are touched: a
+        commit writes its data and manifest files BEFORE the O_EXCL
+        snapshot publish, so the grace window keeps vacuum safe to run
+        concurrently with writers (the remove-orphans ``olderThan``
+        contract). Driver-side file ops, O(total files) - a maintenance
+        pass scheduled off the ingest path, exactly like compaction."""
+        referenced: set[str] = set()
+        for p in sorted(self._snap_dir.glob("v*.json")):
+            d = json.loads(p.read_text())
+            for ref in (d.get("manifest_refs") or {}).values():
+                referenced.add(ref)
+                m = json.loads((self.root / ref).read_text())
+                for cref in m.get("chunks", []):
+                    referenced.add(cref)
+                    c = json.loads((self.root / cref).read_text())
+                    referenced.update(c.get("files", []))
+                    referenced.update(c.get("deltas", []))
+                referenced.update(m.get("files", []))
+                referenced.update(m.get("deltas", []))
+            # legacy snapshots carried file lists inline
+            for fl in (d.get("files") or {}).values():
+                referenced.update(fl)
+            for fl in (d.get("deltas") or {}).values():
+                referenced.update(fl)
+        cutoff = time.time() - older_than_s
+        removed: dict[str, list[str]] = {"data": [], "manifests": []}
+
+        def _sweep(paths, kind):
+            for p in paths:
+                rel = str(p.relative_to(self.root))
+                if rel in referenced:
+                    continue
+                try:
+                    if p.stat().st_mtime > cutoff:
+                        continue
+                    removed[kind].append(rel)
+                    if not dry_run:
+                        p.unlink()
+                except FileNotFoundError:
+                    continue  # concurrent vacuum/writer cleanup - fine
+
+        _sweep(self.root.glob("data/*/*/*.parquet"), "data")
+        if self._manifest_dir.is_dir():
+            _sweep(self._manifest_dir.glob("*.json"), "manifests")
+        if not dry_run:
+            # drop commit dirs left holding no parquet (only write-marker
+            # files like _SUCCESS remain), respecting the same grace window
+            for cdir in self.root.glob("data/*"):
+                if not cdir.is_dir() or cdir.stat().st_mtime > cutoff:
+                    continue
+                if any(cdir.rglob("*.parquet")):
+                    continue
+                shutil.rmtree(cdir, ignore_errors=True)
+        return removed

@@ -1,0 +1,118 @@
+"""Snapshot expiry + orphan-file vacuum (the maintenance pass the commit
+protocol's docstring promises: files of failed/expired commits are
+unreferenced and reclaimable off the ingest path — Iceberg's
+expire_snapshots / remove_orphan_files pattern)."""
+
+import json
+
+from dataingestion_spark.lake import LakeTable
+from dataingestion_spark.sources.datagen import gen_changes
+from tests.util import TRANSCRIPT_SCHEMA
+
+
+def _make_table(spark, path, epochs=4, mode="cow"):
+    tbl = LakeTable.create(
+        spark, path, TRANSCRIPT_SCHEMA,
+        pk_fields=["conv_id", "turn_idx"], order_fields=["lsn", "ts"],
+        num_buckets=4,
+    )
+    for e in range(epochs):
+        batch = gen_changes(
+            spark, n_events=400, n_convs=50, seed=70 + e,
+            lsn_offset=e * 1000, n_files=1,
+        )
+        tbl.merge(batch, pipeline_id="p", epoch_id=e, write_mode=mode)
+    return tbl
+
+
+def test_expire_keeps_newest_and_current_reads_survive(spark, tmp_path):
+    tbl = _make_table(spark, tmp_path / "t")
+    before = tbl.read().toPandas().sort_values(["conv_id", "turn_idx"])
+    all_versions = [s.version for s in tbl.history()]
+    expired = tbl.expire_snapshots(keep_last=2)
+    assert expired == all_versions[:-2]
+    kept = [s.version for s in tbl.history()]
+    assert kept == all_versions[-2:]
+    after = tbl.read().toPandas().sort_values(["conv_id", "turn_idx"])
+    assert before.reset_index(drop=True).equals(after.reset_index(drop=True))
+
+
+def test_vacuum_reclaims_cow_rewrites_and_preserves_reads(spark, tmp_path):
+    # COW: every epoch rewrites touched buckets, so expired snapshots
+    # strand their old base files — vacuum must reclaim exactly those
+    tbl = _make_table(spark, tmp_path / "t", epochs=4, mode="cow")
+    before = tbl.read().toPandas().sort_values(["conv_id", "turn_idx"])
+    n_parquet_before = len(list(tbl.root.glob("data/*/*/*.parquet")))
+    tbl.expire_snapshots(keep_last=1)
+    removed = tbl.vacuum(older_than_s=0.0)
+    assert removed["data"], "expired COW rewrites should strand data files"
+    n_parquet_after = len(list(tbl.root.glob("data/*/*/*.parquet")))
+    assert n_parquet_after == n_parquet_before - len(removed["data"])
+    after = tbl.read().toPandas().sort_values(["conv_id", "turn_idx"])
+    assert before.reset_index(drop=True).equals(after.reset_index(drop=True))
+    # a second vacuum finds nothing (idempotent)
+    again = tbl.vacuum(older_than_s=0.0)
+    assert again["data"] == [] and again["manifests"] == []
+
+
+def test_vacuum_grace_window_protects_fresh_files(spark, tmp_path):
+    tbl = _make_table(spark, tmp_path / "t", epochs=3)
+    tbl.expire_snapshots(keep_last=1)
+    # everything just written is younger than the grace window
+    removed = tbl.vacuum(older_than_s=3600.0)
+    assert removed["data"] == [] and removed["manifests"] == []
+
+
+def test_vacuum_dry_run_removes_nothing(spark, tmp_path):
+    tbl = _make_table(spark, tmp_path / "t", epochs=3)
+    tbl.expire_snapshots(keep_last=1)
+    preview = tbl.vacuum(older_than_s=0.0, dry_run=True)
+    assert preview["data"]
+    for rel in preview["data"]:
+        assert (tbl.root / rel).exists()
+    real = tbl.vacuum(older_than_s=0.0)
+    assert sorted(real["data"]) == sorted(preview["data"])
+
+
+def test_vacuum_spares_chunk_files_of_live_snapshots(
+    spark, tmp_path, monkeypatch
+):
+    # chunked manifests: sealed chunk files referenced only through a
+    # manifest's "chunks" list must survive vacuum
+    monkeypatch.setattr(LakeTable, "MANIFEST_CHUNK_ENTRIES", 3)
+    tbl = _make_table(spark, tmp_path / "t", epochs=6, mode="mor")
+    snap = tbl.snapshot()
+    chunked = [
+        b
+        for b in snap.manifest_refs
+        if json.loads((tbl.root / snap.manifest_refs[b]).read_text()).get(
+            "chunks"
+        )
+    ]
+    assert chunked, "MOR stream should have sealed chunks"
+    before = tbl.read().toPandas().sort_values(["conv_id", "turn_idx"])
+    tbl.expire_snapshots(keep_last=1)
+    tbl.vacuum(older_than_s=0.0)
+    after = tbl.read().toPandas().sort_values(["conv_id", "turn_idx"])
+    assert before.reset_index(drop=True).equals(after.reset_index(drop=True))
+
+
+def test_expire_then_time_travel_to_expired_version_fails(spark, tmp_path):
+    tbl = _make_table(spark, tmp_path / "t", epochs=3)
+    old_v = tbl.history()[0].version
+    # drop the handle's cache so the read must go to disk
+    tbl2 = LakeTable(spark, tbl.root)
+    tbl2.expire_snapshots(keep_last=1)
+    try:
+        tbl2.snapshot(old_v)
+        raise AssertionError("expired version should not resolve")
+    except FileNotFoundError:
+        pass
+
+
+def test_expire_dry_run_deletes_nothing(spark, tmp_path):
+    tbl = _make_table(spark, tmp_path / "t", epochs=3)
+    all_versions = [s.version for s in tbl.history()]
+    would = tbl.expire_snapshots(keep_last=1, dry_run=True)
+    assert would == all_versions[:-1]
+    assert [s.version for s in tbl.history()] == all_versions
