@@ -498,6 +498,53 @@ def q_transcript_cdc_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tbl.read().orderBy("conv_id", "turn_idx")
 
 
+def q_cdc_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental changelog read (Iceberg changelog-scan / Hudi
+    incremental-query analog): replay the flagship binlog in two epochs,
+    then emit the NET insert/update/delete diff between the snapshots via
+    LakeTable.read_changes - the operator a downstream CDC consumer chains
+    off the lake instead of re-reading full states. Bucket-pruned to
+    changed manifests; one pk-keyed full-outer join. The oracle diffs the
+    two LWW states (events with lsn below/at the epoch boundary vs all)
+    with the same pre-image rule for deletes."""
+    import atexit
+    import shutil
+
+    from pyspark.sql import types as T
+
+    from dataingestion_spark.lake import LakeTable
+    from dataingestion_spark.sources.datagen import gen_changes
+
+    schema = T.StructType(
+        [
+            T.StructField("conv_id", T.StringType()),
+            T.StructField("turn_idx", T.IntegerType()),
+            T.StructField("role", T.StringType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("tool", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    tmp = tempfile.mkdtemp(prefix="cdc_changelog_")
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    tbl = LakeTable.create(
+        spark, f"{tmp}/transcripts", schema,
+        pk_fields=["conv_id", "turn_idx"], order_fields=["lsn", "ts"],
+        num_buckets=8,
+    )
+    changes = gen_changes(
+        spark, n_events=10_000, n_convs=80, max_turns=40, seed=42,
+        hash_mode="md5",
+    )
+    v_from = None
+    for epoch, lo, hi in [(0, 0, 7_000), (1, 7_000, 10_000)]:
+        part = changes.filter((F.col("lsn") >= lo * 2) & (F.col("lsn") < hi * 2))
+        tbl.merge(part, pipeline_id="entry", epoch_id=epoch)
+        if epoch == 0:
+            v_from = tbl.current_version()
+    return tbl.read_changes(v_from).orderBy("conv_id", "turn_idx", "change_type")
+
+
 def q_cdc_partial_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """update_mode='partial' end-to-end: $set-style masked UPDATE payloads
     through the real lake merge - epoch 0 as merge-on-read (overlay delta
@@ -629,6 +676,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,
         "transcript_cdc_replay": q_transcript_cdc_replay,
         "cdc_partial_replay": q_cdc_partial_replay,
+        "cdc_changelog": q_cdc_changelog,
         "simhash_fingerprints": q_simhash_fingerprints,
         "media_features": q_media_features,
     }
@@ -801,6 +849,48 @@ def _partial_replay_sql(
              coalesce(u_tool, b_tool) AS tool,
              coalesce(u_ts, b_ts) AS ts
       FROM agg WHERE b_op = 'INSERT'
+    """
+
+
+def _changelog_sql(
+    n_events: int = 10_000,
+    n_convs: int = 80,
+    max_turns: int = 40,
+    seed: int = 42,
+    cutoff_lsn: int = 14_000,
+) -> str:
+    """DuckDB oracle for cdc_changelog: the generator CTEs of _replay_sql,
+    then the two LWW live states (events below the epoch boundary vs all)
+    full-outer-joined on the pk and classified - insert/update carry the
+    post-image, delete the pre-image, equal payloads emit nothing (the NET
+    diff read_changes defines)."""
+    base = _replay_sql(n_events, n_convs, max_turns, seed)
+    head, _, _ = base.rpartition("ranked AS (")
+    cols = ["role", "text", "tool", "ts"]
+    differs = " OR ".join(f"a.{c} IS DISTINCT FROM b.{c}" for c in cols)
+    pick = ",\n               ".join(
+        f"CASE WHEN b.conv_id IS NULL THEN a.{c} ELSE b.{c} END AS {c}"
+        for c in cols
+    )
+    state = """
+        SELECT conv_id, turn_idx, role, text, tool, ts FROM (
+          SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+                                       ORDER BY lsn DESC) AS rn
+          FROM ev2 {where}
+        ) WHERE rn = 1 AND op <> 'DELETE'
+    """
+    return head + f"""sa AS ({state.format(where=f"WHERE lsn < {cutoff_lsn}")}),
+      sb AS ({state.format(where="")})
+      SELECT * FROM (
+        SELECT CASE WHEN a.conv_id IS NULL THEN 'insert'
+                    WHEN b.conv_id IS NULL THEN 'delete'
+                    WHEN {differs} THEN 'update' END AS change_type,
+               coalesce(a.conv_id, b.conv_id) AS conv_id,
+               coalesce(a.turn_idx, b.turn_idx) AS turn_idx,
+               {pick}
+        FROM sa a FULL OUTER JOIN sb b
+          ON a.conv_id = b.conv_id AND a.turn_idx = b.turn_idx
+      ) WHERE change_type IS NOT NULL
     """
 
 
@@ -1254,6 +1344,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "cdc_partial_replay": _partial_replay_sql(
             n_events=8_000, n_convs=60, max_turns=30, seed=43
+        ),
+        "cdc_changelog": _changelog_sql(
+            n_events=10_000, n_convs=80, max_turns=40, seed=42,
+            cutoff_lsn=14_000,
         ),
         "media_features": """
             WITH m AS (

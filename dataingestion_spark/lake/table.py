@@ -585,6 +585,135 @@ class LakeTable:
             return df
         return df.select(*[f.name for f in snap.schema.fields])
 
+    def changed_buckets(self, from_version: int, to_version: int | None = None) -> list[int]:
+        """Buckets whose file or delta manifests differ between two
+        snapshots - the only buckets that can contain row-level changes.
+        O(buckets) driver-side: buckets that structurally share a manifest
+        ref between the snapshots are skipped without touching their file
+        lists, so an incremental consumer of a single-epoch diff pays for
+        the epoch's touched buckets, never the table."""
+        snap_a = self.snapshot(from_version)
+        snap_b = self.snapshot(to_version)
+        changed: list[int] = []
+        for b in set(snap_a.files) | set(snap_b.files) | set(snap_a.deltas) | set(
+            snap_b.deltas
+        ):
+            ref_a = snap_a.manifest_refs.get(b)
+            if ref_a is not None and ref_a == snap_b.manifest_refs.get(b):
+                continue  # structurally shared manifest: identical by construction
+            if snap_a.files.get(b, []) == snap_b.files.get(b, []) and snap_a.deltas.get(
+                b, []
+            ) == snap_b.deltas.get(b, []):
+                continue
+            changed.append(int(b))
+        return sorted(changed)
+
+    def read_changes(
+        self,
+        from_version: int,
+        to_version: int | None = None,
+        include_preimages: bool = False,
+    ) -> DataFrame:
+        """Incremental changelog between two snapshots (Iceberg
+        changelog-scan / Hudi incremental-query / Delta CDF analog): the
+        NET row-level diff of the live table states, one row per changed
+        key, so a downstream consumer can chain CDC pipelines off the lake
+        instead of re-reading full snapshots.
+
+        Returns ``change_type`` + the ``to`` snapshot's columns:
+          * ``insert`` - key live in ``to`` only (post-image);
+          * ``update`` - key live in both with differing payload
+            (post-image); with ``include_preimages=True`` each update
+            instead emits ``update_preimage`` (old row) +
+            ``update_postimage`` (new row), the Delta CDF convention;
+          * ``delete`` - key live in ``from`` only (pre-image).
+
+        Scale shape: both states are read bucket-pruned to
+        :meth:`changed_buckets` via exact manifest file lists, then one
+        pk-keyed full-outer join classifies rows - for a single-epoch diff
+        on a 100 TB table that is the epoch's touched buckets, not a table
+        scan. Schema evolution across the range is handled by reading the
+        ``from`` side under the ``to`` snapshot's (wider) schema, the same
+        null-fill/widen path time travel uses; a row that differs only in
+        a column added after ``from`` diffs as an update whose pre-image
+        value for that column is null, matching what a reader of ``from``
+        would have observed.
+
+        The diff is NET: a key inserted and deleted strictly between the
+        two snapshots appears in neither state and emits nothing -
+        changelog semantics over snapshots, not a binlog replay."""
+        snap_b = self.snapshot(to_version)
+        snap_a = self.snapshot(from_version)
+        if snap_a.version > snap_b.version:
+            raise ValueError(
+                f"from_version {snap_a.version} is newer than to_version "
+                f"{snap_b.version}"
+            )
+        schema = snap_b.schema
+        pk = list(snap_b.pk_fields)
+        payload = [f.name for f in schema.fields if f.name not in pk]
+        out_fields = [T.StructField("change_type", T.StringType(), False)] + list(
+            schema.fields
+        )
+        changed = (
+            []
+            if snap_a.version == snap_b.version
+            else self.changed_buckets(snap_a.version, snap_b.version)
+        )
+        if not changed:
+            return self.spark.createDataFrame([], T.StructType(out_fields))
+
+        def _live(snap: Snapshot) -> DataFrame:
+            df = self._resolved(snap, changed, schema=schema)
+            df = df.filter(~F.coalesce(F.col(DELETED_COL), F.lit(False)))
+            return df.select(*pk, *payload)
+
+        a = _live(snap_a).withColumn("_a_present", F.lit(True))
+        b = _live(snap_b).withColumn("_b_present", F.lit(True))
+        a = a.select(
+            *pk,
+            F.struct(*[F.col(c).alias(c) for c in payload]).alias("_a_pay"),
+            "_a_present",
+        )
+        b = b.select(
+            *pk,
+            F.struct(*[F.col(c).alias(c) for c in payload]).alias("_b_pay"),
+            "_b_present",
+        )
+        j = a.join(b, on=pk, how="full_outer")
+        is_insert = F.col("_a_present").isNull()
+        is_delete = F.col("_b_present").isNull()
+        # null-safe struct equality: one comparison covers every payload col
+        is_update = (
+            ~is_insert & ~is_delete & ~F.col("_a_pay").eqNullSafe(F.col("_b_pay"))
+        )
+
+        def _tagged(tag: str, side: str):
+            return F.struct(
+                F.lit(tag).alias("change_type"),
+                *[F.col(f"{side}.{c}").alias(c) for c in payload],
+            )
+
+        upd_rows = (
+            F.array(
+                _tagged("update_preimage", "_a_pay"),
+                _tagged("update_postimage", "_b_pay"),
+            )
+            if include_preimages
+            else F.array(_tagged("update", "_b_pay"))
+        )
+        rows = (
+            F.when(is_insert, F.array(_tagged("insert", "_b_pay")))
+            .when(is_delete, F.array(_tagged("delete", "_a_pay")))
+            .when(is_update, upd_rows)
+        )
+        exploded = j.select(*pk, F.explode(rows).alias("_chg"))
+        return exploded.select(
+            F.col("_chg.change_type").alias("change_type"),
+            *pk,
+            *[F.col(f"_chg.{c}").alias(c) for c in payload],
+        )
+
     # ------------------------------------------------------------------
     # exactly-once epoch markers
     # ------------------------------------------------------------------
