@@ -498,6 +498,58 @@ def q_transcript_cdc_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tbl.read().orderBy("conv_id", "turn_idx")
 
 
+def q_cdc_sync_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chained CDC hop: replay the flagship binlog into a source lake
+    table epoch-by-epoch, after each epoch sync_incremental a filtered
+    serving copy (even turn_idx only) off the changelog, and return the
+    serving table's final state. Exactly-once across hops rides the
+    destination's epoch markers (epoch = source snapshot version). The
+    oracle is the replay LWW state filtered the same way - key-subset
+    filters commute with sync because deletes filter consistently."""
+    import atexit
+    import shutil
+
+    from pyspark.sql import types as T
+
+    from dataingestion_spark.lake import LakeTable, sync_incremental
+    from dataingestion_spark.sources.datagen import gen_changes
+
+    schema = T.StructType(
+        [
+            T.StructField("conv_id", T.StringType()),
+            T.StructField("turn_idx", T.IntegerType()),
+            T.StructField("role", T.StringType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("tool", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    tmp = tempfile.mkdtemp(prefix="cdc_sync_")
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    src = LakeTable.create(
+        spark, f"{tmp}/src", schema,
+        pk_fields=["conv_id", "turn_idx"], order_fields=["lsn", "ts"],
+        num_buckets=8,
+    )
+    dst = LakeTable.create(
+        spark, f"{tmp}/serving", schema,
+        pk_fields=["conv_id", "turn_idx"], order_fields=["lsn", "ts"],
+        num_buckets=4,
+    )
+    changes = gen_changes(
+        spark, n_events=10_000, n_convs=80, max_turns=40, seed=42,
+        hash_mode="md5",
+    )
+    for epoch, lo, hi in [(0, 0, 7_000), (1, 7_000, 10_000)]:
+        part = changes.filter((F.col("lsn") >= lo * 2) & (F.col("lsn") < hi * 2))
+        src.merge(part, pipeline_id="entry", epoch_id=epoch)
+        sync_incremental(
+            src, dst, pipeline_id="serving",
+            transform=lambda b: b.filter(F.col("turn_idx") % 2 == 0),
+        )
+    return dst.read().orderBy("conv_id", "turn_idx")
+
+
 def q_cdc_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental changelog read (Iceberg changelog-scan / Hudi
     incremental-query analog): replay the flagship binlog in two epochs,
@@ -677,6 +729,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcript_cdc_replay": q_transcript_cdc_replay,
         "cdc_partial_replay": q_cdc_partial_replay,
         "cdc_changelog": q_cdc_changelog,
+        "cdc_sync_serving": q_cdc_sync_serving,
         "simhash_fingerprints": q_simhash_fingerprints,
         "media_features": q_media_features,
     }
@@ -1348,6 +1401,11 @@ def oracle_sql() -> dict[str, str]:
         "cdc_changelog": _changelog_sql(
             n_events=10_000, n_convs=80, max_turns=40, seed=42,
             cutoff_lsn=14_000,
+        ),
+        "cdc_sync_serving": (
+            "SELECT * FROM ("
+            + _replay_sql(n_events=10_000, n_convs=80, max_turns=40, seed=42)
+            + ") WHERE turn_idx % 2 = 0"
         ),
         "media_features": """
             WITH m AS (
