@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from dataingestion_spark.operators.parallel import fan_out
+
 
 def _norm_text(col: str) -> Column:
     return F.regexp_replace(F.trim(F.lower(F.col(col))), r"\s+", " ")
@@ -88,9 +90,13 @@ def shingled(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
 ) -> DataFrame:
     """(id, shingle) exploded pairs - the base relation for MinHash and
-    Jaccard. Documents shorter than n words produce no rows."""
+    Jaccard. Documents shorter than n words produce no rows.
+
+    fan_out guards scan parallelism: a one-file corpus otherwise runs the
+    whole shingle+hash pipeline on one core (see operators/parallel.py;
+    no-op at production file counts)."""
     return (
-        df.filter(F.col(text_col).isNotNull())
+        fan_out(df.filter(F.col(text_col).isNotNull()))
         .select(F.col(id_col), F.explode(shingles_expr(text_col, n)).alias("shingle"))
     )
 

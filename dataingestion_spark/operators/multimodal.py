@@ -70,7 +70,12 @@ def extract_features(
     feature_dim: int = 16,
 ) -> DataFrame:
     """Decode + pool each blob into a fixed-size feature vector via
-    mapInPandas (Arrow batches; bytes never cross as Python rows)."""
+    mapInPandas (Arrow batches; bytes never cross as Python rows).
+    fan_out guards scan parallelism: decode is the CPU-dense step, and a
+    one-file corpus would otherwise decode on a single core."""
+    from dataingestion_spark.operators.parallel import fan_out
+
+    df = fan_out(df)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:

@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from dataingestion_spark.operators.parallel import fan_out
+
 
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -64,7 +66,7 @@ def brute_force_topk(
     q = queries.select(
         F.col(query_id_col), _as_double(vec_col).alias("_qvec")
     )
-    c = corpus.select(F.col(id_col), _as_double(vec_col).alias("_cvec"))
+    c = fan_out(corpus).select(F.col(id_col), _as_double(vec_col).alias("_cvec"))
     scored = c.join(F.broadcast(q), F.col(id_col) != F.col(query_id_col)).select(
         query_id_col,
         id_col,
@@ -120,7 +122,7 @@ def lsh_topk(
         _as_double(vec_col).alias("_qvec"),
         sign_bucket_expr(vec_col, n_planes).alias("_bucket"),
     )
-    c = corpus.select(
+    c = fan_out(corpus).select(
         F.col(id_col),
         _as_double(vec_col).alias("_cvec"),
         sign_bucket_expr(vec_col, n_planes).alias("_bucket"),
@@ -193,6 +195,7 @@ def assign_cells(
     ties) centroid cell. Centroids are tiny and broadcast; the corpus side
     never shuffles - the argmax is a map-side max_by aggregate per row id
     over n_centroids candidates."""
+    corpus = fan_out(corpus)
     scored = corpus.join(F.broadcast(centroids)).select(
         corpus["*"],
         F.col("cell"),
@@ -291,7 +294,7 @@ def embedding_near_duplicates(
         n = corpus.count()
         wanted = max(2, math.ceil(math.log2(max(n / target_bucket_rows, 2))))
         n_planes = min(wanted, dim // 2 if dim else wanted)
-    c = corpus.select(
+    c = fan_out(corpus).select(
         F.col(id_col),
         _as_double(vec_col).alias("_v"),
         sign_bucket_expr(vec_col, n_planes).alias("_bucket"),
