@@ -15,6 +15,7 @@ Subcommands:
   datagen    deterministic synthetic change stream (FIXTURES.md §2)
   compact    lake maintenance (small files + tombstone purge)
   vacuum     lake maintenance (snapshot expiry + orphan-file removal)
+  sync       incremental table-to-table hop off the changelog (exactly-once)
 """
 
 from __future__ import annotations
@@ -148,6 +149,16 @@ def main(argv: list[str] | None = None) -> int:
     )
     p.add_argument("--dry-run", action="store_true")
 
+    p = sub.add_parser("sync")
+    _add_common(p)
+    p.add_argument("--src-table", required=True, help="source lake table path")
+    p.add_argument(
+        "--config", required=True,
+        help="destination DatasetConfig JSON (bootstrapped if absent)",
+    )
+    p.add_argument("--pipeline-id", default="sync")
+    p.add_argument("--write-mode", default=None, choices=["cow", "mor"])
+
     a = parser.parse_args(argv)
     spark = build_session(
         app_name=f"cdc-{a.cmd}",
@@ -204,6 +215,25 @@ def main(argv: list[str] | None = None) -> int:
         tbl = LakeTable(spark, cfg.table_path)
         snap = tbl.compact(purge_tombstones_below_lsn=a.purge_tombstones_below_lsn)
         print(json.dumps({"version": snap.version}))
+    elif a.cmd == "sync":
+        from dataingestion_spark.lake import sync_incremental
+
+        cfg = DatasetConfig.load(a.config)
+        src = LakeTable(spark, a.src_table)
+        dst = bootstrap_table(spark, cfg, src.snapshot().schema)
+        snap = sync_incremental(
+            src, dst, pipeline_id=a.pipeline_id,
+            write_mode=a.write_mode or getattr(cfg, "write_mode", "cow"),
+        )
+        print(
+            json.dumps(
+                {
+                    "src_version": src.current_version(),
+                    "dst_version": dst.current_version(),
+                    "applied": snap is not None,
+                }
+            )
+        )
     elif a.cmd == "vacuum":
         cfg = DatasetConfig.load(a.config)
         tbl = LakeTable(spark, cfg.table_path)
