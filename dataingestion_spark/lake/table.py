@@ -194,6 +194,8 @@ class LakeTable:
         # snapshots are immutable once committed - LRU-cache internalized
         # (manifest-resolved) snapshots per version for this handle
         self._snap_cache: OrderedDict[int, Snapshot] = OrderedDict()
+        # per-commit-dir stats sidecars (file-level min/max), also bounded
+        self._stats_cache: dict[str, dict] = {}
 
     # ------------------------------------------------------------------
     # metadata plumbing
@@ -575,11 +577,42 @@ class LakeTable:
         version: int | None = None,
         buckets: list[int] | None = None,
         include_system: bool = False,
+        where: dict[str, tuple] | None = None,
     ) -> DataFrame:
         """Current (or time-travel) table state: live rows only (delta
-        files LWW-resolved against the base for merge-on-read tables)."""
+        files LWW-resolved against the base for merge-on-read tables).
+
+        ``where={col: (lo, hi)}`` (numeric/timestamp closed ranges; either
+        bound may be None) applies file-level min/max DATA SKIPPING before
+        the scan plus an exact residual filter after it - the Iceberg/Delta
+        stats-pruning analog for time-range reads ("transcripts since ts").
+        Skipping only drops whole files proven disjoint from the range, so
+        results equal read().filter(...) exactly. When the candidate
+        buckets carry unresolved MOR delta files the file pruning is
+        SKIPPED (only the residual filter applies): dropping a base file
+        by a payload predicate could change a key's read-time LWW winner -
+        pruning must never see through unresolved overlays. After
+        compact() the table is delta-free and skipping resumes."""
         snap = self.snapshot(version)
-        df = self._resolved(snap, buckets)
+        pruned_map = None
+        if where:
+            has_deltas = any(
+                fl
+                for b, fl in snap.deltas.items()
+                if buckets is None or int(b) in buckets
+            )
+            if not has_deltas:
+                pruned_map, _ = self.candidate_files(snap.version, buckets, where)
+        if pruned_map is not None:
+            df = self._read_files(snap, None, file_map=pruned_map)
+        else:
+            df = self._resolved(snap, buckets)
+        if where:
+            for c, (lo, hi) in where.items():
+                if lo is not None:
+                    df = df.filter(F.col(c) >= F.lit(lo))
+                if hi is not None:
+                    df = df.filter(F.col(c) <= F.lit(hi))
         df = df.filter(~F.coalesce(F.col(DELETED_COL), F.lit(False)))
         if include_system:
             return df
@@ -929,7 +962,147 @@ class LakeTable:
             ]
             if rels:
                 files[bucket] = rels
+        if self.COLLECT_FILE_STATS:
+            self._write_stats_sidecar(commit_dir, files)
         return files
+
+    # ------------------------------------------------------------------
+    # file-level column stats + data skipping (Delta add.stats analog)
+    # ------------------------------------------------------------------
+    # Per-commit sidecar `data/<commit>/.stats.json`: file -> column ->
+    # [min, max] for numeric/timestamp columns (timestamps as epoch
+    # micros). Strings are deliberately NOT collected - a truncated string
+    # max under-estimates and would prune files that match (Iceberg solves
+    # this with upper-bound adjustment; we simply opt strings out).
+    # Sidecars ride the commit dir, so the manifest format, chunk sealing,
+    # structural sharing and vacuum are untouched, and pre-stats commits
+    # degrade to "no pruning for those files" - never a wrong answer.
+    COLLECT_FILE_STATS = True
+
+    @staticmethod
+    def _stat_value(v):
+        import datetime
+
+        if isinstance(v, datetime.datetime):
+            if v.tzinfo is None:
+                v = v.replace(tzinfo=datetime.timezone.utc)
+            return int(v.timestamp() * 1_000_000)
+        if isinstance(v, datetime.date):
+            return v.toordinal()
+        if isinstance(v, bool) or not isinstance(v, (int, float)):
+            return None
+        return v
+
+    def _write_stats_sidecar(
+        self, commit_dir: Path, files: dict[str, list[str]]
+    ) -> None:
+        """Footer-scan the commit's new files (driver-side, O(new files)
+        per epoch - the same order as the manifest write itself). A real
+        cluster writer would collect these inline like Iceberg's writers;
+        the footer pass is the spark-local stand-in."""
+        import pyarrow.parquet as pq
+
+        stats: dict[str, dict[str, list]] = {}
+        for rels in files.values():
+            for rel in rels:
+                md = pq.ParquetFile(str(self.root / rel)).metadata
+                cols: dict[str, list] = {}
+                for rg in range(md.num_row_groups):
+                    g = md.row_group(rg)
+                    for ci in range(g.num_columns):
+                        c = g.column(ci)
+                        s = c.statistics
+                        if s is None or not s.has_min_max or "." in c.path_in_schema:
+                            continue
+                        lo = self._stat_value(s.min)
+                        hi = self._stat_value(s.max)
+                        if lo is None or hi is None:
+                            continue
+                        name = c.path_in_schema
+                        if name in cols:
+                            cols[name] = [min(cols[name][0], lo), max(cols[name][1], hi)]
+                        else:
+                            cols[name] = [lo, hi]
+                if cols:
+                    stats[rel] = cols
+        (commit_dir / ".stats.json").write_text(json.dumps(stats))
+
+    def _stats_for(self, rel_files: list[str]) -> dict[str, dict[str, list]]:
+        """Load the stats covering ``rel_files`` (per-commit sidecars,
+        cached per handle). Files without stats simply don't appear."""
+        out: dict[str, dict[str, list]] = {}
+        dirs = {str(Path(rel).parent.parent) for rel in rel_files}
+        for d in dirs:
+            if d not in self._stats_cache:
+                p = self.root / d / ".stats.json"
+                self._stats_cache[d] = (
+                    json.loads(p.read_text()) if p.is_file() else {}
+                )
+                while len(self._stats_cache) > 64:
+                    self._stats_cache.pop(next(iter(self._stats_cache)))
+        for rel in rel_files:
+            s = self._stats_cache.get(str(Path(rel).parent.parent), {}).get(rel)
+            if s:
+                out[rel] = s
+        return out
+
+    @classmethod
+    def _bound_value(cls, v):
+        b = cls._stat_value(v)
+        if b is None:
+            raise TypeError(
+                f"unsupported pruning bound {v!r} (numeric/timestamp only)"
+            )
+        return b
+
+    def candidate_files(
+        self,
+        version: int | None = None,
+        buckets: list[int] | None = None,
+        where: dict[str, tuple] | None = None,
+    ) -> tuple[dict[str, list[str]], int]:
+        """Stats-pruned base-file map for a read: drop every file whose
+        [min, max] for some predicate column cannot intersect the bound.
+        Returns (kept file map, total candidate count). Files lacking
+        stats for a column are KEPT (legacy commits, string columns)."""
+        snap = self.snapshot(version)
+        source = (
+            snap.files
+            if buckets is None
+            else {str(b): snap.files.get(str(b), []) for b in buckets}
+        )
+        total = sum(len(v) for v in source.values())
+        if not where:
+            return {b: list(fl) for b, fl in source.items() if fl}, total
+        bounds = {
+            c: (
+                None if lo is None else self._bound_value(lo),
+                None if hi is None else self._bound_value(hi),
+            )
+            for c, (lo, hi) in where.items()
+        }
+        all_files = [f for fl in source.values() for f in fl]
+        stats = self._stats_for(all_files)
+        kept: dict[str, list[str]] = {}
+        for b, fl in source.items():
+            keep = []
+            for rel in fl:
+                s = stats.get(rel)
+                drop = False
+                if s:
+                    for c, (lo, hi) in bounds.items():
+                        if c in s:
+                            fmin, fmax = s[c]
+                            if (hi is not None and fmin > hi) or (
+                                lo is not None and fmax < lo
+                            ):
+                                drop = True
+                                break
+                if not drop:
+                    keep.append(rel)
+            if keep:
+                kept[b] = keep
+        return kept, total
 
     def _conform(self, df: DataFrame, schema: T.StructType) -> DataFrame:
         """Project/cast a batch to the (possibly evolved) table schema:

@@ -38,6 +38,11 @@ def build_session(
         "spark.sql.session.timeZone": "UTC",
         # Lake files are immutable once committed; cheap listing.
         "spark.sql.parquet.compression.codec": "snappy",
+        # INT96 (the legacy default) writes NO column statistics and
+        # disables parquet predicate pushdown on timestamps; MICROS gives
+        # both - required for file-level ts data skipping and row-group
+        # pruning on time-range reads.
+        "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
         "spark.sql.shuffle.partitions": str(shuffle_partitions or 32),
         # The engine writes via explicit file manifests, never by
         # overwriting directories - but keep dynamic overwrite semantics
