@@ -396,6 +396,45 @@ def q_doc_near_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id")
 
 
+def q_events_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (kdb / merge_asof / DuckDB ASOF semantics): last-touch
+    attribution - each purchase event gets the user's latest click at or
+    before it. One exchange, union+window plan, no join node
+    (operators/temporal.py asof_join)."""
+    from dataingestion_spark.operators.temporal import asof_join
+
+    ev = _read(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    out = asof_join(
+        purchases, clicks, on=["user_id"], right_payload=["event_id"]
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.col("ts_right").alias("click_ts"),
+        F.col("event_id_right").alias("click_event_id"),
+    ).orderBy("event_id")
+
+
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap sessionization (30-minute timeout) over the event stream:
+    lag + running break-count + session aggregate, one exchange
+    (operators/temporal.py sessionize)."""
+    from dataingestion_spark.operators.temporal import sessionize
+
+    ev = _read(spark, sf_dir, "events")
+    return sessionize(
+        ev, key="user_id", ts_col="ts", gap_s=1800, agg_value="value"
+    ).orderBy("user_id", "session_seq")
+
+
 def q_order_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sort + limit (§2.6): top 10 orders by total price, deterministic
     key tiebreak."""
@@ -714,6 +753,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_dedup_keep": q_doc_dedup_keep,
         "doc_near_dedup_keep": q_doc_near_dedup_keep,
         "order_topn": q_order_topn,
+        "events_asof_attribution": q_events_asof_attribution,
+        "events_sessionize": q_events_sessionize,
         "embedding_ann_lsh": q_embedding_ann_lsh,
         "embedding_ivf_topk": q_embedding_ivf_topk,
         "doc_fingerprint": q_doc_fingerprint,
@@ -1402,6 +1443,33 @@ def oracle_sql() -> dict[str, str]:
             n_events=10_000, n_convs=80, max_turns=40, seed=42,
             cutoff_lsn=14_000,
         ),
+        "events_asof_attribution": """
+            SELECT p.event_id, p.user_id, p.ts, p.value,
+                   c.ts AS click_ts, c.event_id AS click_event_id
+            FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+            ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+              ON p.user_id = c.user_id AND p.ts >= c.ts
+        """,
+        "events_sessionize": """
+            WITH g AS (
+              SELECT user_id, ts, value,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                            OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                               > 1800000000
+                          THEN 1 ELSE 0 END AS brk
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ),
+            s AS (
+              SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                       ROWS UNBOUNDED PRECEDING) AS session_seq
+              FROM g
+            )
+            SELECT user_id, session_seq,
+                   min(ts) AS session_start, max(ts) AS session_end,
+                   count(*) AS n_events, round(sum(value), 6) AS total_value
+            FROM s GROUP BY user_id, session_seq
+        """,
         "cdc_sync_serving": (
             "SELECT * FROM ("
             + _replay_sql(n_events=10_000, n_convs=80, max_turns=40, seed=42)
