@@ -926,7 +926,11 @@ class LakeTable:
         )
 
     def _write_data_files(
-        self, df: DataFrame, target_partitions: int, pre_partitioned: bool = False
+        self,
+        df: DataFrame,
+        target_partitions: int,
+        pre_partitioned: bool = False,
+        cluster_by: list[str] | None = None,
     ) -> dict[str, list[str]]:
         """Write rows (must carry BUCKET_COL, and SALT_COL if salted) as
         immutable files under a fresh commit dir; returns bucket->files.
@@ -951,6 +955,15 @@ class LakeTable:
             )
         if SALT_COL in df.columns:
             out = out.drop(SALT_COL)
+        if cluster_by:
+            # Cluster rows inside each written file (compaction's Z-order-
+            # lite): sort by (_pb, keys) so parquet row groups carry tight
+            # key/ts ranges for row-group pruning. The partition column
+            # leads the sort so the file writer's required ordering is a
+            # prefix of ours and it inserts NO second sort of its own.
+            out = out.sortWithinPartitions(
+                _PARTITION_DIR_COL, *[F.col(c) for c in cluster_by]
+            )
         out.write.partitionBy(_PARTITION_DIR_COL).mode("append").parquet(
             str(commit_dir)
         )
@@ -2070,11 +2083,20 @@ class LakeTable:
         self,
         purge_tombstones_below_lsn: int | None = None,
         buckets: list[int] | None = None,
+        cluster: bool = True,
     ) -> Snapshot:
         """Rewrite buckets to merge small files and fold outstanding
         merge-on-read deltas into the base; optionally purge tombstones
         whose _lsn is below a watermark the stream has passed (safe: no
-        in-flight event can carry a lower lsn)."""
+        in-flight event can carry a lower lsn).
+
+        ``cluster`` (default) additionally sorts rows by the pk inside
+        each rewritten file so parquet row groups carry tight key ranges -
+        point lookups and key-range scans then skip row groups via the
+        ordinary parquet pushdown, complementing the file-level stats
+        sidecars. Compaction is exactly where clustering belongs: the
+        ingest path stays sort-free and the background rewrite pays the
+        sort once per file, off the hot path."""
         snap = self.snapshot()
         if buckets is not None:
             target = buckets
@@ -2104,7 +2126,11 @@ class LakeTable:
                     & (F.col(LSN_COL) < purge_tombstones_below_lsn)
                 )
             )
-        new_files = self._write_data_files(df, target_partitions=max(len(target), 1))
+        new_files = self._write_data_files(
+            df,
+            target_partitions=max(len(target), 1),
+            cluster_by=list(snap.pk_fields) if cluster else None,
+        )
         files = {k: list(v) for k, v in snap.files.items()}
         deltas = {k: list(v) for k, v in snap.deltas.items()}
         for b in set(target) | {int(b) for b in new_files}:

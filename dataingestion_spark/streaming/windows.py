@@ -51,3 +51,35 @@ def windowed_event_counts(
             "max_lsn",
         )
     )
+
+
+def session_event_counts(
+    stream: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 minutes",
+    group_col: str = "conv_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Event-time SESSION windows (Spark's native ``session_window``):
+    per group, a session extends while consecutive events arrive within
+    ``gap``; the watermark finalizes and evicts sessions once event time
+    passes their end + allowed lateness - the streaming counterpart of
+    the batch ``operators/temporal.py sessionize`` (which numbers a key's
+    complete history; this one emits sessions incrementally with bounded
+    state).
+
+    Returns (session_start, session_end, <group_col>, n_events)."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.session_window(F.col(ts_col), gap).alias("w"),
+            F.col(group_col),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            F.col(group_col),
+            "n_events",
+        )
+    )

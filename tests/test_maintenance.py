@@ -116,3 +116,26 @@ def test_expire_dry_run_deletes_nothing(spark, tmp_path):
     would = tbl.expire_snapshots(keep_last=1, dry_run=True)
     assert would == all_versions[:-1]
     assert [s.version for s in tbl.history()] == all_versions
+
+
+def test_compact_clusters_rows_by_pk(spark, tmp_table_dir):
+    """cluster=True (default) sorts rows by pk inside each rewritten file
+    so parquet row groups carry tight key ranges."""
+    import pyarrow.parquet as pq
+
+    tbl = _make_table(spark, tmp_table_dir, epochs=3)
+    before = tbl.read().toPandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    snap = tbl.compact()
+    after = tbl.read().toPandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    import pandas as pd
+    pd.testing.assert_frame_equal(before, after, check_dtype=False)
+    # every compacted file is pk-sorted
+    checked = 0
+    for fl in snap.files.values():
+        for rel in fl:
+            t = pq.read_table(str(tbl.root / rel), columns=["conv_id", "turn_idx"]).to_pandas()
+            if len(t) > 1:
+                s = t.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+                pd.testing.assert_frame_equal(t.reset_index(drop=True), s)
+                checked += 1
+    assert checked > 0

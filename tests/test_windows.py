@@ -63,3 +63,57 @@ def test_windowed_counts_match_batch(spark, tmp_path):
         merged["max_lsn_s"], merged["max_lsn_b"],
         check_names=False, check_dtype=False,
     )
+
+
+def test_session_windows_match_batch(spark, tmp_path):
+    """Streaming session_window (native Spark session windows, the
+    incremental counterpart of operators/temporal.sessionize) finalizes
+    exactly the sessions the batch aggregate computes."""
+    from dataingestion_spark.streaming.windows import session_event_counts
+
+    changes = gen_changes(spark, n_events=2_000, n_convs=20, n_files=1, seed=17)
+    changes = changes.withColumn(
+        "source_file",
+        F.format_string("chunk_%05d", (F.col("lsn") / 1400).cast("int")),
+    )
+    changes.persist()
+    write_change_files(changes, tmp_path / "landing_s")
+
+    stream = (
+        spark.readStream.schema(changes.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "landing_s"))
+    )
+    q = (
+        session_event_counts(stream, gap="30 seconds", watermark="2 minutes")
+        .writeStream.format("memory")
+        .queryName("sess_counts")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_s"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+
+    got = spark.table("sess_counts").toPandas()
+    want = (
+        changes.groupBy(
+            F.session_window("ts", "30 seconds").alias("w"), "conv_id"
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "conv_id", "n_events",
+        )
+        .toPandas()
+    )
+    changes.unpersist()
+    assert not got.empty
+    key = ["session_start", "conv_id"]
+    merged = got.merge(want, on=key, suffixes=("_s", "_b"))
+    assert len(merged) == len(got), "streamed session missing from batch result"
+    pd.testing.assert_series_equal(
+        merged["n_events_s"], merged["n_events_b"],
+        check_names=False, check_dtype=False,
+    )
