@@ -53,6 +53,10 @@ BENCH_QUERIES = [
     "doc_near_dup_pairs",
     "embedding_topk",
     "embedding_ivf_topk",
+    # round-3 features
+    "cdc_changelog",
+    "events_asof_attribution",
+    "events_sessionize",
 ]
 
 

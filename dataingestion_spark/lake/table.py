@@ -1133,7 +1133,7 @@ class LakeTable:
         ]
         return df.select(*cols, *[F.col(c) for c in extra])
 
-    def append(
+    def _append_once(
         self,
         df: DataFrame,
         pipeline_id: str | None = None,
@@ -1235,7 +1235,61 @@ class LakeTable:
     # ------------------------------------------------------------------
     # MERGE - the heart of the engine
     # ------------------------------------------------------------------
-    def merge(
+    # Optimistic-concurrency retry (Iceberg's commit loop): a writer that
+    # loses the O_EXCL snapshot race re-runs its WHOLE operation against
+    # the winner's freshly-committed state - every *_once body re-reads
+    # self.snapshot() and re-checks its epoch marker at entry, so a retry
+    # after a same-pipeline duplicate commit degrades to the idempotent
+    # skip, and a retry after an unrelated commit (compaction racing the
+    # ingest writer) recomputes against the new file layout. Data files
+    # written by a failed attempt are unreferenced and reclaimed by
+    # vacuum().
+    #
+    # Contention model: full recompute per retry is ALWAYS correct but
+    # means a writer whose operation takes T can be starved by a
+    # committer with cadence < T. That cannot happen inside the
+    # deployment contract - one ingest writer per table plus PERIODIC
+    # maintenance (minute-scale cadence vs second-scale epochs), the same
+    # single-writer-plus-table-services model Hudi/Iceberg deployments
+    # run without a lock provider. Under sustained contention the loser
+    # surfaces CommitConflictError after bounded retries - maintenance
+    # loops treat that as "yield to the writer" (see maybe_compact
+    # callers / tests); the metadata-level rebase that would make retries
+    # O(ms) instead of O(job) is the documented cluster-grade upgrade.
+    COMMIT_RETRIES = 3
+
+    def _retry_commit(self, fn):
+        for attempt in range(self.COMMIT_RETRIES + 1):
+            try:
+                return fn()
+            except CommitConflictError:
+                if attempt == self.COMMIT_RETRIES:
+                    # sustained contention: surface it - under a busy
+                    # ingest writer a maintenance pass SHOULD yield rather
+                    # than spin (callers loop anyway)
+                    raise
+                # linear backoff so the retry doesn't re-race the very
+                # next commit of a busy writer (amount is irrelevant next
+                # to the recompute the retry performs)
+                time.sleep(0.05 * (attempt + 1))
+
+    def merge(self, changes: DataFrame, **kwargs) -> Snapshot | None:
+        """Keyed MERGE upsert with optimistic commit retries; semantics
+        and parameters documented on :meth:`_merge_once`."""
+        return self._retry_commit(lambda: self._merge_once(changes, **kwargs))
+
+    def append(self, df: DataFrame, **kwargs) -> Snapshot | None:
+        """Insert-only append with optimistic commit retries; see
+        :meth:`_append_once`."""
+        return self._retry_commit(lambda: self._append_once(df, **kwargs))
+
+    def compact(self, **kwargs) -> Snapshot:
+        """Compaction with optimistic commit retries (it races ingest
+        writers by design - maintenance runs off the hot path); see
+        :meth:`_compact_once`."""
+        return self._retry_commit(lambda: self._compact_once(**kwargs))
+
+    def _merge_once(
         self,
         changes: DataFrame,
         pipeline_id: str | None = None,
@@ -2079,7 +2133,7 @@ class LakeTable:
             return None
         return self.compact(buckets=due)
 
-    def compact(
+    def _compact_once(
         self,
         purge_tombstones_below_lsn: int | None = None,
         buckets: list[int] | None = None,
