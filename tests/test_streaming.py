@@ -131,3 +131,37 @@ def test_crash_replay_of_same_epoch_is_skipped(spark, tmp_path):
     assert tbl.current_version() == v
     after = tbl.read().toPandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(before, after)
+
+
+def test_streaming_apply_partial_update_mode(spark, tmp_path):
+    """End-to-end streaming partial updates: $set-style masked UPDATE
+    payloads staged and applied through the real streaming path with
+    config.update_mode='partial', final state equal to the reference
+    oracle's dict-merge replay (demo/test_pipeline.sh:244-262). One
+    availableNow drain: partial semantics assume per-key in-order
+    delivery across epochs (the binlog guarantee); within a batch the
+    fold orders by lsn."""
+    from tests.test_partial_update import _partialize
+
+    d = _dirs(tmp_path)
+    changes = _partialize(
+        gen_changes(spark, n_events=3_000, n_convs=40, max_turns=12, seed=37,
+                    hash_mode="md5")
+    )
+    changes.persist()
+    write_change_files(changes, d["landing"])
+    config = DatasetConfig(
+        name="transcripts", table_path=d["table"], num_buckets=4,
+        salt_buckets=4, update_mode="partial",
+    )
+    bootstrap_table(spark, config, TRANSCRIPT_SCHEMA)
+    q = stage_changes(spark, d["landing"], d["staged"], d["ckpt1"], changes.schema)
+    q.awaitTermination(120)
+    q = apply_changes(spark, config, d["staged"], d["ckpt2"])
+    q.awaitTermination(240)
+    from dataingestion_spark.oracle import replay_partial
+
+    want = replay_partial(changes.toPandas())
+    changes.unpersist()
+    tbl = LakeTable(spark, d["table"])
+    assert_table_equals_oracle(tbl.read(), want)

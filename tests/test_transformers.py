@@ -106,3 +106,27 @@ def test_bare_name_discovery():
 
     with pytest.raises(ValueError, match="name discovery"):
         load_transformer("NoSuchTransformerAnywhere")
+
+
+def test_pyfiles_zip_is_self_contained(tmp_path):
+    """The spark-submit --py-files artifact imports without the repo on
+    the path (what executors see on a real cluster)."""
+    import subprocess
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from tools.build_pyfiles import build
+
+    z = build(tmp_path / "dataingestion_spark.zip")
+    code = (
+        "import sys; sys.path.insert(0, %r); "
+        "import dataingestion_spark.cli, dataingestion_spark.lake.sync, "
+        "dataingestion_spark.operators.temporal; print('zip-import-ok')"
+        % str(z)
+    )
+    r = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True, text=True, cwd=str(tmp_path),
+        env={"PATH": "/usr/bin:/bin", "PYTHONPATH": ""},
+    )
+    assert "zip-import-ok" in r.stdout, r.stderr
