@@ -1190,47 +1190,151 @@ class LakeTable:
         deltas: dict[str, list[str]] | None = None,
         partial_buckets_add: list[str] | None = None,
     ) -> Snapshot:
-        props = json.loads(json.dumps(parent.properties))  # deep copy
-        if pipeline_id is not None and epoch_id is not None:
-            props.setdefault("pipelines", {})[pipeline_id] = {"last_epoch": int(epoch_id)}
-        # partial_delta_buckets tracks which buckets' delta chains contain
-        # per-column overlay rows (update_mode='partial' MOR commits) and
-        # therefore need the partial-aware read resolution. Invariant kept
-        # here for EVERY commit: a bucket leaves the set the moment its
-        # delta chain is cleared (COW rewrite or compaction folds overlays
-        # into full rows).
-        eff_deltas = (
-            deltas if deltas is not None else parent.deltas
-        )
-        plist = {
-            b
-            for b in props.get("partial_delta_buckets", [])
-            if eff_deltas.get(str(b))
-        }
-        plist.update(partial_buckets_add or [])
-        if plist:
-            props["partial_delta_buckets"] = sorted(plist, key=int)
-        else:
-            props.pop("partial_delta_buckets", None)
-        snap = Snapshot(
-            version=parent.version + 1,
-            parent=parent.version,
-            schema_json=json.loads(schema.json()),
-            schema_version=schema_version,
-            num_buckets=parent.num_buckets,
-            pk_fields=parent.pk_fields,
-            order_fields=parent.order_fields,
-            files=files,
-            properties=props,
-            operation=operation,
-            summary={k: v for k, v in summary.items() if v is not None},
-            deltas=(
-                deltas
-                if deltas is not None
-                else {k: list(v) for k, v in parent.deltas.items()}
-            ),
-        )
-        return self._commit(snap, parent=parent)
+        while True:
+            props = json.loads(json.dumps(parent.properties))  # deep copy
+            if pipeline_id is not None and epoch_id is not None:
+                props.setdefault("pipelines", {})[pipeline_id] = {
+                    "last_epoch": int(epoch_id)
+                }
+            # partial_delta_buckets tracks which buckets' delta chains
+            # contain per-column overlay rows (update_mode='partial' MOR
+            # commits) and therefore need the partial-aware read
+            # resolution. Invariant kept here for EVERY commit: a bucket
+            # leaves the set the moment its delta chain is cleared (COW
+            # rewrite or compaction folds overlays into full rows).
+            eff_deltas = deltas if deltas is not None else parent.deltas
+            plist = {
+                b
+                for b in props.get("partial_delta_buckets", [])
+                if eff_deltas.get(str(b))
+            }
+            plist.update(partial_buckets_add or [])
+            if plist:
+                props["partial_delta_buckets"] = sorted(plist, key=int)
+            else:
+                props.pop("partial_delta_buckets", None)
+            snap = Snapshot(
+                version=parent.version + 1,
+                parent=parent.version,
+                schema_json=json.loads(schema.json()),
+                schema_version=schema_version,
+                num_buckets=parent.num_buckets,
+                pk_fields=parent.pk_fields,
+                order_fields=parent.order_fields,
+                files=files,
+                properties=props,
+                operation=operation,
+                summary={k: v for k, v in summary.items() if v is not None},
+                deltas=(
+                    deltas
+                    if deltas is not None
+                    else {k: list(v) for k, v in parent.deltas.items()}
+                ),
+            )
+            try:
+                return self._commit(snap, parent=parent)
+            except CommitConflictError:
+                head, files, deltas = self._rebase_onto_head(
+                    parent, files, deltas, pipeline_id, epoch_id
+                )  # raises the conflict onward when not provably safe
+                parent = head
+
+    def _rebase_onto_head(
+        self,
+        parent: Snapshot,
+        files: dict[str, list[str]],
+        deltas: dict[str, list[str]] | None,
+        pipeline_id: str | None,
+        epoch_id: int | None,
+    ) -> tuple[Snapshot, dict[str, list[str]], dict[str, list[str]] | None]:
+        """Metadata-level commit rebase (Iceberg's cheap retry): after
+        losing the snapshot race, re-point this commit's ALREADY-COMPUTED
+        outputs at the new head instead of re-running the Spark job -
+        valid only when the result provably doesn't depend on what the
+        intervening commits changed. Conservative rules; anything else
+        re-raises and the operation-level retry recomputes:
+
+          * schema raced -> recompute (the job conformed to a stale
+            schema).
+          * intervening commits touch NONE of our changed buckets -> our
+            outputs are independent of them; splice our bucket lists onto
+            the head's.
+          * intervening commits touch our buckets but are ALL
+            state-preserving compactions (no tombstone purge) -> a COW
+            rewrite or a fresh delta computed from the pre-compaction
+            rows is still byte-correct against the compacted base (same
+            logical rows; delta rows order above any base row), so the
+            splice remains valid. An intervening MERGE on our buckets
+            always recomputes - its rows must feed our fold.
+
+        Splice rule per changed bucket: an append-style change (our list
+        extends the parent's) keeps the head's list plus our new suffix;
+        a replace-style change (COW rewrite, compaction, delta clear)
+        keeps ours wholesale."""
+        try:
+            head = self.snapshot()
+            if head.schema_version != parent.schema_version:
+                raise CommitConflictError("schema raced during commit")
+            if pipeline_id is not None and epoch_id is not None:
+                marker = (
+                    head.properties.get("pipelines", {})
+                    .get(pipeline_id, {})
+                    .get("last_epoch", -1)
+                )
+                if int(marker) >= int(epoch_id):
+                    # a racing clone of OUR pipeline already landed this
+                    # epoch - splicing would double-apply it; the
+                    # operation-level retry skips idempotently instead
+                    raise CommitConflictError(
+                        f"epoch {epoch_id} of {pipeline_id} committed "
+                        "concurrently"
+                    )
+            eff_deltas = deltas if deltas is not None else dict(parent.deltas)
+            ours_f = {
+                b
+                for b in set(files) | set(parent.files)
+                if files.get(b, []) != parent.files.get(b, [])
+            }
+            ours_d = {
+                b
+                for b in set(eff_deltas) | set(parent.deltas)
+                if eff_deltas.get(b, []) != parent.deltas.get(b, [])
+            }
+            ours = ours_f | ours_d
+            theirs = {str(b) for b in self.changed_buckets(parent.version, head.version)}
+            if ours & theirs:
+                for v in range(parent.version + 1, head.version + 1):
+                    s = self.snapshot(v)
+                    if s.operation != "compact" or s.summary.get("purged_below_lsn"):
+                        raise CommitConflictError(
+                            f"concurrent {s.operation} touched this commit's "
+                            "buckets; recompute required"
+                        )
+
+            def _splice(ours_set, our_map, par_map, head_map):
+                out = {b: list(fl) for b, fl in head_map.items()}
+                for b in ours_set:
+                    mine = our_map.get(b, [])
+                    par = par_map.get(b, [])
+                    if par and mine[: len(par)] == par:
+                        out[b] = head_map.get(b, []) + mine[len(par):]
+                    else:
+                        out[b] = list(mine)
+                    if not out[b]:
+                        out.pop(b, None)
+                return out
+
+            new_files = _splice(ours_f, files, parent.files, head.files)
+            new_deltas = (
+                None
+                if deltas is None
+                else _splice(ours_d, eff_deltas, parent.deltas, head.deltas)
+            )
+            return head, new_files, new_deltas
+        except CommitConflictError:
+            raise
+        except Exception as e:  # pragma: no cover - unexpected: stay safe
+            raise CommitConflictError(f"rebase aborted: {e!r}") from e
 
     # ------------------------------------------------------------------
     # MERGE - the heart of the engine
@@ -1245,17 +1349,17 @@ class LakeTable:
     # written by a failed attempt are unreferenced and reclaimed by
     # vacuum().
     #
-    # Contention model: full recompute per retry is ALWAYS correct but
-    # means a writer whose operation takes T can be starved by a
-    # committer with cadence < T. That cannot happen inside the
-    # deployment contract - one ingest writer per table plus PERIODIC
-    # maintenance (minute-scale cadence vs second-scale epochs), the same
-    # single-writer-plus-table-services model Hudi/Iceberg deployments
-    # run without a lock provider. Under sustained contention the loser
-    # surfaces CommitConflictError after bounded retries - maintenance
-    # loops treat that as "yield to the writer" (see maybe_compact
-    # callers / tests); the metadata-level rebase that would make retries
-    # O(ms) instead of O(job) is the documented cluster-grade upgrade.
+    # Contention model: a losing commit first tries a METADATA-LEVEL
+    # REBASE (_rebase_onto_head - Iceberg's cheap retry): when the
+    # intervening commits provably cannot affect this commit's outputs
+    # (they touch disjoint buckets, or are state-preserving compactions
+    # of ours), the already-computed files are re-pointed at the new head
+    # in O(ms) with no Spark re-run - so the ingest writer can never be
+    # starved by maintenance. Only a TRUE overlap (a concurrent MERGE
+    # into our buckets, a schema race, a purging compaction) falls back
+    # to the full recompute below, and only a sustained stream of such
+    # overlaps exhausts the budget - at which point CommitConflictError
+    # surfaces and maintenance loops treat it as "yield to the writer".
     COMMIT_RETRIES = 3
 
     def _retry_commit(self, fn):
@@ -2192,7 +2296,12 @@ class LakeTable:
             deltas.pop(str(b), None)
         return self._commit_write(
             snap, files, snap.schema, snap.schema_version, "compact", None, None,
-            {"compacted_buckets": [int(b) for b in target]},
+            {
+                "compacted_buckets": [int(b) for b in target],
+                # rebase guard: a purging compaction is NOT state-preserving,
+                # so concurrent commits must recompute rather than splice
+                "purged_below_lsn": purge_tombstones_below_lsn,
+            },
             deltas=deltas,
         )
 

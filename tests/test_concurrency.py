@@ -94,9 +94,9 @@ def test_compaction_racing_ingest(spark, tmp_table_dir):
     done = threading.Event()
 
     def compact_loop():
-        # periodic like real maintenance - the contention-model comment on
-        # LakeTable.COMMIT_RETRIES: maintenance cadence must exceed epoch
-        # duration, else full-recompute retries starve the writer
+        # hot cadence on purpose: the ingest side REBASES past compact
+        # commits in O(ms) (see COMMIT_RETRIES contention model), so even
+        # aggressive maintenance cannot starve the writer
         while not done.is_set():
             try:
                 maint.compact()
@@ -106,7 +106,7 @@ def test_compaction_racing_ingest(spark, tmp_table_dir):
             except Exception as e:  # pragma: no cover
                 errs.append(e)
                 return
-            done.wait(2.0)
+            done.wait(0.3)
 
     t = threading.Thread(target=compact_loop)
     t.start()
@@ -126,3 +126,127 @@ def test_compaction_racing_ingest(spark, tmp_table_dir):
     expected = oracle.replay(changes.toPandas())
     changes.unpersist()
     assert_table_equals_oracle(tbl.read(), expected)
+
+
+def _stale_once(handle, stale):
+    """Make the handle's next snapshot() call return a stale snapshot -
+    deterministic stand-in for losing a commit race."""
+    orig = handle.snapshot
+    state = {"used": False}
+
+    def snap(version=None):
+        if version is None and not state["used"]:
+            state["used"] = True
+            return stale
+        return orig(version)
+
+    handle.snapshot = snap
+    return lambda: setattr(handle, "snapshot", orig)
+
+
+def _spy_rebase(monkeypatch):
+    calls = {"rebase": 0, "merge_once": 0}
+    orig_rb = LakeTable._rebase_onto_head
+    orig_mo = LakeTable._merge_once
+
+    def rb(self, *a, **k):
+        calls["rebase"] += 1
+        return orig_rb(self, *a, **k)
+
+    def mo(self, *a, **k):
+        calls["merge_once"] += 1
+        return orig_mo(self, *a, **k)
+
+    monkeypatch.setattr(LakeTable, "_rebase_onto_head", rb)
+    monkeypatch.setattr(LakeTable, "_merge_once", mo)
+    return calls
+
+
+def _batch(spark, conv, turn, text, lsn):
+    return spark.createDataFrame(
+        [("INSERT", conv, turn, "user", text, None, 100 + lsn, lsn, "f")],
+        "op string, conv_id string, turn_idx int, role string, text string,"
+        " tool string, ts long, lsn long, source_file string",
+    ).withColumn("ts", F.timestamp_seconds("ts"))
+
+
+def _two_convs_in_different_buckets(spark, num_buckets=4):
+    from dataingestion_spark.lake.table import bucket_expr
+    from pyspark.sql import types as T
+
+    cands = [f"conv_{i}" for i in range(32)]
+    df = spark.createDataFrame([(c,) for c in cands], "conv_id string")
+    rows = df.select(
+        "conv_id",
+        bucket_expr("conv_id", num_buckets, T.StringType()).alias("b"),
+    ).collect()
+    by_bucket = {}
+    for r in rows:
+        by_bucket.setdefault(r["b"], r["conv_id"])
+        if len(by_bucket) >= 2:
+            break
+    (b1, c1), (b2, c2) = list(by_bucket.items())[:2]
+    assert b1 != b2
+    return c1, c2
+
+
+def test_rebase_splices_disjoint_bucket_commit(spark, tmp_table_dir, monkeypatch):
+    """Interloper merged a DIFFERENT bucket: the stale commit rebases at
+    metadata level - the Spark job runs once, both rows land."""
+    c1, c2 = _two_convs_in_different_buckets(spark)
+    tbl = _make_table(spark, tmp_table_dir)
+    other = LakeTable(spark, tmp_table_dir)
+    stale = tbl.snapshot()
+    other.merge(_batch(spark, c1, 0, "interloper", 10), pipeline_id="p1", epoch_id=0)
+    calls = _spy_rebase(monkeypatch)  # after the interloper: count OUR runs only
+    restore = _stale_once(tbl, stale)
+    try:
+        tbl.merge(_batch(spark, c2, 0, "rebased", 20), pipeline_id="p2", epoch_id=0)
+    finally:
+        restore()
+    assert calls["rebase"] == 1
+    assert calls["merge_once"] == 1, "rebase must not re-run the job"
+    got = tbl.read().toPandas().sort_values("conv_id")
+    assert sorted(got["text"]) == ["interloper", "rebased"]
+    assert tbl.last_applied_epoch("p1") == 0 and tbl.last_applied_epoch("p2") == 0
+
+
+def test_rebase_allows_compact_intervener_same_bucket(spark, tmp_table_dir, monkeypatch):
+    """Interloper COMPACTED our bucket (state-preserving): splice stays
+    valid, the merge job is not re-run."""
+    c1, _ = _two_convs_in_different_buckets(spark)
+    tbl = _make_table(spark, tmp_table_dir)
+    tbl.merge(_batch(spark, c1, 0, "base", 10), pipeline_id="p", epoch_id=0)
+    maint = LakeTable(spark, tmp_table_dir)
+    stale = tbl.snapshot()
+    maint.compact()
+    calls = _spy_rebase(monkeypatch)  # after the intervener: count OUR runs only
+    restore = _stale_once(tbl, stale)
+    try:
+        tbl.merge(_batch(spark, c1, 1, "after-compact", 20), pipeline_id="p", epoch_id=1)
+    finally:
+        restore()
+    assert calls["rebase"] == 1 and calls["merge_once"] == 1
+    got = tbl.read().toPandas().sort_values("turn_idx")
+    assert list(got["text"]) == ["base", "after-compact"]
+
+
+def test_rebase_refuses_merge_overlap_and_recomputes(spark, tmp_table_dir, monkeypatch):
+    """Interloper MERGED the same key: splice is unsound (its rows must
+    feed our LWW fold), so the commit recomputes - and the recompute's
+    fold sees the interloper's row."""
+    c1, _ = _two_convs_in_different_buckets(spark)
+    tbl = _make_table(spark, tmp_table_dir)
+    other = LakeTable(spark, tmp_table_dir)
+    stale = tbl.snapshot()
+    other.merge(_batch(spark, c1, 0, "older", 10), pipeline_id="p1", epoch_id=0)
+    calls = _spy_rebase(monkeypatch)  # after the interloper: count OUR runs only
+    restore = _stale_once(tbl, stale)
+    try:
+        tbl.merge(_batch(spark, c1, 0, "newer", 20), pipeline_id="p2", epoch_id=0)
+    finally:
+        restore()
+    assert calls["rebase"] >= 1
+    assert calls["merge_once"] == 2, "overlap must force a recompute"
+    got = tbl.read().toPandas()
+    assert list(got["text"]) == ["newer"]  # LWW by lsn across both writers
