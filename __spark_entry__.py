@@ -537,6 +537,79 @@ def q_transcript_cdc_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tbl.read().orderBy("conv_id", "turn_idx")
 
 
+def _flagship_table(spark: SparkSession, prefix: str):
+    """Replay the flagship md5-portable binlog (same parameters as
+    q_transcript_cdc_replay / _replay_sql) into a fresh lake table and
+    return the handle - shared fixture for the DML / point-lookup
+    queries whose oracles compose over _replay_sql()."""
+    import atexit
+    import shutil
+
+    from pyspark.sql import types as T
+
+    from dataingestion_spark.lake import LakeTable
+    from dataingestion_spark.sources.datagen import gen_changes
+
+    schema = T.StructType(
+        [
+            T.StructField("conv_id", T.StringType()),
+            T.StructField("turn_idx", T.IntegerType()),
+            T.StructField("role", T.StringType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("tool", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    tmp = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    tbl = LakeTable.create(
+        spark, f"{tmp}/transcripts", schema,
+        pk_fields=["conv_id", "turn_idx"], order_fields=["lsn", "ts"],
+        num_buckets=8,
+    )
+    changes = gen_changes(
+        spark, n_events=10_000, n_convs=80, max_turns=40, seed=42,
+        hash_mode="md5",
+    )
+    tbl.merge(changes, pipeline_id="entry", epoch_id=0)
+    return tbl
+
+
+def q_cdc_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate DELETE on the lake (GDPR-erasure shape): replay the
+    flagship binlog, tombstone every 'tool' turn with
+    LakeTable.delete_where (bucket-pruned copy-on-write rewrite over the
+    snapshot machinery - Iceberg DELETE FROM analog), return the final
+    state. Oracle: the portable replay filtered by the same predicate."""
+    tbl = _flagship_table(spark, "cdc_delw_")
+    tbl.delete_where("role = 'tool'")
+    return tbl.read().orderBy("conv_id", "turn_idx")
+
+
+def q_cdc_update_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate UPDATE on the lake (redaction/backfill shape): replay
+    the flagship binlog, redact every user turn's text and clear its tool
+    column via LakeTable.update_where (Iceberg UPDATE ... WHERE analog),
+    return the final state. Oracle: the portable replay with the same
+    CASE projection."""
+    tbl = _flagship_table(spark, "cdc_updw_")
+    tbl.update_where(
+        "role = 'user'", {"text": F.lit("[redacted]"), "tool": None}
+    )
+    return tbl.read().orderBy("conv_id", "turn_idx")
+
+
+def q_cdc_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serving-side point lookups: replay the flagship binlog, then fetch
+    a deterministic key subset (conversations whose id ends in '0') with
+    LakeTable.read_keys - bucket-pruned to the keys' buckets, broadcast
+    semi-join, never a table scan. Oracle: the portable replay filtered
+    to the same conversations."""
+    tbl = _flagship_table(spark, "cdc_ptlk_")
+    keys = tbl.read().filter("conv_id LIKE '%0'").select("conv_id", "turn_idx")
+    return tbl.read_keys(keys).orderBy("conv_id", "turn_idx")
+
+
 def q_cdc_sync_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chained CDC hop: replay the flagship binlog into a source lake
     table epoch-by-epoch, after each epoch sync_incremental a filtered
@@ -771,6 +844,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_partial_replay": q_cdc_partial_replay,
         "cdc_changelog": q_cdc_changelog,
         "cdc_sync_serving": q_cdc_sync_serving,
+        "cdc_delete_where": q_cdc_delete_where,
+        "cdc_update_where": q_cdc_update_where,
+        "cdc_point_lookup": q_cdc_point_lookup,
         "simhash_fingerprints": q_simhash_fingerprints,
         "media_features": q_media_features,
     }
@@ -1474,6 +1550,24 @@ def oracle_sql() -> dict[str, str]:
             "SELECT * FROM ("
             + _replay_sql(n_events=10_000, n_convs=80, max_turns=40, seed=42)
             + ") WHERE turn_idx % 2 = 0"
+        ),
+        "cdc_delete_where": (
+            "SELECT * FROM ("
+            + _replay_sql(n_events=10_000, n_convs=80, max_turns=40, seed=42)
+            + ") WHERE role <> 'tool'"
+        ),
+        "cdc_update_where": (
+            "SELECT conv_id, turn_idx, role,"
+            " CASE WHEN role = 'user' THEN '[redacted]' ELSE text END AS text,"
+            " CASE WHEN role = 'user' THEN NULL ELSE tool END AS tool, ts"
+            " FROM ("
+            + _replay_sql(n_events=10_000, n_convs=80, max_turns=40, seed=42)
+            + ")"
+        ),
+        "cdc_point_lookup": (
+            "SELECT * FROM ("
+            + _replay_sql(n_events=10_000, n_convs=80, max_turns=40, seed=42)
+            + ") WHERE conv_id LIKE '%0'"
         ),
         "media_features": """
             WITH m AS (

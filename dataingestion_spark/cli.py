@@ -120,6 +120,11 @@ def main(argv: list[str] | None = None) -> int:
         "--trigger", default=None,
         help="processing-time cadence: fast|normal|slow|'45 seconds'",
     )
+    p.add_argument(
+        "--quarantine", default=None,
+        help="dead-letter dir: unmergeable rows (null pk/lsn, unknown op) "
+        "are rejected there instead of reaching the merge",
+    )
 
     p = sub.add_parser("datagen")
     _add_common(p)
@@ -148,6 +153,25 @@ def main(argv: list[str] | None = None) -> int:
         "removed (keeps vacuum safe beside concurrent writers)",
     )
     p.add_argument("--dry-run", action="store_true")
+
+    p = sub.add_parser("delete")
+    _add_common(p)
+    p.add_argument("--config", required=True)
+    p.add_argument(
+        "--where", required=True,
+        help="SQL predicate over the table schema; matching live rows are "
+        "tombstoned (bucket-pruned copy-on-write rewrite)",
+    )
+
+    p = sub.add_parser("update")
+    _add_common(p)
+    p.add_argument("--config", required=True)
+    p.add_argument("--where", required=True, help="SQL predicate")
+    p.add_argument(
+        "--set", required=True, action="append", metavar="COL=SQL_EXPR",
+        help="assignment, repeatable; the value is a SQL expression "
+        "(use NULL to clear a column)",
+    )
 
     p = sub.add_parser("sync")
     _add_common(p)
@@ -200,6 +224,7 @@ def main(argv: list[str] | None = None) -> int:
             max_files_per_trigger=a.max_files_per_trigger,
             max_bytes_per_trigger=a.max_bytes_per_trigger,
             trigger=a.trigger,
+            quarantine_dir=a.quarantine,
         )
         q.awaitTermination()
         print(json.dumps({"version": tbl.current_version()}))
@@ -215,6 +240,30 @@ def main(argv: list[str] | None = None) -> int:
         tbl = LakeTable(spark, cfg.table_path)
         snap = tbl.compact(purge_tombstones_below_lsn=a.purge_tombstones_below_lsn)
         print(json.dumps({"version": snap.version}))
+    elif a.cmd in ("delete", "update"):
+        from pyspark.sql import functions as F
+
+        cfg = DatasetConfig.load(a.config)
+        tbl = LakeTable(spark, cfg.table_path)
+        if a.cmd == "delete":
+            snap = tbl.delete_where(a.where)
+        else:
+            assignments = {}
+            for item in a.set:
+                col, _, expr = item.partition("=")
+                if not _:
+                    raise SystemExit(f"--set needs COL=SQL_EXPR, got {item!r}")
+                assignments[col.strip()] = F.expr(expr)
+            snap = tbl.update_where(a.where, assignments)
+        print(
+            json.dumps(
+                {
+                    "version": tbl.current_version(),
+                    "applied": snap is not None,
+                    "buckets": (snap.summary.get("dml_buckets") if snap else []),
+                }
+            )
+        )
     elif a.cmd == "sync":
         from dataingestion_spark.lake import sync_incremental
 

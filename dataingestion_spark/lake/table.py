@@ -60,7 +60,7 @@ from collections import OrderedDict
 from dataclasses import dataclass, field
 from pathlib import Path
 
-from pyspark.sql import DataFrame, Observation, SparkSession, Window
+from pyspark.sql import Column, DataFrame, Observation, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -747,6 +747,62 @@ class LakeTable:
             *[F.col(f"_chg.{c}").alias(c) for c in payload],
         )
 
+    def read_keys(
+        self,
+        keys,
+        version: int | None = None,
+        broadcast_keys: bool = True,
+    ) -> DataFrame:
+        """Point lookups: the live rows for an explicit key set - the
+        serving-side read of a CDC-fed table ("fetch these conversations"),
+        priced by the KEYS' buckets, never the table.
+
+        ``keys`` is a DataFrame carrying the pk columns (extra columns are
+        ignored) or a list of tuples/values in pk order. The first pk
+        field's bucket transform prunes the scan to the buckets the keys
+        can live in - O(distinct buckets) driver-side, each bucket's files
+        read through the normal manifest/MOR-resolution path - then a
+        semi-join keeps exactly the requested keys. Inside each file,
+        clustered compaction's pk sort lets parquet row-group pruning cut
+        further. ``broadcast_keys`` (default) hints the key set to every
+        executor - right for serving-size lookups; pass False when joining
+        a huge key relation, which then shuffles instead.
+
+        Scale shape at 100 TB: k keys over B buckets touch at most
+        min(k, B) buckets; for a handful of conversations that is a few
+        file reads regardless of table size."""
+        snap = self.snapshot(version)
+        pk = list(snap.pk_fields)
+        if not isinstance(keys, DataFrame):
+            rows = [k if isinstance(k, tuple) else (k,) for k in keys]
+            keys = self.spark.createDataFrame(
+                rows, T.StructType([snap.schema[c] for c in pk])
+            )
+        missing = [c for c in pk if c not in keys.columns]
+        if missing:
+            raise ValueError(f"keys relation lacks pk columns {missing}")
+        keys = keys.select(
+            *[F.col(c).cast(snap.schema[c].dataType).alias(c) for c in pk]
+        ).distinct()
+        keyed = keys.withColumn(
+            BUCKET_COL,
+            bucket_expr(pk[0], snap.num_buckets, key_type=snap.schema[pk[0]].dataType),
+        )
+        buckets = sorted(
+            int(r[0]) for r in keyed.select(BUCKET_COL).distinct().collect()
+        )
+        if not buckets:
+            return self.spark.createDataFrame([], snap.schema)
+        probe = keys
+        if broadcast_keys:
+            probe = F.broadcast(probe)
+        df = self._resolved(snap, buckets).filter(
+            ~F.coalesce(F.col(DELETED_COL), F.lit(False))
+        )
+        return df.join(probe, on=pk, how="left_semi").select(
+            *[f.name for f in snap.schema.fields]
+        )
+
     # ------------------------------------------------------------------
     # exactly-once epoch markers
     # ------------------------------------------------------------------
@@ -1392,6 +1448,18 @@ class LakeTable:
         writers by design - maintenance runs off the hot path); see
         :meth:`_compact_once`."""
         return self._retry_commit(lambda: self._compact_once(**kwargs))
+
+    def delete_where(self, condition, **kwargs) -> Snapshot | None:
+        """Predicate DELETE with optimistic commit retries; see
+        :meth:`_dml_once`."""
+        return self._retry_commit(lambda: self._dml_once(condition, None, **kwargs))
+
+    def update_where(self, condition, assignments: dict, **kwargs) -> Snapshot | None:
+        """Predicate UPDATE with optimistic commit retries; see
+        :meth:`_dml_once`."""
+        return self._retry_commit(
+            lambda: self._dml_once(condition, assignments, **kwargs)
+        )
 
     def _merge_once(
         self,
@@ -2236,6 +2304,99 @@ class LakeTable:
         if not due:
             return None
         return self.compact(buckets=due)
+
+    def _dml_once(
+        self,
+        condition,
+        assignments: dict | None,
+        prune: dict[str, tuple] | None = None,
+    ) -> Snapshot | None:
+        """Predicate DELETE / UPDATE on the table (Iceberg `DELETE FROM t
+        WHERE ...` / `UPDATE t SET ... WHERE ...` analog, copy-on-write):
+        the out-of-band DML a CDC-fed lake still needs - GDPR erasure,
+        backfill corrections, redaction - without synthesizing change
+        events.
+
+        ``condition`` is a SQL string or Column over the table's schema,
+        evaluated against LIVE rows only. ``assignments`` maps payload
+        column -> value (Column or literal; pk and system columns are
+        rejected; values are cast to the column's declared type so the
+        schema never drifts); ``None`` means DELETE. ``prune`` optionally
+        gives ``{col: (lo, hi)}`` ranges for file-level stats skipping
+        during bucket discovery (same contract as :meth:`read`).
+
+        Plan shape (scales like compaction, not like a table rewrite):
+          1. DISCOVERY - one bucket-pruned scan finds the distinct buckets
+             holding matching live rows (predicate pushed into the parquet
+             scan; O(buckets) driver result).
+          2. REWRITE - only those buckets are read (MOR delta chains
+             resolved, so the rewrite doubles as their compaction), hit
+             rows are tombstoned (DELETE) or assigned (UPDATE), and the
+             buckets' file lists are replaced in one snapshot commit.
+        An untouched bucket keeps its manifest by structural sharing; a
+        predicate matching nothing commits nothing and returns None.
+
+        LWW placement: DML keeps each row's stored ``_lsn`` - the edit
+        sits at the row's existing point in the change timeline. A change
+        event with lsn >= the row's still wins (the engine's universal
+        newer-source-wins-ties rule; by design the stream stays the source
+        of truth for new facts, and an equal-lsn redelivery of the
+        original event restores it), while an event with a strictly lower
+        lsn cannot resurrect or un-edit. Callers needing DML durable
+        against equal-lsn redelivery should quiesce the pipeline past the
+        row's lsn first - the same watermark contract
+        compact(purge_tombstones_below_lsn=...) documents. DELETE
+        tombstones become physical erasure through the normal chain:
+        compact(purge) + expire_snapshots + vacuum."""
+        snap = self.snapshot()
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        schema_cols = {f.name: f.dataType for f in snap.schema.fields}
+        if assignments is not None:
+            bad = [
+                c
+                for c in assignments
+                if c not in schema_cols or c in snap.pk_fields
+            ]
+            if bad:
+                raise ValueError(
+                    f"update_where cannot assign {bad}: pk or unknown column"
+                )
+        live = self.read(where=prune, include_system=True)
+        target = sorted(
+            int(r[0])
+            for r in live.filter(cond).select(BUCKET_COL).distinct().collect()
+        )
+        if not target:
+            return None
+        df = self._resolved(snap, target)
+        hit = (~F.coalesce(F.col(DELETED_COL), F.lit(False))) & cond
+        if assignments is None:
+            df = df.withColumn(
+                DELETED_COL, F.when(hit, F.lit(True)).otherwise(F.col(DELETED_COL))
+            )
+        else:
+            for c, v in assignments.items():
+                val = v if isinstance(v, Column) else F.lit(v)
+                df = df.withColumn(
+                    c,
+                    F.when(hit, val.cast(schema_cols[c])).otherwise(F.col(c)),
+                )
+        new_files = self._write_data_files(
+            df,
+            target_partitions=max(len(target), 1),
+            cluster_by=list(snap.pk_fields),
+        )
+        files = {k: list(v) for k, v in snap.files.items()}
+        deltas = {k: list(v) for k, v in snap.deltas.items()}
+        for b in set(target) | {int(b) for b in new_files}:
+            files[str(b)] = new_files.get(str(b), [])
+            deltas.pop(str(b), None)
+        return self._commit_write(
+            snap, files, snap.schema, snap.schema_version,
+            "delete" if assignments is None else "update", None, None,
+            {"dml_buckets": [int(b) for b in target]},
+            deltas=deltas,
+        )
 
     def _compact_once(
         self,

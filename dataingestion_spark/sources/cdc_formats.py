@@ -40,8 +40,12 @@ PayloadFields = list[tuple[str, str]]
 
 
 def _extract(json_col: Column, fields: PayloadFields) -> list[Column]:
+    # try_cast: CDC payloads are schemaless JSON - a single field holding
+    # "N/A" where the subscriber projected an int must degrade to NULL in
+    # that row, not throw under ANSI mode (Spark 4 default) and kill the
+    # batch. Identical to cast for well-formed values.
     return [
-        F.get_json_object(json_col, f"$.{name}").cast(sql_type).alias(name)
+        F.get_json_object(json_col, f"$.{name}").try_cast(sql_type).alias(name)
         for name, sql_type in fields
     ]
 
@@ -75,8 +79,8 @@ def parse_mysql_binlog(
         F.col(op_col).alias("op"),
         F.col(key_col),
         *_extract(F.col(data_col), payload_fields),
-        F.col("timestamp").cast("long").alias("ts_ms"),
-        F.col("binlog_position").cast("long").alias("lsn"),
+        F.col("timestamp").try_cast("long").alias("ts_ms"),
+        F.col("binlog_position").try_cast("long").alias("lsn"),
         F.col("binlog_file").alias("source_file"),
     )
 
@@ -116,8 +120,13 @@ def parse_mongo_change_stream(
         F.get_json_object(F.col("documentKey"), key_path).alias(key_name),
         *_extract(doc, payload_fields),
         _iso_to_ms(F.col("clusterTime")).alias("ts_ms"),
+        # try_cast, not cast: regexp_extract yields '' for a resumeToken
+        # with no trailing ordinal, and under ANSI mode (Spark 4 default)
+        # a plain cast of '' to long THROWS, killing the whole batch for
+        # one bad envelope. try_cast degrades it to a NULL lsn, which the
+        # quarantine gate (sources/quarantine.py) then rejects row-wise.
         F.regexp_extract(F.col("resumeToken"), r"(\d+)$", 1)
-        .cast("long")
+        .try_cast("long")
         .alias("lsn"),
         F.col("ns_coll").alias("source_file"),
     )
@@ -141,8 +150,8 @@ def parse_aerospike_cdc(
         op.alias("op"),
         F.col("user_key"),
         *_extract(F.col("bins"), payload_fields),
-        F.col("timestamp").cast("long").alias("ts_ms"),
-        F.col("generation").cast("long").alias("lsn"),
+        F.col("timestamp").try_cast("long").alias("ts_ms"),
+        F.col("generation").try_cast("long").alias("lsn"),
         F.concat_ws(".", F.col("namespace"), F.col("set_name")).alias(
             "source_file"
         ),

@@ -1,0 +1,93 @@
+"""Dead-letter quarantine for malformed change events.
+
+A production change stream always carries a tail of rows the pipeline
+cannot apply: envelopes whose key didn't parse (the Mongo adapter's
+regexp on a non-matching resumeToken yields a NULL lsn,
+sources/cdc_formats.py), unknown operations, null primary keys from
+upstream bugs. The reference pipeline fails the whole batch or silently
+nulls them through; neither survives a 10^10-event replay. The
+Debezium/Kafka-Connect answer is a dead-letter queue: REJECT the row,
+RECORD why, CONTINUE the stream. This module is that answer over the
+canonical change relation:
+
+  * :func:`invalid_reason` - one codegen'd CASE expression classifying
+    each row (no Python in the row path); NULL means valid.
+  * :func:`split_invalid` - (valid, quarantined) DataFrames; quarantined
+    rows carry ``_invalid_reason``.
+  * wired into ``apply_changes(quarantine_dir=...)`` - bad rows land in
+    a parquet dead-letter dir tagged with pipeline/epoch, the lineage
+    log gains a QUARANTINE row per epoch, and the merge only ever sees
+    rows that satisfy its contract (pk NOT NULL, lsn NOT NULL, known
+    op) - which also closes the null-lsn LWW edge at the gate instead
+    of inside the merge plans.
+
+Scale shape: the classifier is a single whole-stage-codegen projection
+over the already-staged batch; the quarantine write touches only the
+(normally tiny) invalid subset. Nothing here shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+REASON_COL = "_invalid_reason"
+
+DEFAULT_OPS = ("INSERT", "UPDATE", "UPSERT", "DELETE")
+
+
+def invalid_reason(
+    pk_fields: list[str],
+    lsn_col: str = "lsn",
+    op_col: str = "op",
+    allowed_ops: tuple[str, ...] = DEFAULT_OPS,
+    require_ts: str | None = None,
+) -> Column:
+    """NULL for a valid row, else the first failing rule's tag:
+
+      ``null_pk``   any primary-key column is NULL (unmergeable);
+      ``null_lsn``  the LWW ordinal is NULL (unorderable);
+      ``bad_op``    operation NULL or outside ``allowed_ops``;
+      ``null_ts``   (only when ``require_ts`` names a column) event time
+                    is NULL - for pipelines whose watermarking needs it.
+
+    Rule order is fixed so the reason is deterministic for multiply-
+    broken rows (a row missing everything quarantines as ``null_pk``)."""
+    pk_null = None
+    for c in pk_fields:
+        cond = F.col(c).isNull()
+        pk_null = cond if pk_null is None else (pk_null | cond)
+    reason = F.when(pk_null, F.lit("null_pk")).when(
+        F.col(lsn_col).isNull(), F.lit("null_lsn")
+    )
+    op_u = F.upper(F.col(op_col))
+    reason = reason.when(
+        F.col(op_col).isNull() | ~op_u.isin(*[o.upper() for o in allowed_ops]),
+        F.lit("bad_op"),
+    )
+    if require_ts:
+        reason = reason.when(F.col(require_ts).isNull(), F.lit("null_ts"))
+    return reason.otherwise(F.lit(None).cast("string"))
+
+
+def split_invalid(
+    df: DataFrame,
+    pk_fields: list[str],
+    lsn_col: str = "lsn",
+    op_col: str = "op",
+    allowed_ops: tuple[str, ...] = DEFAULT_OPS,
+    require_ts: str | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """(valid, quarantined): valid rows pass through unchanged (no extra
+    columns), quarantined rows carry ``_invalid_reason``. Both sides are
+    lazy filters over the same input - Catalyst pushes the predicate to
+    the scan on each side, so the split costs one extra scan of the
+    (staged, columnar) batch, not a shuffle."""
+    reason = invalid_reason(
+        pk_fields, lsn_col=lsn_col, op_col=op_col,
+        allowed_ops=allowed_ops, require_ts=require_ts,
+    )
+    ann = df.withColumn(REASON_COL, reason)
+    valid = ann.filter(F.col(REASON_COL).isNull()).drop(REASON_COL)
+    bad = ann.filter(F.col(REASON_COL).isNotNull())
+    return valid, bad

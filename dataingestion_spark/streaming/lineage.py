@@ -60,6 +60,7 @@ class LineageLog:
         lsn_col: str = "lsn",
         file_col: str = "source_file",
         file_stats: list[dict] | None = None,
+        quarantined_events: int | None = None,
     ) -> None:
         """Write lineage rows for one epoch. Per-source offset ranges come
         from ``file_stats`` when the merge already computed them from its
@@ -96,6 +97,26 @@ class LineageLog:
                     "min_lsn": r["min_lsn"],
                     "max_lsn": r["max_lsn"],
                     "event_count": r["event_count"],
+                    "applied_events": None,
+                    "snapshot_version": snapshot_version,
+                    "duration_ms": None,
+                    "throughput_rps": None,
+                    "status": status,
+                    "committed_at": now,
+                }
+            )
+        if quarantined_events is not None:
+            # dead-letter visibility: how many rows this epoch REJECTED
+            # (sources/quarantine.py) - alarms key off this row
+            rows.append(
+                {
+                    "pipeline_id": pipeline_id,
+                    "epoch_id": epoch_id,
+                    "kind": "QUARANTINE",
+                    "source_file": None,
+                    "min_lsn": None,
+                    "max_lsn": None,
+                    "event_count": quarantined_events,
                     "applied_events": None,
                     "snapshot_version": snapshot_version,
                     "duration_ms": None,

@@ -216,6 +216,7 @@ def apply_changes(
     max_bytes_per_trigger: int | str | None = None,
     available_now: bool = True,
     trigger: str | None = None,
+    quarantine_dir: str | None = None,
 ) -> StreamingQuery:
     """Phase-2: staged change log -> exactly-once keyed MERGE into the lake.
 
@@ -224,7 +225,16 @@ def apply_changes(
     (reference inference path, Phase2Job.scala:67-76); the per-batch schema
     gate still classifies every micro-batch against the table. ``trigger``
     selects a processing-time cadence (see TRIGGERS) for long-running
-    deployments; the default availableNow serves replay/backfill."""
+    deployments; the default availableNow serves replay/backfill.
+
+    ``quarantine_dir`` enables the dead-letter path
+    (sources/quarantine.py): rows that cannot be applied (null pk, null
+    lsn, unknown op) are split off BEFORE the merge, written as parquet
+    under ``<dir>/epoch=<n>`` (overwrite per epoch, so a replayed epoch
+    rewrites the identical dead-letter set - idempotent alongside the
+    merge's epoch markers), and counted in a QUARANTINE lineage row.
+    Without it the merge sees whatever the adapters produced, nulls and
+    all - fine for trusted streams, fatal at 10^10 events of real CDC."""
     _validate_trigger(trigger)
     table = LakeTable(spark, config.table_path)
     lineage = LineageLog(spark, lineage_path) if lineage_path else None
@@ -241,6 +251,18 @@ def apply_changes(
         df = batch
         for fn in transformers or []:
             df = fn(df)
+        n_quarantined = None
+        if quarantine_dir is not None:
+            from dataingestion_spark.sources.quarantine import split_invalid
+
+            df, bad = split_invalid(
+                df, list(config.pk_fields), lsn_col=config.order_fields[0]
+            )
+            n_quarantined = bad.count()
+            if n_quarantined:
+                bad.withColumn("_q_pipeline", F.lit(pipeline_id)).write.mode(
+                    "overwrite"
+                ).parquet(f"{quarantine_dir}/epoch={epoch_id}")
         if config.mode == "upsert":
             snap = table.merge(
                 df,
@@ -276,6 +298,7 @@ def apply_changes(
                 duration_ms=duration_ms,
                 status="SUCCESS" if snap is not None else "SKIPPED_DUPLICATE_EPOCH",
                 file_stats=(snap.summary.get("file_stats") if snap else None),
+                quarantined_events=n_quarantined,
             )
 
     if schema is None:
