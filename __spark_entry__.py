@@ -537,11 +537,13 @@ def q_transcript_cdc_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tbl.read().orderBy("conv_id", "turn_idx")
 
 
-def _flagship_table(spark: SparkSession, prefix: str):
+def _flagship_table(spark: SparkSession, prefix: str, merge: bool = True):
     """Replay the flagship md5-portable binlog (same parameters as
     q_transcript_cdc_replay / _replay_sql) into a fresh lake table and
-    return the handle - shared fixture for the DML / point-lookup
-    queries whose oracles compose over _replay_sql()."""
+    return the handle - shared fixture for the DML / point-lookup /
+    view-maintenance queries whose oracles compose over _replay_sql().
+    ``merge=False`` returns the EMPTY table (callers replay their own
+    epoch split)."""
     import atexit
     import shutil
 
@@ -567,11 +569,12 @@ def _flagship_table(spark: SparkSession, prefix: str):
         pk_fields=["conv_id", "turn_idx"], order_fields=["lsn", "ts"],
         num_buckets=8,
     )
-    changes = gen_changes(
-        spark, n_events=10_000, n_convs=80, max_turns=40, seed=42,
-        hash_mode="md5",
-    )
-    tbl.merge(changes, pipeline_id="entry", epoch_id=0)
+    if merge:
+        changes = gen_changes(
+            spark, n_events=10_000, n_convs=80, max_turns=40, seed=42,
+            hash_mode="md5",
+        )
+        tbl.merge(changes, pipeline_id="entry", epoch_id=0)
     return tbl
 
 
@@ -608,6 +611,48 @@ def q_cdc_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     tbl = _flagship_table(spark, "cdc_ptlk_")
     keys = tbl.read().filter("conv_id LIKE '%0'").select("conv_id", "turn_idx")
     return tbl.read_keys(keys).orderBy("conv_id", "turn_idx")
+
+
+def q_cdc_rebucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket-count evolution (Iceberg spec-evolution analog): replay the
+    flagship binlog into an 8-bucket table, grow it to 32 buckets with
+    LakeTable.rebucket (one rewrite under the new hash; epoch markers and
+    tombstone lsns survive - merging under the new layout is exercised by
+    tests/test_rebucket.py). Oracle: the portable replay - table state is
+    invariant under rebucketing by construction."""
+    tbl = _flagship_table(spark, "cdc_rebkt_")
+    tbl.rebucket(32)
+    return tbl.read().orderBy("conv_id", "turn_idx")
+
+
+def q_cdc_agg_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance: replay the flagship binlog in two
+    epochs, syncing a per-conversation COUNT/SUM view off the changelog
+    after each (lake/sync.py sync_aggregate - deltas only, the source is
+    never rescanned after the seed), and return the view. Oracle: the
+    same aggregate over the portable replay."""
+    from pathlib import Path
+
+    from dataingestion_spark.lake.sync import sync_aggregate
+    from dataingestion_spark.lake.table import LakeTable
+    from dataingestion_spark.sources.datagen import gen_changes
+
+    tbl = _flagship_table(spark, "cdc_aggv_", merge=False)
+    changes = gen_changes(
+        spark, n_events=10_000, n_convs=80, max_turns=40, seed=42,
+        hash_mode="md5",
+    )
+    view_path = str(Path(tbl.root).parent / "view")
+    for epoch, lo, hi in [(0, 0, 7_000), (1, 7_000, 10_000)]:
+        part = changes.filter((F.col("lsn") >= lo * 2) & (F.col("lsn") < hi * 2))
+        tbl.merge(part, pipeline_id="entry", epoch_id=epoch)
+        sync_aggregate(tbl, view_path, ["conv_id"], sums=["turn_idx"])
+    return (
+        LakeTable(spark, view_path)
+        .read()
+        .select("conv_id", "n_rows", "sum_turn_idx")
+        .orderBy("conv_id")
+    )
 
 
 def q_cdc_sync_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -847,6 +892,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_delete_where": q_cdc_delete_where,
         "cdc_update_where": q_cdc_update_where,
         "cdc_point_lookup": q_cdc_point_lookup,
+        "cdc_rebucket": q_cdc_rebucket,
+        "cdc_agg_view": q_cdc_agg_view,
         "simhash_fingerprints": q_simhash_fingerprints,
         "media_features": q_media_features,
     }
@@ -1568,6 +1615,15 @@ def oracle_sql() -> dict[str, str]:
             "SELECT * FROM ("
             + _replay_sql(n_events=10_000, n_convs=80, max_turns=40, seed=42)
             + ") WHERE conv_id LIKE '%0'"
+        ),
+        "cdc_rebucket": _replay_sql(
+            n_events=10_000, n_convs=80, max_turns=40, seed=42
+        ),
+        "cdc_agg_view": (
+            "SELECT conv_id, count(*) AS n_rows,"
+            " sum(turn_idx) AS sum_turn_idx FROM ("
+            + _replay_sql(n_events=10_000, n_convs=80, max_turns=40, seed=42)
+            + ") GROUP BY conv_id"
         ),
         "media_features": """
             WITH m AS (

@@ -154,6 +154,20 @@ def main(argv: list[str] | None = None) -> int:
     )
     p.add_argument("--dry-run", action="store_true")
 
+    p = sub.add_parser("rebucket")
+    _add_common(p)
+    p.add_argument("--config", required=True)
+    p.add_argument(
+        "--num-buckets", type=int, required=True,
+        help="new bucket count; one full rewrite under the new hash "
+        "(run off the ingest path, like compaction)",
+    )
+
+    p = sub.add_parser("describe")
+    _add_common(p)
+    p.add_argument("--config", required=True)
+    p.add_argument("--with-sizes", action="store_true")
+
     p = sub.add_parser("delete")
     _add_common(p)
     p.add_argument("--config", required=True)
@@ -240,6 +254,19 @@ def main(argv: list[str] | None = None) -> int:
         tbl = LakeTable(spark, cfg.table_path)
         snap = tbl.compact(purge_tombstones_below_lsn=a.purge_tombstones_below_lsn)
         print(json.dumps({"version": snap.version}))
+    elif a.cmd == "rebucket":
+        cfg = DatasetConfig.load(a.config)
+        tbl = LakeTable(spark, cfg.table_path)
+        snap = tbl.rebucket(a.num_buckets)
+        print(
+            json.dumps(
+                {"version": snap.version, "num_buckets": snap.num_buckets}
+            )
+        )
+    elif a.cmd == "describe":
+        cfg = DatasetConfig.load(a.config)
+        tbl = LakeTable(spark, cfg.table_path)
+        print(json.dumps(tbl.describe(with_sizes=a.with_sizes)))
     elif a.cmd in ("delete", "update"):
         from pyspark.sql import functions as F
 

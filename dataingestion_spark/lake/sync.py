@@ -1,4 +1,5 @@
-"""Incremental table-to-table sync: chain CDC pipelines off the lake.
+"""Incremental table-to-table sync and incremental aggregate
+maintenance: chain CDC pipelines off the lake.
 
 `sync_incremental(src, dst)` propagates committed changes from one lake
 table into another by reading the changelog since the last synced source
@@ -105,3 +106,174 @@ def sync_incremental(
         write_mode=write_mode,
         lineage={"sync_from": from_v, "sync_to": cur},
     )
+
+
+# ----------------------------------------------------------------------
+# incremental aggregate maintenance (materialized-view sync)
+# ----------------------------------------------------------------------
+
+
+def aggregate_schema(
+    src_schema, group_cols: list[str], sums: list[str], count_col: str
+):
+    """Destination schema for an aggregate view: the group columns (types
+    from the source), a long row count, and one sum column per summed
+    source column - long for integral inputs, double otherwise (matching
+    what a plain groupBy().agg() would produce)."""
+    from pyspark.sql import types as T
+
+    fields = [src_schema[c] for c in group_cols]
+    fields.append(T.StructField(count_col, T.LongType(), True))
+    for c in sums:
+        integral = isinstance(
+            src_schema[c].dataType, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+        )
+        fields.append(
+            T.StructField(
+                f"sum_{c}", T.LongType() if integral else T.DoubleType(), True
+            )
+        )
+    return T.StructType(fields)
+
+
+def sync_aggregate(
+    src: LakeTable,
+    dst: "LakeTable | str",
+    group_cols: list[str],
+    sums: list[str] | None = None,
+    count_col: str = "n_rows",
+    pipeline_id: str = "aggsync",
+    num_buckets: int = 32,
+    write_mode: str = "cow",
+) -> Snapshot | None:
+    """Incrementally maintain a grouped aggregate of ``src`` (COUNT(*) +
+    SUM(col)s per ``group_cols``) as its own lake table - incremental
+    view maintenance off the changelog, the pattern that turns "recompute
+    the conversation stats over 100 TB nightly" into "apply the deltas of
+    what actually changed".
+
+    Per sync: one ``read_changes(last, cur, include_preimages=True)``
+    (bucket-pruned to changed source manifests), a map-side-combinable
+    delta aggregate (+1/+val for insert and update_postimage rows,
+    -1/-val for delete and update_preimage rows - so updates that MOVE a
+    row between groups transfer it correctly), a point-lookup of the
+    affected groups' current values (``read_keys`` - priced by the
+    touched groups, never the view), and one MERGE writing the new
+    totals; groups whose count reaches zero are deleted. Cost scales with
+    the CHANGE volume, not the source size.
+
+    Exactly-once rides the same mechanism as :func:`sync_incremental`:
+    the source snapshot version is the destination epoch id (and the
+    batch lsn), so crash-replays are skipped whole and the retried diff
+    is byte-identical. The first sync seeds with a full groupBy at the
+    current version. Rows whose group key is NULL are excluded (a lake
+    pk cannot be null; SQL oracles should filter the same way).
+
+    Caveat: sums over floating columns accumulate the usual FP
+    reassociation drift relative to a fresh recompute; counts and
+    integral sums are exact."""
+    sums = list(sums or [])
+    if isinstance(dst, (str,)) or hasattr(dst, "__fspath__"):
+        path = dst
+        probe = LakeTable(src.spark, path)
+        if probe.exists():
+            dst = probe
+        else:
+            dst = LakeTable.create(
+                src.spark,
+                path,
+                aggregate_schema(src.snapshot().schema, group_cols, sums, count_col),
+                pk_fields=list(group_cols),
+                order_fields=["lsn"],
+                num_buckets=num_buckets,
+            )
+    cur = src.current_version()
+    last = dst.last_applied_epoch(pipeline_id)
+    if last >= cur:
+        return None
+
+    key_ok = None
+    for c in group_cols:
+        cond = F.col(c).isNotNull()
+        key_ok = cond if key_ok is None else (key_ok & cond)
+
+    sum_cols = [f"sum_{c}" for c in sums]
+
+    def _merge_totals(totals: DataFrame) -> Snapshot | None:
+        batch = totals.select(
+            F.when(F.col(count_col) > 0, F.lit("UPSERT"))
+            .otherwise(F.lit("DELETE"))
+            .alias("op"),
+            *group_cols,
+            *[
+                F.when(F.col(count_col) > 0, F.col(c)).alias(c)
+                for c in [count_col, *sum_cols]
+            ],
+            F.lit(cur).cast("long").alias("lsn"),
+            F.lit(f"aggsync@v{cur}").alias("source_file"),
+        )
+        return dst.merge(
+            batch,
+            pipeline_id=pipeline_id,
+            epoch_id=cur,
+            write_mode=write_mode,
+            lineage={"aggsync_from": None if last == -1 else last, "aggsync_to": cur},
+        )
+
+    if last == -1:
+        state = src.read(version=cur).filter(key_ok)
+        totals = state.groupBy(*group_cols).agg(
+            F.count(F.lit(1)).alias(count_col),
+            *[F.sum(F.col(c)).cast(
+                aggregate_schema(src.snapshot().schema, group_cols, [c], count_col)[f"sum_{c}"].dataType
+            ).alias(f"sum_{c}") for c in sums],
+        )
+        return _merge_totals(totals)
+
+    retained = sorted(int(p.stem[1:]) for p in src._snap_dir.glob("v*.json"))
+    if last not in retained:
+        raise ValueError(
+            f"aggregate-sync cursor v{last} expired from source history "
+            f"(oldest retained: v{retained[0]}); re-seed the destination"
+        )
+    diff = src.read_changes(last, cur, include_preimages=True).filter(key_ok)
+    sign = F.when(
+        F.col("change_type").isin("insert", "update_postimage"), F.lit(1)
+    ).otherwise(F.lit(-1))
+    deltas = diff.groupBy(*group_cols).agg(
+        F.sum(sign).alias("_d_count"),
+        *[
+            F.sum(
+                F.when(F.col(c).isNotNull(), sign * F.col(c))
+            ).alias(f"_d_sum_{c}")
+            for c in sums
+        ],
+    )
+    if not deltas.take(1):
+        # version advanced with no net row changes (compaction, DML no-op):
+        # still stamp the epoch so the cursor moves - an empty merge batch
+        # commits the marker
+        empty = deltas.select(
+            *group_cols,
+            F.lit(0).cast("long").alias(count_col),
+            *[F.lit(0).cast("long").alias(c) for c in sum_cols],
+        )
+        return _merge_totals(empty)
+    old = dst.read_keys(deltas.select(*group_cols))
+    agg_types = aggregate_schema(src.snapshot().schema, group_cols, sums, count_col)
+    joined = old.join(deltas, on=list(group_cols), how="full_outer")
+    totals = joined.select(
+        *group_cols,
+        (
+            F.coalesce(F.col(count_col), F.lit(0))
+            + F.coalesce(F.col("_d_count"), F.lit(0))
+        ).cast("long").alias(count_col),
+        *[
+            (
+                F.coalesce(F.col(f"sum_{c}"), F.lit(0))
+                + F.coalesce(F.col(f"_d_sum_{c}"), F.lit(0))
+            ).cast(agg_types[f"sum_{c}"].dataType).alias(f"sum_{c}")
+            for c in sums
+        ],
+    )
+    return _merge_totals(totals)

@@ -1331,6 +1331,11 @@ class LakeTable:
             head = self.snapshot()
             if head.schema_version != parent.schema_version:
                 raise CommitConflictError("schema raced during commit")
+            if head.num_buckets != parent.num_buckets:
+                # a rebucket re-hashed the layout: our outputs were bucketed
+                # under the OLD transform, so no splice can be valid - even
+                # for buckets the naive disjointness check wouldn't flag
+                raise CommitConflictError("bucket layout raced during commit")
             if pipeline_id is not None and epoch_id is not None:
                 marker = (
                     head.properties.get("pipelines", {})
@@ -1448,6 +1453,11 @@ class LakeTable:
         writers by design - maintenance runs off the hot path); see
         :meth:`_compact_once`."""
         return self._retry_commit(lambda: self._compact_once(**kwargs))
+
+    def rebucket(self, new_num_buckets: int) -> Snapshot:
+        """Change the table's bucket count with optimistic commit retries;
+        see :meth:`_rebucket_once`."""
+        return self._retry_commit(lambda: self._rebucket_once(new_num_buckets))
 
     def delete_where(self, condition, **kwargs) -> Snapshot | None:
         """Predicate DELETE with optimistic commit retries; see
@@ -2287,23 +2297,144 @@ class LakeTable:
     # maintenance
     # ------------------------------------------------------------------
     def maybe_compact(
-        self, max_delta_files_per_bucket: int = 8
+        self,
+        max_delta_files_per_bucket: int = 8,
+        max_base_files_per_bucket: int | None = None,
     ) -> Snapshot | None:
-        """Compact ONLY buckets whose merge-on-read delta chain has reached
-        ``max_delta_files_per_bucket`` - the operational policy that bounds
-        read amplification (every read of a bucket resolves its whole delta
-        chain) without rewriting healthy buckets. Per-bucket, so at cluster
-        scale compaction parallelizes and can run off the ingest path.
-        Returns the compaction snapshot, or None when no bucket is due."""
+        """Compact ONLY buckets that are due - the operational policy that
+        bounds read amplification without rewriting healthy buckets:
+
+          * a merge-on-read delta chain at ``max_delta_files_per_bucket``
+            (every read of the bucket resolves its whole chain);
+          * optionally, a BASE file list at ``max_base_files_per_bucket``
+            - the small-file problem append-heavy tables accumulate (each
+            append adds files per bucket; scans then pay per-file open
+            cost and the footer-stats pass grows).
+
+        Per-bucket, so at cluster scale compaction parallelizes and runs
+        off the ingest path. Returns the compaction snapshot, or None when
+        no bucket is due."""
         snap = self.snapshot()
-        due = sorted(
+        due = {
             int(b)
             for b, fl in snap.deltas.items()
             if len(fl) >= max_delta_files_per_bucket
-        )
+        }
+        if max_base_files_per_bucket is not None:
+            due |= {
+                int(b)
+                for b, fl in snap.files.items()
+                if len(fl) >= max_base_files_per_bucket
+            }
         if not due:
             return None
-        return self.compact(buckets=due)
+        return self.compact(buckets=sorted(due))
+
+    def describe(self, version: int | None = None, with_sizes: bool = False) -> dict:
+        """Table-health report for operators and maintenance schedulers,
+        computed driver-side from the manifests (no Spark job): layout,
+        per-bucket file/delta-chain distribution (max + p99-ish top-3, the
+        numbers that tell you WHICH policy knob to turn), pipeline epoch
+        markers and retained snapshot count. ``with_sizes=True`` adds
+        total bytes via per-file stat calls - O(files), fine for a
+        maintenance cadence, skipped by default."""
+        snap = self.snapshot(version)
+        f_counts = sorted((len(fl) for fl in snap.files.values()), reverse=True)
+        d_counts = sorted((len(fl) for fl in snap.deltas.values()), reverse=True)
+        report = {
+            "version": snap.version,
+            "operation": snap.operation,
+            "schema_version": snap.schema_version,
+            "num_buckets": snap.num_buckets,
+            "pk_fields": list(snap.pk_fields),
+            "data_files": sum(f_counts),
+            "delta_files": sum(d_counts),
+            "buckets_with_data": len(f_counts),
+            "buckets_with_deltas": len(d_counts),
+            "max_files_per_bucket": (f_counts[0] if f_counts else 0),
+            "top_file_buckets": f_counts[:3],
+            "max_delta_chain": (d_counts[0] if d_counts else 0),
+            "top_delta_chains": d_counts[:3],
+            "partial_delta_buckets": list(
+                snap.properties.get("partial_delta_buckets", [])
+            ),
+            "pipelines": {
+                p: int(v.get("last_epoch", -1))
+                for p, v in snap.properties.get("pipelines", {}).items()
+            },
+            "snapshots_retained": len(list(self._snap_dir.glob("v*.json"))),
+        }
+        if with_sizes:
+            total = 0
+            for fl in list(snap.files.values()) + list(snap.deltas.values()):
+                for rel in fl:
+                    p = self.root / rel
+                    if p.is_file():
+                        total += p.stat().st_size
+            report["total_bytes"] = total
+        return report
+
+    def _rebucket_once(self, new_num_buckets: int) -> Snapshot:
+        """Scale the bucket count (Iceberg partition-evolution analog for
+        the hidden ``bucket(N, pk)`` transform): rewrite the table under
+        ``pmod(xxhash64(pk), new_N)`` in one shuffle and commit a snapshot
+        whose ``num_buckets`` is the new count.
+
+        Why it exists: buckets are the unit of merge parallelism, rewrite
+        granularity and manifest sharding - a table created at 8 buckets
+        that grows to 100 TB needs thousands, and without this operation
+        ``num_buckets`` is frozen at creation (SCALE.md sizing note).
+        Iceberg solves growth with spec evolution; the equivalent here is
+        a single explicit rewrite, run off the ingest path like
+        compaction.
+
+        Semantics: the full resolved state (MOR delta chains folded,
+        tombstones preserved with their lsns so the LWW redelivery guard
+        survives the rewrite) is re-hashed to new buckets, pk-clustered
+        per file, and committed as operation ``rebucket``. Epoch markers
+        carry over - exactly-once pipelines resume unaffected; subsequent
+        merges read ``num_buckets`` from the new snapshot and just work.
+        Time travel to pre-rebucket versions reads the old layout (each
+        snapshot owns its bucket count). Concurrent writers lose the
+        snapshot race and recompute against the new layout (a rebucket
+        touches every bucket, so the metadata rebase correctly refuses to
+        splice across it)."""
+        if new_num_buckets < 1:
+            raise ValueError(f"num_buckets must be >= 1, got {new_num_buckets}")
+        snap = self.snapshot()
+        if new_num_buckets == snap.num_buckets:
+            return snap
+        pk = snap.pk_fields
+        df = self._resolved(snap, None).withColumn(
+            BUCKET_COL,
+            bucket_expr(
+                pk[0], new_num_buckets, key_type=snap.schema[pk[0]].dataType
+            ),
+        )
+        new_files = self._write_data_files(
+            df, target_partitions=new_num_buckets, cluster_by=list(pk)
+        )
+        props = json.loads(json.dumps(snap.properties))
+        # every delta chain was folded into full base rows above
+        props.pop("partial_delta_buckets", None)
+        out = Snapshot(
+            version=snap.version + 1,
+            parent=snap.version,
+            schema_json=json.loads(snap.schema.json()),
+            schema_version=snap.schema_version,
+            num_buckets=new_num_buckets,
+            pk_fields=snap.pk_fields,
+            order_fields=snap.order_fields,
+            files=new_files,
+            properties=props,
+            operation="rebucket",
+            summary={
+                "from_buckets": snap.num_buckets,
+                "to_buckets": new_num_buckets,
+            },
+            deltas={},
+        )
+        return self._commit(out, parent=snap)
 
     def _dml_once(
         self,

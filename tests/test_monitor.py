@@ -10,7 +10,9 @@ from dataingestion_spark.streaming.monitor import attach_metrics, graceful_stop
 from dataingestion_spark.streaming.pipeline import stage_changes
 
 
-def _read_records(path, want_rows, timeout_s=30.0):
+def _read_records(path, want_rows, timeout_s=120.0):
+    # generous timeout: listener delivery shares the driver with whatever
+    # else the box is running - under full-suite load 30s has flaked
     """Listener delivery is asynchronous - poll until the progress rows
     sum to the expected count (or time out and return what arrived)."""
     deadline = time.time() + timeout_s
@@ -42,10 +44,11 @@ def test_progress_listener_records_batches(spark, tmp_path):
         )
         q.awaitTermination(120)
         graceful_stop(q, drain_seconds=5)
+        # read BEFORE detaching: events still queued on the listener bus
+        # deliver only while the listener is attached
+        records = _read_records(metrics_path, want_rows=2_000)
     finally:
         spark.streams.removeListener(listener)
-
-    records = _read_records(metrics_path, want_rows=2_000)
     kinds = {r["kind"] for r in records}
     assert "START" in kinds and "PROGRESS" in kinds
     progress = [r for r in records if r["kind"] == "PROGRESS"]
