@@ -154,6 +154,20 @@ def main(argv: list[str] | None = None) -> int:
     )
     p.add_argument("--dry-run", action="store_true")
 
+    p = sub.add_parser("aggview")
+    _add_common(p)
+    p.add_argument("--src-table", required=True, help="source lake table path")
+    p.add_argument("--out", required=True, help="aggregate view table path")
+    p.add_argument(
+        "--group", required=True,
+        help="comma-separated group columns (become the view's pk)",
+    )
+    p.add_argument(
+        "--sum", default=None,
+        help="comma-separated numeric columns to SUM alongside the count",
+    )
+    p.add_argument("--pipeline-id", default="aggsync")
+
     p = sub.add_parser("rebucket")
     _add_common(p)
     p.add_argument("--config", required=True)
@@ -254,6 +268,27 @@ def main(argv: list[str] | None = None) -> int:
         tbl = LakeTable(spark, cfg.table_path)
         snap = tbl.compact(purge_tombstones_below_lsn=a.purge_tombstones_below_lsn)
         print(json.dumps({"version": snap.version}))
+    elif a.cmd == "aggview":
+        from dataingestion_spark.lake.sync import sync_aggregate
+
+        src = LakeTable(spark, a.src_table)
+        snap = sync_aggregate(
+            src,
+            a.out,
+            group_cols=[c.strip() for c in a.group.split(",") if c.strip()],
+            sums=[c.strip() for c in (a.sum or "").split(",") if c.strip()],
+            pipeline_id=a.pipeline_id,
+        )
+        dst = LakeTable(spark, a.out)
+        print(
+            json.dumps(
+                {
+                    "src_version": src.current_version(),
+                    "view_version": dst.current_version(),
+                    "applied": snap is not None,
+                }
+            )
+        )
     elif a.cmd == "rebucket":
         cfg = DatasetConfig.load(a.config)
         tbl = LakeTable(spark, cfg.table_path)

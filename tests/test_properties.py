@@ -147,3 +147,135 @@ def test_merge_equals_oracle_under_any_epoch_split(spark, tmp_path_factory, raw,
             write_mode="mor" if mor else "cow",
         )
     assert_table_equals_oracle(tbl.read(), expected)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    events_strategy,
+    st.integers(min_value=0, max_value=2),
+    st.booleans(),
+)
+def test_dml_equals_pandas_filter_for_any_stream(
+    spark, tmp_path_factory, raw, pick, do_update
+):
+    """For ANY event stream and a key- or payload-valued predicate,
+    delete_where equals the pandas filter of the replay oracle and
+    update_where equals its projection - predicate DML commutes with the
+    replay."""
+    df = _to_df(spark, raw)
+    expected = oracle.replay(df.toPandas())
+    tmp = tmp_path_factory.mktemp("dmlprop")
+    tbl = LakeTable.create(
+        spark, tmp / "t", TRANSCRIPT_SCHEMA,
+        pk_fields=["conv_id", "turn_idx"], order_fields=["lsn", "ts"],
+        num_buckets=2,
+    )
+    tbl.merge(df, pipeline_id="p", epoch_id=0)
+    pred_sql = f"turn_idx = {pick}"
+    hit = expected["turn_idx"] == pick
+    if do_update:
+        tbl.update_where(pred_sql, {"text": "X"})
+        want = expected.copy()
+        want.loc[hit, "text"] = "X"
+    else:
+        tbl.delete_where(pred_sql)
+        want = expected[~hit]
+    assert_table_equals_oracle(tbl.read(), want)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    events_strategy,
+    st.integers(min_value=1, max_value=7),
+    st.booleans(),
+)
+def test_rebucket_state_invariant_for_any_stream(
+    spark, tmp_path_factory, raw, new_n, mor
+):
+    """For ANY event stream and ANY new bucket count, rebucketing
+    mid-stream changes nothing about the final state: merge half, rebucket,
+    merge the rest, and the table still equals the sequential replay."""
+    df = _to_df(spark, raw)
+    pdf = df.toPandas()
+    expected = oracle.replay(pdf)
+    tmp = tmp_path_factory.mktemp("rbprop")
+    tbl = LakeTable.create(
+        spark, tmp / "t", TRANSCRIPT_SCHEMA,
+        pk_fields=["conv_id", "turn_idx"], order_fields=["lsn", "ts"],
+        num_buckets=2,
+    )
+    mid = (max(r[2] for r in raw) + 1) // 2
+    tbl.merge(
+        df.filter(F.col("lsn") < mid), pipeline_id="p", epoch_id=0,
+        write_mode="mor" if mor else "cow",
+    )
+    tbl.rebucket(new_n)
+    tbl.merge(
+        df.filter(F.col("lsn") >= mid), pipeline_id="p", epoch_id=1,
+        write_mode="mor" if mor else "cow",
+    )
+    assert_table_equals_oracle(tbl.read(), expected)
+    assert tbl.snapshot().num_buckets == new_n
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(events_strategy, st.integers(min_value=1, max_value=3))
+def test_aggregate_view_equals_recompute_for_any_stream(
+    spark, tmp_path_factory, raw, cuts
+):
+    """For ANY event stream and ANY epoch split, the incrementally
+    maintained per-conversation view equals a fresh groupBy over the
+    final state after every sync."""
+    import pandas as pd
+
+    from dataingestion_spark.lake.sync import sync_aggregate
+
+    df = _to_df(spark, raw)
+    tmp = tmp_path_factory.mktemp("aggprop")
+    tbl = LakeTable.create(
+        spark, tmp / "t", TRANSCRIPT_SCHEMA,
+        pk_fields=["conv_id", "turn_idx"], order_fields=["lsn", "ts"],
+        num_buckets=2,
+    )
+    view_path = str(tmp / "view")
+    hi = max(r[2] for r in raw) + 1
+    step = hi // cuts + 1
+    for e in range(cuts):
+        part = df.filter(
+            (F.col("lsn") >= e * step) & (F.col("lsn") < (e + 1) * step)
+        )
+        tbl.merge(part, pipeline_id="p", epoch_id=e)
+        sync_aggregate(tbl, view_path, ["conv_id"], sums=["turn_idx"])
+        got = (
+            LakeTable(spark, view_path)
+            .read()
+            .toPandas()
+            .sort_values("conv_id")
+            .reset_index(drop=True)
+        )
+        want = (
+            tbl.read()
+            .groupBy("conv_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("turn_idx").cast("long").alias("sum_turn_idx"),
+            )
+            .toPandas()
+            .sort_values("conv_id")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(
+            got[want.columns], want, check_dtype=False
+        )
