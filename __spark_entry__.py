@@ -396,6 +396,29 @@ def q_doc_near_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id")
 
 
+def q_doc_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction over the documents table (operators/text.py
+    redact_pii): synthetic email/phone/SSN snippets are appended per doc
+    (the corpus itself is clean), then scrubbed with the chained
+    regexp_replace pass - patterns written to mean the same thing in Java
+    regex and RE2 so the DuckDB oracle replays the redaction exactly."""
+    from dataingestion_spark.operators.text import redact_pii
+
+    doc = _read(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    doc = doc.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact u"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or 415-555-"),
+            F.format_string("%04d", F.pmod(F.col("doc_id"), F.lit(10_000)).cast("int")),
+            F.lit(" ssn 123-45-6789"),
+        ),
+    )
+    return redact_pii(doc, "text", out="redacted").select("doc_id", "redacted")
+
+
 def q_events_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (kdb / merge_asof / DuckDB ASOF semantics): last-touch
     attribution - each purchase event gets the user's latest click at or
@@ -894,6 +917,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_point_lookup": q_cdc_point_lookup,
         "cdc_rebucket": q_cdc_rebucket,
         "cdc_agg_view": q_cdc_agg_view,
+        "doc_redact_pii": q_doc_redact_pii,
         "simhash_fingerprints": q_simhash_fingerprints,
         "media_features": q_media_features,
     }
@@ -1118,6 +1142,30 @@ def _lang_ratio(lang: str) -> str:
         f"len(list_filter(toks, x -> x IN ({words}))) / CAST(len(toks) AS DOUBLE) "
         f"ELSE 0.0 END"
     )
+
+
+def _redact_pii_sql() -> str:
+    """DuckDB replay of doc_redact_pii: the same synthetic-PII concat,
+    then the SAME pattern chain from operators/text.py PII_PATTERNS
+    (single source of truth), with RE2's 'g' flag standing in for Spark
+    regexp_replace's replace-all default."""
+    from dataingestion_spark.operators.text import PII_PATTERNS
+
+    expr = "text"
+    for _name, pat, tag in PII_PATTERNS:
+        p = pat.replace("'", "''")
+        expr = f"regexp_replace({expr}, '{p}', '{tag}', 'g')"
+    return f"""
+      WITH d AS (
+        SELECT doc_id,
+               text || ' contact u' || CAST(doc_id AS VARCHAR)
+                    || '@example.com or 415-555-'
+                    || printf('%04d', CAST(doc_id % 10000 AS INT))
+                    || ' ssn 123-45-6789' AS text
+        FROM documents WHERE text IS NOT NULL
+      )
+      SELECT doc_id, {expr} AS redacted FROM d
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1625,6 +1673,7 @@ def oracle_sql() -> dict[str, str]:
             + _replay_sql(n_events=10_000, n_convs=80, max_turns=40, seed=42)
             + ") GROUP BY conv_id"
         ),
+        "doc_redact_pii": _redact_pii_sql(),
         "media_features": """
             WITH m AS (
               SELECT range AS media_id,

@@ -110,3 +110,33 @@ def fingerprint(df: DataFrame, col: str = "text", out: str = "fp") -> DataFrame:
     return df.withColumn(
         out, F.when(F.col(col).isNull(), None).otherwise(F.md5(norm))
     )
+
+
+# Portable PII patterns: written to mean the same thing in Java regex
+# (Spark) and RE2 (DuckDB) - no lookarounds, no backreferences - so the
+# oracle can replay the redaction value-for-value.
+PII_PATTERNS = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", r"(?:\+?\d{1,2}[ .-]?)?\(?\d{3}\)?[ .-]?\d{3}[ .-]?\d{4}", "<PHONE>"),
+    ("ssn", r"\d{3}-\d{2}-\d{4}", "<SSN>"),
+]
+
+
+def redact_pii(
+    df: DataFrame, col: str = "text", out: str | None = None
+) -> DataFrame:
+    """Scrub common PII shapes (emails, NANP-style phone numbers, SSNs)
+    from a text column - the redaction pass a training-data pipeline runs
+    before anything leaves the lake. Pure chained ``regexp_replace``
+    Column expressions (JVM-side, codegen, no Python); order matters and
+    is fixed: emails first (their local part may contain digits), then
+    phones, then SSNs (a bare SSN shape is only tagged if the longer
+    phone shape didn't already consume it).
+
+    For redaction of rows already IN a lake table, compose with
+    ``LakeTable.update_where`` - this operator is the batch/streaming
+    column transform, that one is the in-place DML."""
+    expr = F.col(col)
+    for _name, pat, tag in PII_PATTERNS:
+        expr = F.regexp_replace(expr, pat, tag)
+    return df.withColumn(out or col, expr)

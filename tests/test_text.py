@@ -73,3 +73,24 @@ def test_operators_run_on_documents_table(spark):
         "n_tokens", "lang_pred", "quality", "fp"
     ).first()
     assert row.n_tokens is not None and row.fp is not None
+
+
+def test_redact_pii_scrubs_all_occurrences(spark):
+    from dataingestion_spark.operators.text import redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a@b.co and c.d+x@e-f.org twice"),
+            (2, "call +1 (415) 555-1234 or 415-555-9999"),
+            (3, "ssn 123-45-6789 inline"),
+            (4, "clean text"),
+            (5, None),
+        ],
+        "id int, text string",
+    )
+    got = {r["id"]: r["text"] for r in redact_pii(df).collect()}
+    assert got[1] == "mail <EMAIL> and <EMAIL> twice"
+    assert got[2] == "call <PHONE> or <PHONE>"
+    assert got[3] == "ssn <SSN> inline"
+    assert got[4] == "clean text"
+    assert got[5] is None
