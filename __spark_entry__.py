@@ -863,6 +863,35 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling plumbing (operators/multimodal.py
+    sample_frames): the 1->N mapInPandas fan-out, one row per (video,
+    cadence frame) with its timestamp and the extractor's byte window.
+    gen_media's engine-private duration is overridden with an md5-derived
+    one so DuckDB replays the cadence; the frame window is returned as
+    hex so both engines compare strings."""
+    from dataingestion_spark.operators.multimodal import gen_media, sample_frames
+
+    media = gen_media(spark, n=150, seed=42).withColumn(
+        "duration_ms",
+        F.pmod(
+            F.conv(
+                F.substring(F.md5(F.format_string("dur:%d", F.col("media_id"))), 1, 15),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(5000),
+        ),
+    )
+    frames = sample_frames(media, frame_ms=1000, max_frames=8)
+    return frames.select(
+        "media_id",
+        "frame_idx",
+        "ts_ms",
+        F.hex(F.col("frame")).alias("frame_hex"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -918,6 +947,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_rebucket": q_cdc_rebucket,
         "cdc_agg_view": q_cdc_agg_view,
         "doc_redact_pii": q_doc_redact_pii,
+        "media_frame_sample": q_media_frame_sample,
         "simhash_fingerprints": q_simhash_fingerprints,
         "media_features": q_media_features,
     }
@@ -1674,6 +1704,39 @@ def oracle_sql() -> dict[str, str]:
             + ") GROUP BY conv_id"
         ),
         "doc_redact_pii": _redact_pii_sql(),
+        # sample_frames replay: kind + blob from the media_features oracle's
+        # md5 math; duration overridden the same way the Spark query does;
+        # frame f's window = 16 bytes at offset (f*8)%64 of the 64-byte
+        # blob with wraparound = 32 hex chars at 2*off of the hex repeated
+        # twice (fake_frame_extractor doubles the blob before slicing)
+        "media_frame_sample": """
+            WITH m AS (
+              SELECT range AS media_id,
+                     repeat(md5('blob' || range), 4) AS hx,
+                     md5('kind:42:' || range) AS kh,
+                     ('0x' || substring(md5('dur:' || range), 1, 15))::UBIGINT
+                       % 5000 AS dur
+              FROM range(0, 150)
+            ),
+            v AS (
+              SELECT media_id, hx,
+                     least(greatest((dur + 999) // 1000, 1), 8) AS n
+              FROM m
+              WHERE CAST(('0x' || substring(kh, 1, 15))::UBIGINT % 3 AS INT) = 2
+            ),
+            f AS (
+              SELECT media_id, hx,
+                     unnest(range(0, CAST(n AS BIGINT))) AS frame_idx
+              FROM v
+            )
+            SELECT media_id,
+                   CAST(frame_idx AS INT) AS frame_idx,
+                   frame_idx * 1000 AS ts_ms,
+                   upper(substring(hx || hx,
+                                   CAST((frame_idx * 8) % 64 AS INT) * 2 + 1,
+                                   32)) AS frame_hex
+            FROM f
+        """,
         "media_features": """
             WITH m AS (
               SELECT range AS media_id,

@@ -148,3 +148,116 @@ def gen_media(spark, n: int = 100, seed: int = 42) -> DataFrame:
             "duration_ms"
         ),
     )
+
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("out_h", T.IntegerType()),
+        T.StructField("out_w", T.IntegerType()),
+        T.StructField("pixels", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def resize_images(
+    df: DataFrame,
+    out_h: int = 4,
+    out_w: int = 4,
+    decoder: Callable[[bytes], np.ndarray] = real_image_decoder,
+) -> DataFrame:
+    """Decode + nearest-neighbor resize to (out_h, out_w), emitting the
+    resized pixel grid as a flat float array - the thumbnail/normalize
+    step before a vision model. The RESIZE MATH IS REAL (index-sampling
+    nearest neighbor over whatever array the decoder returns); only the
+    decode behind ``decoder`` is environment-dependent, same contract as
+    extract_features. Arrow-batched mapInPandas; blobs never cross as
+    Python rows."""
+    from dataingestion_spark.operators.parallel import fan_out
+
+    df = fan_out(df)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for content in pdf["content"]:
+                if content is None:
+                    out.append(None)
+                    continue
+                img = decoder(bytes(content))
+                h, w = img.shape[:2]
+                rows = (np.arange(out_h) * h) // out_h
+                cols = (np.arange(out_w) * w) // out_w
+                out.append(
+                    img[np.ix_(rows, cols)].astype(np.float32).reshape(-1).tolist()
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "out_h": out_h,
+                    "out_w": out_w,
+                    "pixels": out,
+                }
+            )
+
+    return df.mapInPandas(batches, RESIZE_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("ts_ms", T.LongType()),
+        T.StructField("frame", T.BinaryType()),
+    ]
+)
+
+
+def fake_frame_extractor(content: bytes, idx: int) -> bytes:
+    """Deterministic stand-in for a video frame grab: a 16-byte window
+    into the blob at a stride-8 offset (wrapping). Lets the 1->N Arrow
+    fan-out be tested and SQL-replayed without a video decoder."""
+    if not content:
+        return b""
+    off = (idx * 8) % len(content)
+    window = (content * 2)[off:off + 16]
+    return bytes(window)
+
+
+def sample_frames(
+    df: DataFrame,
+    frame_ms: int = 1000,
+    max_frames: int = 32,
+    extractor: Callable[[bytes, int], bytes] = fake_frame_extractor,
+) -> DataFrame:
+    """Sample frames from video rows at a fixed cadence: one output row
+    per (media, frame) with its timestamp - the 1->N explode shape a
+    video ingest needs (a real deployment injects a pyav/ffmpeg-backed
+    ``extractor``; the Spark plumbing is identical). Non-video rows are
+    filtered out; a video emits ceil(duration_ms / frame_ms) frames,
+    capped at ``max_frames``, minimum 1. Arrow-batched mapInPandas with
+    a variable-length output batch per input batch."""
+    from dataingestion_spark.operators.parallel import fan_out
+
+    df = fan_out(df.filter(F.col("kind") == "video"))
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, tss, frames = [], [], [], []
+            for mid, content, dur in zip(
+                pdf["media_id"], pdf["content"], pdf["duration_ms"]
+            ):
+                if content is None:
+                    continue
+                dur = int(dur) if dur is not None and not pd.isna(dur) else 0
+                n = min(max(-(-dur // frame_ms), 1), max_frames)
+                for f in range(n):
+                    ids.append(mid)
+                    idxs.append(f)
+                    tss.append(f * frame_ms)
+                    frames.append(extractor(bytes(content), f))
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_idx": idxs, "ts_ms": tss, "frame": frames}
+            )
+
+    return df.mapInPandas(batches, FRAME_SCHEMA)

@@ -46,3 +46,49 @@ def test_media_stats(spark):
     stats = media_stats(gen_media(spark, 60)).toPandas()
     assert stats["n"].sum() == 60
     assert (stats["total_bytes"] > 0).all()
+
+
+def test_resize_images_nearest_neighbor(spark):
+    import numpy as np
+
+    from dataingestion_spark.operators.multimodal import (
+        fake_image_decoder,
+        resize_images,
+    )
+
+    media = gen_media(spark, 20)
+    got = resize_images(media, out_h=4, out_w=4, decoder=fake_image_decoder)
+    rows = {r["media_id"]: r for r in got.collect()}
+    assert len(rows) == 20
+    # replicate the index math for one row against the fake decode
+    src = {r["media_id"]: bytes(r["content"]) for r in media.collect()}
+    for mid in list(rows)[:5]:
+        img = fake_image_decoder(src[mid])
+        idx = (np.arange(4) * 8) // 4
+        want = img[np.ix_(idx, idx)].reshape(-1)
+        assert np.allclose(rows[mid]["pixels"], want, atol=1e-6)
+        assert rows[mid]["out_h"] == 4 and rows[mid]["out_w"] == 4
+
+
+def test_sample_frames_cadence_and_windows(spark):
+    from dataingestion_spark.operators.multimodal import (
+        fake_frame_extractor,
+        sample_frames,
+    )
+    from pyspark.sql import functions as F
+
+    media = gen_media(spark, 120)
+    frames = sample_frames(media, frame_ms=1000, max_frames=8)
+    pdf = frames.toPandas()
+    vids = media.filter(F.col("kind") == "video").toPandas()
+    assert set(pdf["media_id"]) == set(vids["media_id"])
+    per = pdf.groupby("media_id").size()
+    for _, v in vids.iterrows():
+        n_expect = min(max(-(-int(v["duration_ms"]) // 1000), 1), 8)
+        assert per[v["media_id"]] == n_expect
+    # timestamps are the cadence grid; frame windows replay the extractor
+    one = pdf[pdf["media_id"] == vids["media_id"].iloc[0]].sort_values("frame_idx")
+    assert list(one["ts_ms"]) == [i * 1000 for i in range(len(one))]
+    blob = bytes(vids.set_index("media_id").loc[vids["media_id"].iloc[0], "content"])
+    for _, fr in one.iterrows():
+        assert bytes(fr["frame"]) == fake_frame_extractor(blob, int(fr["frame_idx"]))
