@@ -678,6 +678,28 @@ def q_cdc_agg_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_dataset_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot tags as dataset releases: replay epoch 0, tag it
+    "release-1", replay epoch 1 on top - then read the RELEASE by name.
+    The tag pins the exact corpus snapshot (and shields it from
+    expire_snapshots) while ingest keeps moving. Oracle: the portable
+    replay restricted to epoch 0's lsn range."""
+    from dataingestion_spark.sources.datagen import gen_changes
+
+    tbl = _flagship_table(spark, "cdc_rel_", merge=False)
+    changes = gen_changes(
+        spark, n_events=10_000, n_convs=80, max_turns=40, seed=42,
+        hash_mode="md5",
+    )
+    for epoch, lo, hi in [(0, 0, 7_000), (1, 7_000, 10_000)]:
+        part = changes.filter((F.col("lsn") >= lo * 2) & (F.col("lsn") < hi * 2))
+        tbl.merge(part, pipeline_id="entry", epoch_id=epoch)
+        if epoch == 0:
+            tbl.tag("release-1")
+    tbl.expire_snapshots(keep_last=1)  # the tag must survive this
+    return tbl.read(version="release-1").orderBy("conv_id", "turn_idx")
+
+
 def q_cdc_sync_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chained CDC hop: replay the flagship binlog into a source lake
     table epoch-by-epoch, after each epoch sync_incremental a filtered
@@ -948,6 +970,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_agg_view": q_cdc_agg_view,
         "doc_redact_pii": q_doc_redact_pii,
         "media_frame_sample": q_media_frame_sample,
+        "cdc_dataset_release": q_cdc_dataset_release,
         "simhash_fingerprints": q_simhash_fingerprints,
         "media_features": q_media_features,
     }
@@ -1001,6 +1024,7 @@ def _replay_sql(
     max_turns: int = 40,
     seed: int = 42,
     dup_frac: float = 0.05,
+    cutoff_lsn: int | None = None,
 ) -> str:
     """DuckDB replay of the flagship transcript_cdc_replay query: rebuild
     gen_changes(hash_mode='md5') row-for-row (sources/datagen.py), then
@@ -1060,7 +1084,7 @@ def _replay_sql(
       ranked AS (
         SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
                                      ORDER BY lsn DESC) AS rn
-        FROM ev2
+        FROM ev2{'' if cutoff_lsn is None else f' WHERE lsn < {cutoff_lsn}'}
       )
       SELECT conv_id, turn_idx, role, text, tool, ts
       FROM ranked WHERE rn = 1 AND op <> 'DELETE'
@@ -1696,6 +1720,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "cdc_rebucket": _replay_sql(
             n_events=10_000, n_convs=80, max_turns=40, seed=42
+        ),
+        "cdc_dataset_release": _replay_sql(
+            n_events=10_000, n_convs=80, max_turns=40, seed=42,
+            cutoff_lsn=14_000,
         ),
         "cdc_agg_view": (
             "SELECT conv_id, count(*) AS n_rows,"

@@ -154,6 +154,13 @@ def main(argv: list[str] | None = None) -> int:
     )
     p.add_argument("--dry-run", action="store_true")
 
+    p = sub.add_parser("tag")
+    _add_common(p)
+    p.add_argument("--config", required=True)
+    p.add_argument("--name", default=None, help="tag to create (or drop)")
+    p.add_argument("--version", type=int, default=None)
+    p.add_argument("--drop", action="store_true")
+
     p = sub.add_parser("aggview")
     _add_common(p)
     p.add_argument("--src-table", required=True, help="source lake table path")
@@ -268,6 +275,14 @@ def main(argv: list[str] | None = None) -> int:
         tbl = LakeTable(spark, cfg.table_path)
         snap = tbl.compact(purge_tombstones_below_lsn=a.purge_tombstones_below_lsn)
         print(json.dumps({"version": snap.version}))
+    elif a.cmd == "tag":
+        cfg = DatasetConfig.load(a.config)
+        tbl = LakeTable(spark, cfg.table_path)
+        if a.name and a.drop:
+            tbl.drop_tag(a.name)
+        elif a.name:
+            tbl.tag(a.name, a.version)
+        print(json.dumps({"tags": tbl.tags()}))
     elif a.cmd == "aggview":
         from dataingestion_spark.lake.sync import sync_aggregate
 

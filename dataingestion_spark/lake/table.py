@@ -222,7 +222,9 @@ class LakeTable:
         while len(self._snap_cache) > self.SNAP_CACHE_SIZE:
             self._snap_cache.popitem(last=False)
 
-    def snapshot(self, version: int | None = None) -> Snapshot:
+    def snapshot(self, version: int | str | None = None) -> Snapshot:
+        if isinstance(version, str):
+            version = self.resolve_tag(version)
         v = self.current_version() if version is None else version
         if v in self._snap_cache:
             self._snap_cache.move_to_end(v)
@@ -250,6 +252,54 @@ class LakeTable:
             self.snapshot(int(p.stem[1:]))
             for p in sorted(self._snap_dir.glob("v*.json"))
         ]
+
+    # ------------------------------------------------------------------
+    # snapshot tags (Iceberg tag analog): named, expiry-protected versions
+    # ------------------------------------------------------------------
+    # The training-data use case: "dataset release v1" pins the exact
+    # snapshot a corpus was cut from, readable forever by name
+    # (read(version="release-1")) and immune to expire_snapshots until the
+    # tag is dropped. Stored as one JSON map name->version; writes go
+    # through tmp+rename (atomic vs readers). Tagging is a maintenance
+    # operation - concurrent tag() calls are last-writer-wins on the map,
+    # like Iceberg's tag DDL under a single catalog writer.
+
+    @property
+    def _tags_path(self) -> Path:
+        return self.root / "_meta" / "tags.json"
+
+    def tags(self) -> dict[str, int]:
+        p = self._tags_path
+        return json.loads(p.read_text()) if p.is_file() else {}
+
+    def resolve_tag(self, name: str) -> int:
+        tags = self.tags()
+        if name not in tags:
+            raise KeyError(
+                f"unknown tag {name!r} (have: {sorted(tags) or 'none'})"
+            )
+        return int(tags[name])
+
+    def _write_tags(self, tags: dict[str, int]) -> None:
+        tmp = self._tags_path.with_suffix(f".{uuid.uuid4().hex[:8]}.tmp")
+        tmp.write_text(json.dumps(tags, sort_keys=True))
+        tmp.replace(self._tags_path)
+
+    def tag(self, name: str, version: int | None = None) -> int:
+        """Pin ``version`` (default: current) under ``name``. The version
+        must still be retained; re-tagging an existing name repoints it."""
+        v = self.current_version() if version is None else int(version)
+        if not self._snapshot_path(v).is_file():
+            raise FileNotFoundError(f"cannot tag v{v}: snapshot not retained")
+        tags = self.tags()
+        tags[name] = v
+        self._write_tags(tags)
+        return v
+
+    def drop_tag(self, name: str) -> None:
+        tags = self.tags()
+        tags.pop(name, None)
+        self._write_tags(tags)
 
     @property
     def _manifest_dir(self) -> Path:
@@ -574,7 +624,7 @@ class LakeTable:
 
     def read(
         self,
-        version: int | None = None,
+        version: int | str | None = None,
         buckets: list[int] | None = None,
         include_system: bool = False,
         where: dict[str, tuple] | None = None,
@@ -2492,7 +2542,7 @@ class LakeTable:
                 raise ValueError(
                     f"update_where cannot assign {bad}: pk or unknown column"
                 )
-        live = self.read(where=prune, include_system=True)
+        live = self.read(version=snap.version, where=prune, include_system=True)
         target = sorted(
             int(r[0])
             for r in live.filter(cond).select(BUCKET_COL).distinct().collect()
@@ -2607,14 +2657,17 @@ class LakeTable:
         ``keep_last`` (Iceberg's expire_snapshots). Time travel to an
         expired version stops working; the data/manifest/chunk files only
         those versions referenced become orphans, reclaimed by
-        ``vacuum()``. The CURRENT version is always retained. Driver-side
-        metadata ops only - O(versions), no Spark job."""
+        ``vacuum()``. The CURRENT version is always retained, and so is
+        every TAGGED version (dataset releases outlive retention until
+        their tag is dropped). Driver-side metadata ops only -
+        O(versions), no Spark job."""
         if keep_last < 1:
             raise ValueError("keep_last must be >= 1")
         versions = sorted(
             int(p.stem[1:]) for p in self._snap_dir.glob("v*.json")
         )
-        expired = versions[:-keep_last]
+        tagged = set(self.tags().values())
+        expired = [v for v in versions[:-keep_last] if v not in tagged]
         if not dry_run:
             for v in expired:
                 self._snapshot_path(v).unlink()

@@ -139,3 +139,46 @@ def test_compact_clusters_rows_by_pk(spark, tmp_table_dir):
                 pd.testing.assert_frame_equal(t.reset_index(drop=True), s)
                 checked += 1
     assert checked > 0
+
+
+def test_tags_pin_versions_and_survive_expiry(spark, tmp_path):
+    import pandas as pd
+    import pytest
+
+    tbl = _make_table(spark, tmp_path / "t", epochs=4)
+    versions = [s.version for s in tbl.history()]
+    release_v = versions[1]
+    state_at_release = (
+        tbl.read(version=release_v)
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    tbl.tag("release-1", release_v)
+    assert tbl.tags() == {"release-1": release_v}
+    # read by name == read by number
+    by_name = (
+        tbl.read(version="release-1")
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(by_name, state_at_release)
+    # expiry spares the tagged version (and always the newest)
+    expired = tbl.expire_snapshots(keep_last=1)
+    assert release_v not in expired
+    pd.testing.assert_frame_equal(
+        tbl.read(version="release-1")
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True),
+        state_at_release,
+    )
+    # dropping the tag releases it to the next expiry pass
+    tbl.drop_tag("release-1")
+    assert release_v in tbl.expire_snapshots(keep_last=1)
+    with pytest.raises(KeyError, match="unknown tag"):
+        tbl.read(version="release-1")
+    # tagging an unretained version fails loudly
+    with pytest.raises(FileNotFoundError, match="not retained"):
+        tbl.tag("bad", versions[0])
