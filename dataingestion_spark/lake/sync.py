@@ -187,6 +187,17 @@ def sync_aggregate(
                 order_fields=["lsn"],
                 num_buckets=num_buckets,
             )
+    want_cols = {f.name for f in aggregate_schema(
+        src.snapshot().schema, group_cols, sums, count_col
+    ).fields}
+    have_cols = {f.name for f in dst.snapshot().schema.fields}
+    if list(dst.snapshot().pk_fields) != list(group_cols) or want_cols != have_cols:
+        raise ValueError(
+            "destination is not the aggregate view this call describes "
+            f"(pk {dst.snapshot().pk_fields} vs group {group_cols}, "
+            f"columns {sorted(have_cols)} vs {sorted(want_cols)}); "
+            "point at a fresh path or match the original group/sum spec"
+        )
     cur = src.current_version()
     last = dst.last_applied_epoch(pipeline_id)
     if last >= cur:

@@ -177,3 +177,19 @@ def test_aggregate_view_null_group_keys_excluded(spark, tmp_path):
     sync_aggregate(src, view_path, ["role"])
     got = LakeTable(spark, view_path).read().toPandas()
     assert list(got["role"]) == ["user"] and int(got["n_rows"].iloc[0]) == 1
+
+
+def test_aggregate_view_rejects_mismatched_destination(spark, tmp_path):
+    import pytest
+
+    src = _make_table(spark, str(tmp_path / "src"))
+    view_path = str(tmp_path / "view")
+    src.merge(
+        _batch(spark, [("INSERT", "c1", 0, "user", "a", None, 100, 10, "f")]),
+        pipeline_id="p", epoch_id=0,
+    )
+    sync_aggregate(src, view_path, ["role"], sums=["turn_idx"])
+    with pytest.raises(ValueError, match="not the aggregate view"):
+        sync_aggregate(src, view_path, ["conv_id"], sums=["turn_idx"])
+    with pytest.raises(ValueError, match="not the aggregate view"):
+        sync_aggregate(src, view_path, ["role"])  # sums spec differs
