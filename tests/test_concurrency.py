@@ -250,3 +250,28 @@ def test_rebase_refuses_merge_overlap_and_recomputes(spark, tmp_table_dir, monke
     assert calls["merge_once"] == 2, "overlap must force a recompute"
     got = tbl.read().toPandas()
     assert list(got["text"]) == ["newer"]  # LWW by lsn across both writers
+
+
+def test_rebase_refuses_dml_intervener_and_recomputes(spark, tmp_table_dir, monkeypatch):
+    """Interloper ran delete_where on our bucket: a DML commit is a
+    replace-style rewrite whose rows must feed our fold, so the stale
+    merge recomputes - and its recompute sees the deletion (the stale
+    row's lsn is below the tombstone's timeline position)."""
+    c1, _ = _two_convs_in_different_buckets(spark)
+    tbl = _make_table(spark, tmp_table_dir)
+    other = LakeTable(spark, tmp_table_dir)
+    tbl.merge(_batch(spark, c1, 0, "base", 10), pipeline_id="p", epoch_id=0)
+    stale = tbl.snapshot()
+    other.delete_where(F.col("conv_id") == c1)
+    calls = _spy_rebase(monkeypatch)  # after the interloper: count OUR runs only
+    restore = _stale_once(tbl, stale)
+    try:
+        # a stale-lsn update for the deleted key plus a fresh turn
+        tbl.merge(_batch(spark, c1, 1, "new-turn", 9), pipeline_id="p", epoch_id=1)
+    finally:
+        restore()
+    assert calls["merge_once"] == 2, "DML overlap must force a recompute"
+    got = tbl.read().toPandas()
+    # turn 0 stays deleted (tombstone at lsn 10 > nothing newer); the new
+    # turn 1 row (its own key) lands
+    assert list(got["turn_idx"]) == [1] and list(got["text"]) == ["new-turn"]
