@@ -139,6 +139,11 @@ def main(argv: list[str] | None = None) -> int:
     _add_common(p)
     p.add_argument("--config", required=True)
     p.add_argument("--purge-tombstones-below-lsn", type=int, default=None)
+    p.add_argument(
+        "--cluster-by", default=None,
+        help="comma-separated in-file sort columns (default: the pk); "
+        "cluster by your dominant read predicate, e.g. ts",
+    )
 
     p = sub.add_parser("vacuum")
     _add_common(p)
@@ -273,7 +278,14 @@ def main(argv: list[str] | None = None) -> int:
     elif a.cmd == "compact":
         cfg = DatasetConfig.load(a.config)
         tbl = LakeTable(spark, cfg.table_path)
-        snap = tbl.compact(purge_tombstones_below_lsn=a.purge_tombstones_below_lsn)
+        snap = tbl.compact(
+            purge_tombstones_below_lsn=a.purge_tombstones_below_lsn,
+            cluster_cols=(
+                [c.strip() for c in a.cluster_by.split(",") if c.strip()]
+                if a.cluster_by
+                else None
+            ),
+        )
         print(json.dumps({"version": snap.version}))
     elif a.cmd == "tag":
         cfg = DatasetConfig.load(a.config)

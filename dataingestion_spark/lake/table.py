@@ -2584,6 +2584,7 @@ class LakeTable:
         purge_tombstones_below_lsn: int | None = None,
         buckets: list[int] | None = None,
         cluster: bool = True,
+        cluster_cols: list[str] | None = None,
     ) -> Snapshot:
         """Rewrite buckets to merge small files and fold outstanding
         merge-on-read deltas into the base; optionally purge tombstones
@@ -2594,9 +2595,17 @@ class LakeTable:
         each rewritten file so parquet row groups carry tight key ranges -
         point lookups and key-range scans then skip row groups via the
         ordinary parquet pushdown, complementing the file-level stats
-        sidecars. Compaction is exactly where clustering belongs: the
-        ingest path stays sort-free and the background rewrite pays the
-        sort once per file, off the hot path."""
+        sidecars. ``cluster_cols`` overrides the sort key: clustering by
+        a time column instead (e.g. ``["ts"]``) gives each parquet ROW
+        GROUP a tight range on that column, so time-range predicates skip
+        row groups inside every file the scan does open (file-level
+        min/max can't narrow within a bucket's single file; the in-file
+        sort is what makes the residual filter cheap) - pick the column
+        your dominant read predicate filters on, the same layout choice
+        Delta's OPTIMIZE ZORDER makes. Compaction is exactly where
+        clustering belongs: the ingest path stays sort-free and the
+        background rewrite pays the sort once per file, off the hot
+        path."""
         snap = self.snapshot()
         if buckets is not None:
             target = buckets
@@ -2626,10 +2635,20 @@ class LakeTable:
                     & (F.col(LSN_COL) < purge_tombstones_below_lsn)
                 )
             )
+        if cluster_cols:
+            unknown = [c for c in cluster_cols if c not in {
+                f.name for f in snap.schema.fields
+            }]
+            if unknown:
+                raise ValueError(f"cluster_cols not in schema: {unknown}")
         new_files = self._write_data_files(
             df,
             target_partitions=max(len(target), 1),
-            cluster_by=list(snap.pk_fields) if cluster else None,
+            cluster_by=(
+                list(cluster_cols)
+                if cluster_cols
+                else (list(snap.pk_fields) if cluster else None)
+            ),
         )
         files = {k: list(v) for k, v in snap.files.items()}
         deltas = {k: list(v) for k, v in snap.deltas.items()}

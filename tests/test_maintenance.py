@@ -182,3 +182,36 @@ def test_tags_pin_versions_and_survive_expiry(spark, tmp_path):
     # tagging an unretained version fails loudly
     with pytest.raises(FileNotFoundError, match="not retained"):
         tbl.tag("bad", versions[0])
+
+
+def test_compact_cluster_cols_sorts_rows_by_time(spark, tmp_path):
+    import pyarrow.parquet as pq
+    import pytest
+
+    tbl = _make_table(spark, tmp_path / "t")
+    before = tbl.read().toPandas().sort_values(["conv_id", "turn_idx"])
+    tbl.compact(cluster_cols=["ts"])
+    after = tbl.read().toPandas().sort_values(["conv_id", "turn_idx"])
+    assert before.reset_index(drop=True).equals(after.reset_index(drop=True))
+    # inside every rewritten file, rows are ts-ordered (what makes parquet
+    # row-group min/max pushdown effective for time-range predicates)
+    snap = tbl.snapshot()
+    for fl in snap.files.values():
+        for rel in fl:
+            t = pq.read_table(str(tbl.root / rel), columns=["ts"])
+            vals = t.column("ts").to_pylist()
+            assert vals == sorted(vals), f"{rel} not ts-clustered"
+    with pytest.raises(ValueError, match="not in schema"):
+        tbl.compact(cluster_cols=["nope"])
+
+
+def test_read_changes_accepts_tag_names(spark, tmp_path):
+    tbl = _make_table(spark, tmp_path / "t", epochs=2)
+    first_v = [s.version for s in tbl.history()][1]
+    tbl.tag("after-epoch-0", first_v)
+    by_num = tbl.read_changes(first_v).toPandas()
+    by_tag = tbl.read_changes("after-epoch-0").toPandas()
+    cols = list(by_num.columns)
+    assert by_num.sort_values(cols).reset_index(drop=True).equals(
+        by_tag.sort_values(cols).reset_index(drop=True)
+    )
