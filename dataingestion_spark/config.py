@@ -67,6 +67,11 @@ class DatasetConfig:
     # NULL payload columns on an UPDATE mean "not set"; required for
     # Mongo $set change streams, demo/test_pipeline.sh:244-262).
     update_mode: str = "full"
+    # CHECK constraints (Delta table-constraints analog): SQL predicates
+    # over the change row that must hold for non-DELETE events; violating
+    # rows go to the dead-letter quarantine instead of failing the batch.
+    # Only enforced when the pipeline runs with a quarantine dir.
+    constraints: list[str] = field(default_factory=list)
 
     def to_json(self) -> str:
         return json.dumps(asdict(self), indent=2)

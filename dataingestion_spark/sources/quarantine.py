@@ -42,6 +42,7 @@ def invalid_reason(
     op_col: str = "op",
     allowed_ops: tuple[str, ...] = DEFAULT_OPS,
     require_ts: str | None = None,
+    constraints: list[str] | None = None,
 ) -> Column:
     """NULL for a valid row, else the first failing rule's tag:
 
@@ -49,7 +50,14 @@ def invalid_reason(
       ``null_lsn``  the LWW ordinal is NULL (unorderable);
       ``bad_op``    operation NULL or outside ``allowed_ops``;
       ``null_ts``   (only when ``require_ts`` names a column) event time
-                    is NULL - for pipelines whose watermarking needs it.
+                    is NULL - for pipelines whose watermarking needs it;
+      ``constraint:<expr>`` (per entry in ``constraints``) a user CHECK
+                    predicate over the row - the Delta table-constraints
+                    analog, routed to the DLQ instead of failing the
+                    batch. Checked in list order, each as a SQL string; a
+                    DELETE row is exempt (its payload is legitimately
+                    null) and NULL predicate results count as violations
+                    (CHECK semantics are "must be true").
 
     Rule order is fixed so the reason is deterministic for multiply-
     broken rows (a row missing everything quarantines as ``null_pk``)."""
@@ -67,6 +75,12 @@ def invalid_reason(
     )
     if require_ts:
         reason = reason.when(F.col(require_ts).isNull(), F.lit("null_ts"))
+    is_delete = op_u == F.lit("DELETE")
+    for expr in constraints or []:
+        holds = F.coalesce(F.expr(expr), F.lit(False))
+        reason = reason.when(
+            ~is_delete & ~holds, F.lit(f"constraint:{expr}")
+        )
     return reason.otherwise(F.lit(None).cast("string"))
 
 
@@ -77,6 +91,7 @@ def split_invalid(
     op_col: str = "op",
     allowed_ops: tuple[str, ...] = DEFAULT_OPS,
     require_ts: str | None = None,
+    constraints: list[str] | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """(valid, quarantined): valid rows pass through unchanged (no extra
     columns), quarantined rows carry ``_invalid_reason``. Both sides are
@@ -86,6 +101,7 @@ def split_invalid(
     reason = invalid_reason(
         pk_fields, lsn_col=lsn_col, op_col=op_col,
         allowed_ops=allowed_ops, require_ts=require_ts,
+        constraints=constraints,
     )
     ann = df.withColumn(REASON_COL, reason)
     valid = ann.filter(F.col(REASON_COL).isNull()).drop(REASON_COL)

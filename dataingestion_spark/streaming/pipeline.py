@@ -256,7 +256,8 @@ def apply_changes(
             from dataingestion_spark.sources.quarantine import split_invalid
 
             df, bad = split_invalid(
-                df, list(config.pk_fields), lsn_col=config.order_fields[0]
+                df, list(config.pk_fields), lsn_col=config.order_fields[0],
+                constraints=list(getattr(config, "constraints", []) or []),
             )
             n_quarantined = bad.count()
             if n_quarantined:

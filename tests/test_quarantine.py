@@ -156,3 +156,53 @@ def test_apply_changes_quarantine_e2e(spark, tmp_path):
     assert tbl.current_version() == v
     assert spark.read.parquet(d["dlq"]).count() == len(dlq)
     changes.unpersist()
+
+
+def test_check_constraints_route_to_dlq(spark):
+    """Delta-style CHECK constraints: violating non-DELETE rows go to the
+    quarantine with a constraint:<expr> reason; DELETE rows are exempt
+    (their payload is legitimately null); NULL predicate results violate
+    (CHECK must be TRUE)."""
+    df = _rows(
+        spark,
+        [
+            ("INSERT", "c1", 0, "user", "ok", None, 100, 10, "f"),
+            ("INSERT", "c1", 7, "user", "bad-turn", None, 100, 11, "f"),
+            ("INSERT", "c1", 1, None, "null-role", None, 100, 12, "f"),
+            ("DELETE", "c1", 9, None, None, None, 100, 13, "f"),  # exempt
+        ],
+    )
+    valid, bad = split_invalid(
+        df,
+        ["conv_id", "turn_idx"],
+        constraints=["turn_idx < 5", "role IS NOT NULL"],
+    )
+    assert valid.count() == 2  # the ok INSERT + the DELETE
+    got = {r["turn_idx"]: r[REASON_COL] for r in bad.collect()}
+    assert got == {7: "constraint:turn_idx < 5", 1: "constraint:role IS NOT NULL"}
+
+
+def test_constraints_e2e_from_config(spark, tmp_path):
+    d = {k: str(tmp_path / k) for k in ("landing", "ckpt", "table", "dlq")}
+    changes = gen_changes(spark, n_events=1_000, n_convs=20, n_files=1, seed=5)
+    changes = changes.persist()
+    write_change_files(changes, d["landing"])
+    config = DatasetConfig(
+        name="transcripts", table_path=d["table"], num_buckets=4,
+        salt_buckets=4, constraints=["length(text) < 40"],
+    )
+    bootstrap_table(spark, config, TRANSCRIPT_SCHEMA)
+    q = apply_changes(
+        spark, config, d["landing"], d["ckpt"],
+        schema=changes.schema, quarantine_dir=d["dlq"],
+    )
+    q.awaitTermination(240)
+    pdf = changes.toPandas()
+    changes.unpersist()
+    viol = (pdf["op"] != "DELETE") & ~(pdf["text"].str.len() < 40)
+    expected = oracle.replay(pdf[~viol])
+    assert viol.sum() > 0
+    assert_table_equals_oracle(LakeTable(spark, d["table"]).read(), expected)
+    dlq = spark.read.parquet(d["dlq"]).toPandas()
+    assert len(dlq) == int(viol.sum())
+    assert (dlq[REASON_COL] == "constraint:length(text) < 40").all()
