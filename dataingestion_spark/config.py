@@ -72,6 +72,13 @@ class DatasetConfig:
     # rows go to the dead-letter quarantine instead of failing the batch.
     # Only enforced when the pipeline runs with a quarantine dir.
     constraints: list[str] = field(default_factory=list)
+    # Continuously maintained aggregate views (streaming materialized
+    # views): after each applied epoch, every spec {"path": ..., "group":
+    # [cols], "sums": [cols]} is incrementally synced off the table's
+    # changelog (lake/sync.py sync_aggregate) - cost per epoch scales
+    # with that epoch's change volume, and exactly-once rides the view's
+    # own source-version epoch markers.
+    agg_views: list[dict] = field(default_factory=list)
 
     def to_json(self) -> str:
         return json.dumps(asdict(self), indent=2)

@@ -281,6 +281,17 @@ def apply_changes(
             limit = getattr(config, "compact_delta_files", 0)
             if snap is not None and limit:
                 table.maybe_compact(max_delta_files_per_bucket=limit)
+            if snap is not None:
+                for spec in getattr(config, "agg_views", []) or []:
+                    from dataingestion_spark.lake.sync import sync_aggregate
+
+                    sync_aggregate(
+                        table,
+                        spec["path"],
+                        group_cols=list(spec["group"]),
+                        sums=list(spec.get("sums", [])),
+                        pipeline_id=spec.get("pipeline_id", "aggsync"),
+                    )
         else:
             snap = table.append(
                 df.drop("op"),

@@ -193,3 +193,41 @@ def test_aggregate_view_rejects_mismatched_destination(spark, tmp_path):
         sync_aggregate(src, view_path, ["conv_id"], sums=["turn_idx"])
     with pytest.raises(ValueError, match="not the aggregate view"):
         sync_aggregate(src, view_path, ["role"])  # sums spec differs
+
+
+def test_streaming_pipeline_maintains_agg_view(spark, tmp_path):
+    """agg_views in the dataset config: the view updates after every
+    applied micro-batch and survives a checkpoint replay untouched - a
+    streaming materialized view."""
+    from dataingestion_spark.config import DatasetConfig
+    from dataingestion_spark.sources.datagen import gen_changes, write_change_files
+    from dataingestion_spark.streaming.pipeline import apply_changes, bootstrap_table
+    from tests.util import TRANSCRIPT_SCHEMA
+
+    d = {k: str(tmp_path / k) for k in ("landing", "ckpt", "table", "view")}
+    changes = gen_changes(spark, n_events=2_000, n_convs=25, n_files=3, seed=9)
+    changes = changes.persist()
+    write_change_files(changes, d["landing"])
+    config = DatasetConfig(
+        name="transcripts", table_path=d["table"], num_buckets=4, salt_buckets=4,
+        agg_views=[{"path": d["view"], "group": ["conv_id"], "sums": ["turn_idx"]}],
+    )
+    bootstrap_table(spark, config, TRANSCRIPT_SCHEMA)
+    q = apply_changes(
+        spark, config, d["landing"], d["ckpt"],
+        schema=changes.schema, max_files_per_trigger=1,  # several epochs
+    )
+    q.awaitTermination(240)
+    changes.unpersist()
+
+    src = LakeTable(spark, d["table"])
+    view = LakeTable(spark, d["view"])
+    _assert_view_matches_recompute(src, view, group_col="conv_id")
+    # checkpoint replay: neither table nor view advances
+    v_tbl, v_view = src.current_version(), view.current_version()
+    q = apply_changes(
+        spark, config, d["landing"], d["ckpt"], schema=None
+    )
+    q.awaitTermination(120)
+    assert src.current_version() == v_tbl
+    assert view.current_version() == v_view
