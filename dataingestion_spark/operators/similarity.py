@@ -192,21 +192,33 @@ def assign_cells(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Assign every vector to its best (max rounded cosine, min cell on
-    ties) centroid cell. Centroids are tiny and broadcast; the corpus side
-    never shuffles - the argmax is a map-side max_by aggregate per row id
-    over n_centroids candidates."""
+    ties) centroid cell. The centroids are collected to the driver
+    (n_centroids x dim doubles - driver-safe by construction) and INLINED
+    as literals, so the argmax is one codegen'd array expression: a
+    single corpus scan, zero joins, zero shuffles. The previous plan
+    (broadcast-join x centroids -> groupBy argmax -> join back) scanned
+    the corpus twice around a shuffle for the same answer; at any scale
+    the inlined form is strictly less work, and the argmax stays exact
+    (array_position of the max picks the FIRST = lowest cell on ties,
+    matching the old max_by tiebreak)."""
+    rows = centroids.orderBy("cell").collect()
     corpus = fan_out(corpus)
-    scored = corpus.join(F.broadcast(centroids)).select(
-        corpus["*"],
-        F.col("cell"),
-        cosine_expr(_as_double(vec_col), F.col("centroid")).alias("_cscore"),
+    if not rows:
+        return corpus.withColumn("cell", F.lit(None).cast("int"))
+    vec = _as_double(vec_col)
+    scores = F.array(
+        *[
+            cosine_expr(
+                vec, F.array(*[F.lit(float(x)) for x in r["centroid"]])
+            )
+            for r in rows
+        ]
     )
-    best = scored.groupBy(id_col).agg(
-        F.max_by(
-            F.col("cell"), F.struct(F.col("_cscore"), -F.col("cell"))
-        ).alias("cell")
+    cells = F.array(*[F.lit(int(r["cell"])) for r in rows])
+    best = F.element_at(
+        cells, F.array_position(scores, F.array_max(scores)).cast("int")
     )
-    return corpus.join(best, id_col)
+    return corpus.withColumn("cell", best)
 
 
 def ivf_topk(
