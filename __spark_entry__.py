@@ -700,6 +700,28 @@ def q_cdc_dataset_release(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tbl.read(version="release-1").orderBy("conv_id", "turn_idx")
 
 
+def q_cdc_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bad-deploy recovery: replay epoch 0, tag it, replay epoch 1 (the
+    "bad" deploy), then LakeTable.rollback to the tag - state, schema and
+    the exactly-once cursor return to the good point as a NEW commit
+    (history preserved; a resumed stream re-applies epoch 1). Oracle: the
+    portable replay restricted to epoch 0's lsn range."""
+    from dataingestion_spark.sources.datagen import gen_changes
+
+    tbl = _flagship_table(spark, "cdc_rbk_", merge=False)
+    changes = gen_changes(
+        spark, n_events=10_000, n_convs=80, max_turns=40, seed=42,
+        hash_mode="md5",
+    )
+    for epoch, lo, hi in [(0, 0, 7_000), (1, 7_000, 10_000)]:
+        part = changes.filter((F.col("lsn") >= lo * 2) & (F.col("lsn") < hi * 2))
+        tbl.merge(part, pipeline_id="entry", epoch_id=epoch)
+        if epoch == 0:
+            tbl.tag("good")
+    tbl.rollback("good")
+    return tbl.read().orderBy("conv_id", "turn_idx")
+
+
 def q_cdc_sync_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chained CDC hop: replay the flagship binlog into a source lake
     table epoch-by-epoch, after each epoch sync_incremental a filtered
@@ -971,6 +993,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_redact_pii": q_doc_redact_pii,
         "media_frame_sample": q_media_frame_sample,
         "cdc_dataset_release": q_cdc_dataset_release,
+        "cdc_rollback": q_cdc_rollback,
         "simhash_fingerprints": q_simhash_fingerprints,
         "media_features": q_media_features,
     }
@@ -1722,6 +1745,10 @@ def oracle_sql() -> dict[str, str]:
             n_events=10_000, n_convs=80, max_turns=40, seed=42
         ),
         "cdc_dataset_release": _replay_sql(
+            n_events=10_000, n_convs=80, max_turns=40, seed=42,
+            cutoff_lsn=14_000,
+        ),
+        "cdc_rollback": _replay_sql(
             n_events=10_000, n_convs=80, max_turns=40, seed=42,
             cutoff_lsn=14_000,
         ),

@@ -159,6 +159,14 @@ def main(argv: list[str] | None = None) -> int:
     )
     p.add_argument("--dry-run", action="store_true")
 
+    p = sub.add_parser("rollback")
+    _add_common(p)
+    p.add_argument("--config", required=True)
+    p.add_argument(
+        "--to", required=True,
+        help="version number or tag name to roll the table state back to",
+    )
+
     p = sub.add_parser("tag")
     _add_common(p)
     p.add_argument("--config", required=True)
@@ -287,6 +295,19 @@ def main(argv: list[str] | None = None) -> int:
             ),
         )
         print(json.dumps({"version": snap.version}))
+    elif a.cmd == "rollback":
+        cfg = DatasetConfig.load(a.config)
+        tbl = LakeTable(spark, cfg.table_path)
+        to = int(a.to) if a.to.isdigit() else a.to
+        snap = tbl.rollback(to)
+        print(
+            json.dumps(
+                {
+                    "version": snap.version,
+                    "rolled_back_to": snap.summary.get("rolled_back_to"),
+                }
+            )
+        )
     elif a.cmd == "tag":
         cfg = DatasetConfig.load(a.config)
         tbl = LakeTable(spark, cfg.table_path)

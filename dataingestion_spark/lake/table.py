@@ -1504,6 +1504,46 @@ class LakeTable:
         :meth:`_compact_once`."""
         return self._retry_commit(lambda: self._compact_once(**kwargs))
 
+    def rollback(self, version: int | str) -> Snapshot:
+        """Roll the table back to an earlier snapshot's state (Iceberg
+        ``rollback_to_snapshot`` analog) - the bad-deploy recovery move: a
+        broken transformer or misfired DML landed, point the table at the
+        last good state and let the stream re-apply from there.
+
+        Implemented as a NEW commit (operation ``rollback``) whose
+        files/deltas/schema/properties are the target snapshot's -
+        history is preserved (the bad versions remain time-travelable
+        until expired) and concurrent writers race through the normal
+        optimistic-commit path. The target's PIPELINE EPOCH MARKERS come
+        back with it deliberately: epochs applied after the target point
+        are no longer marked, so a resumed stream RE-APPLIES them -
+        rolling back data without rolling back the exactly-once cursor
+        would silently drop those epochs forever. ``version`` may be a
+        number or a tag name; the target must still be retained."""
+
+        def _once() -> Snapshot:
+            target = self.snapshot(version)
+            cur = self.snapshot()
+            if target.version == cur.version:
+                return cur
+            snap = Snapshot(
+                version=cur.version + 1,
+                parent=cur.version,
+                schema_json=json.loads(target.schema.json()),
+                schema_version=target.schema_version,
+                num_buckets=target.num_buckets,
+                pk_fields=target.pk_fields,
+                order_fields=target.order_fields,
+                files={k: list(v) for k, v in target.files.items()},
+                properties=json.loads(json.dumps(target.properties)),
+                operation="rollback",
+                summary={"rolled_back_to": target.version},
+                deltas={k: list(v) for k, v in target.deltas.items()},
+            )
+            return self._commit(snap, parent=cur)
+
+        return self._retry_commit(_once)
+
     def rebucket(self, new_num_buckets: int) -> Snapshot:
         """Change the table's bucket count with optimistic commit retries;
         see :meth:`_rebucket_once`."""

@@ -215,3 +215,47 @@ def test_read_changes_accepts_tag_names(spark, tmp_path):
     assert by_num.sort_values(cols).reset_index(drop=True).equals(
         by_tag.sort_values(cols).reset_index(drop=True)
     )
+
+
+def test_rollback_restores_state_and_reopens_epochs(spark, tmp_path):
+    """rollback points the table at an earlier snapshot as a NEW commit:
+    state and schema come back, history stays time-travelable, and the
+    target's epoch markers return with it so a resumed stream re-applies
+    the rolled-back epochs instead of skipping them forever."""
+    import pandas as pd
+
+    from dataingestion_spark import oracle
+    from tests.util import assert_table_equals_oracle
+
+    tbl = LakeTable.create(
+        spark, tmp_path / "t", TRANSCRIPT_SCHEMA,
+        pk_fields=["conv_id", "turn_idx"], order_fields=["lsn", "ts"],
+        num_buckets=4,
+    )
+    e0 = gen_changes(spark, n_events=500, n_convs=20, seed=3, n_files=1)
+    e1 = gen_changes(
+        spark, n_events=300, n_convs=20, seed=4, n_files=1, lsn_offset=100_000
+    )
+    e0, e1 = e0.persist(), e1.persist()
+    tbl.merge(e0, pipeline_id="p", epoch_id=0)
+    good_v = tbl.current_version()
+    tbl.tag("good", good_v)
+    tbl.merge(e1, pipeline_id="p", epoch_id=1)
+    bad_v = tbl.current_version()
+
+    snap = tbl.rollback("good")  # by tag name
+    assert snap.operation == "rollback"
+    assert snap.summary == {"rolled_back_to": good_v}
+    assert_table_equals_oracle(tbl.read(), oracle.replay(e0.toPandas()))
+    # the bad version stays time-travelable until expired
+    assert tbl.read(version=bad_v).count() > 0
+    # epoch markers rolled back with the state: epoch 1 re-applies
+    assert tbl.last_applied_epoch("p") == 0
+    tbl.merge(e1, pipeline_id="p", epoch_id=1)
+    combined = pd.concat([e0.toPandas(), e1.toPandas()])
+    assert_table_equals_oracle(tbl.read(), oracle.replay(combined))
+    e0.unpersist(); e1.unpersist()
+
+    # rollback to the current version is a no-op
+    v = tbl.current_version()
+    assert tbl.rollback(v).version == v
