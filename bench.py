@@ -107,6 +107,8 @@ def bench_cdc_replay(spark, n_events: int, epochs: int = 4, num_buckets: int = 3
     warm.read().count()
 
     results: dict[str, tuple[list[float], int]] = {}
+    diff_tbl = None
+    diff_from = None
     for mode in ("cow", "mor"):
         times: list[float] = []
         rows = -1
@@ -120,14 +122,29 @@ def bench_cdc_replay(spark, n_events: int, epochs: int = 4, num_buckets: int = 3
             for e in range(epochs):
                 batch = spark.read.parquet(f"{staged}/epoch={e}")
                 tbl.merge(batch, pipeline_id="bench", epoch_id=e, write_mode=mode)
+                if mode == "cow" and run == 1 and e == epochs - 2:
+                    diff_from = tbl.current_version()
             times.append(time.time() - t0)
             n = tbl.read().count()
             assert rows in (-1, n), "replay runs disagree"
             rows = n
+            if mode == "cow" and run == 1:
+                diff_tbl = tbl
         results[mode] = (times, rows)
+    # Diff-only changelog timing (round-3 verdict item 7): the e2e
+    # cdc_changelog QUERY time is ~80% table construction, which makes the
+    # regression guard insensitive to the operator itself. This times JUST
+    # the incremental diff of the final epoch on the n_events-sized table -
+    # bucket-pruned snapshot diff + pk-keyed full-outer classification.
+    diff_runs: list[float] = []
+    _force(diff_tbl.read_changes(diff_from))  # untimed warm-up
+    for _ in range(2):
+        t0 = time.time()
+        _force(diff_tbl.read_changes(diff_from))
+        diff_runs.append(round(time.time() - t0, 3))
     shutil.rmtree(tmp, ignore_errors=True)
     assert results["cow"][1] == results["mor"][1], "write modes disagree"
-    return results
+    return results, diff_runs
 
 
 def main() -> int:
@@ -165,14 +182,16 @@ def main() -> int:
         raw_runs[name] = runs
         timings[name] = min(runs)
 
-    replay = bench_cdc_replay(spark, n_events)
+    replay, diff_runs = bench_cdc_replay(spark, n_events)
     cdc_runs, cdc_rows = replay["cow"]
     mor_runs, _ = replay["mor"]
     raw_runs["cdc_replay"] = [round(t, 3) for t in cdc_runs]
     raw_runs["cdc_replay_mor"] = [round(t, 3) for t in mor_runs]
+    raw_runs["cdc_changelog_diff"] = diff_runs
     cdc_sec, mor_sec = min(cdc_runs), min(mor_runs)
     timings["cdc_replay"] = round(cdc_sec, 3)
     timings["cdc_replay_mor"] = round(mor_sec, 3)
+    timings["cdc_changelog_diff"] = min(diff_runs)
 
     total = round(sum(timings.values()), 3)
     print(

@@ -33,6 +33,22 @@ from pyspark.sql import DataFrame, functions as F
 from dataingestion_spark.lake.table import LakeTable, Snapshot
 
 
+RESERVED_BATCH_COLS = ("op", "lsn", "source_file")
+
+
+def _check_reserved(cols, context: str) -> None:
+    """The change-batch envelope appends literal op/lsn/source_file
+    columns; a source whose USER schema already carries any of these
+    names would yield duplicate columns and ambiguous references in the
+    downstream merge. Fail fast with the fix instead."""
+    clash = [c for c in RESERVED_BATCH_COLS if c in cols]
+    if clash:
+        raise ValueError(
+            f"{context}: source schema already contains reserved "
+            f"change-batch column(s) {clash}; rename them before syncing"
+        )
+
+
 def changes_to_batch(diff: DataFrame, lsn: int) -> DataFrame:
     """Convert a read_changes diff into a merge-able change batch:
     change_type → op (insert/update → full-row UPSERT semantics via
@@ -40,6 +56,9 @@ def changes_to_batch(diff: DataFrame, lsn: int) -> DataFrame:
     the batch-wide lsn. One row per key (net diff), so in-batch LWW is
     trivially satisfied; across syncs the version is strictly increasing,
     so late redeliveries order correctly."""
+    _check_reserved(
+        [c for c in diff.columns if c != "change_type"], "changes_to_batch"
+    )
     return diff.select(
         F.when(F.col("change_type") == "insert", F.lit("INSERT"))
         .when(F.col("change_type") == "update", F.lit("UPDATE"))
@@ -81,6 +100,7 @@ def sync_incremental(
     if last == -1:
         # initial seed: full state at cur, op=INSERT
         state = src.read(version=cur)
+        _check_reserved(state.columns, "sync_incremental seed")
         batch = state.select(
             F.lit("INSERT").alias("op"),
             *state.columns,
@@ -260,16 +280,11 @@ def sync_aggregate(
             for c in sums
         ],
     )
-    if not deltas.take(1):
-        # version advanced with no net row changes (compaction, DML no-op):
-        # still stamp the epoch so the cursor moves - an empty merge batch
-        # commits the marker
-        empty = deltas.select(
-            *group_cols,
-            F.lit(0).cast("long").alias(count_col),
-            *[F.lit(0).cast("long").alias(c) for c in sum_cols],
-        )
-        return _merge_totals(empty)
+    # No emptiness probe: merge the (possibly empty) totals unconditionally.
+    # A version that advanced with no net row changes (compaction, DML
+    # no-op) flows through as an EMPTY batch, and the merge's existing
+    # empty-batch path commits the epoch marker - the take(1) probe would
+    # re-run the whole delta aggregate once per sync just to decide this.
     old = dst.read_keys(deltas.select(*group_cols))
     agg_types = aggregate_schema(src.snapshot().schema, group_cols, sums, count_col)
     joined = old.join(deltas, on=list(group_cols), how="full_outer")

@@ -838,9 +838,10 @@ class LakeTable:
             BUCKET_COL,
             bucket_expr(pk[0], snap.num_buckets, key_type=snap.schema[pk[0]].dataType),
         )
-        buckets = sorted(
-            int(r[0]) for r in keyed.select(BUCKET_COL).distinct().collect()
-        )
+        # ONE collect yields both the bucket set AND the distinct first-pk
+        # values (same cardinality bound: the serving-size key set).
+        kdist = keyed.select(BUCKET_COL, pk[0]).distinct().collect()
+        buckets = sorted({int(r[0]) for r in kdist})
         if not buckets:
             return self.spark.createDataFrame([], snap.schema)
         probe = keys
@@ -849,6 +850,17 @@ class LakeTable:
         df = self._resolved(snap, buckets).filter(
             ~F.coalesce(F.col(DELETED_COL), F.lit(False))
         )
+        pk0_vals = sorted({r[1] for r in kdist if r[1] is not None})
+        if pk0_vals and len(pk0_vals) <= self.PUSHDOWN_MAX_KEYS:
+            # Key-predicate pushdown: an IN(<first pk>) filter reaches the
+            # parquet scan, where clustered compaction's pk sort (row-group
+            # min/max), dictionary pages, and the pk bloom filters written
+            # at compaction each skip row groups that provably lack the
+            # keys - the file is opened but its data pages mostly aren't
+            # read. The semi-join below stays the exact filter (composite
+            # pks: IN on pk[0] is a superset). Above the cap the literal
+            # list stops paying for itself; the semi-join alone is exact.
+            df = df.filter(F.col(pk[0]).isin(pk0_vals))
         return df.join(probe, on=pk, how="left_semi").select(
             *[f.name for f in snap.schema.fields]
         )
@@ -1037,6 +1049,7 @@ class LakeTable:
         target_partitions: int,
         pre_partitioned: bool = False,
         cluster_by: list[str] | None = None,
+        bloom_cols: list[str] | None = None,
     ) -> dict[str, list[str]]:
         """Write rows (must carry BUCKET_COL, and SALT_COL if salted) as
         immutable files under a fresh commit dir; returns bucket->files.
@@ -1048,7 +1061,16 @@ class LakeTable:
         ``pre_partitioned=True`` skips that exchange: the caller already
         partitioned the plan by (_bucket, _salt) - the single-exchange
         merge plans do this BEFORE their per-key aggregate so the fold and
-        the file layout share one shuffle."""
+        the file layout share one shuffle.
+
+        ``bloom_cols`` writes parquet BLOOM FILTERS for those columns
+        (the Hudi bloom-index analog, executor-side, zero driver cost):
+        point lookups with a pushed key predicate then skip row groups
+        whose bloom provably lacks the key - the probabilistic complement
+        of clustered compaction's min/max sort. Deliberately NOT set on
+        the ingest hot path (blooms cost write time per row); compaction
+        and DML rewrites - already off the hot path, already read-
+        optimizing - pass the pk here."""
         commit_id = uuid.uuid4().hex[:12]
         commit_dir = self.root / "data" / commit_id
         out = df.withColumn(_PARTITION_DIR_COL, F.col(BUCKET_COL))
@@ -1070,7 +1092,20 @@ class LakeTable:
             out = out.sortWithinPartitions(
                 _PARTITION_DIR_COL, *[F.col(c) for c in cluster_by]
             )
-        out.write.partitionBy(_PARTITION_DIR_COL).mode("append").parquet(
+        writer = out.write
+        if bloom_cols:
+            for c in bloom_cols:
+                writer = writer.option(
+                    f"parquet.bloom.filter.enabled#{c}", "true"
+                )
+            # Right-size by observed ndv (4x smaller than the fixed 1MB
+            # default in measurement). Chunks that stay fully dictionary-
+            # encoded skip the bloom entirely - the dictionary is already
+            # an exact membership filter - so small tables pay ~0 bytes
+            # and blooms appear exactly when cardinality forces plain
+            # encoding, i.e. when they start being needed.
+            writer = writer.option("parquet.bloom.filter.adaptive.enabled", "true")
+        writer.partitionBy(_PARTITION_DIR_COL).mode("append").parquet(
             str(commit_dir)
         )
         files: dict[str, list[str]] = {}
@@ -1098,6 +1133,11 @@ class LakeTable:
     # degrade to "no pruning for those files" - never a wrong answer.
     COLLECT_FILE_STATS = True
 
+    # read_keys pushes IN(<first pk>) to the scan up to this many distinct
+    # values; beyond it the literal list costs more than it prunes and the
+    # exact semi-join carries alone.
+    PUSHDOWN_MAX_KEYS = 10_000
+
     @staticmethod
     def _stat_value(v):
         import datetime
@@ -1105,7 +1145,13 @@ class LakeTable:
         if isinstance(v, datetime.datetime):
             if v.tzinfo is None:
                 v = v.replace(tzinfo=datetime.timezone.utc)
-            return int(v.timestamp() * 1_000_000)
+            # Exact integer epoch-micros. float(timestamp())*1e6 has ~0.24us
+            # ulp at the current epoch; a 1us truncation error on EITHER the
+            # file stat or the predicate bound can wrongly prune a file whose
+            # min/max equals the bound - a wrong answer, not a missed
+            # optimization.
+            d = v - datetime.datetime(1970, 1, 1, tzinfo=datetime.timezone.utc)
+            return d.days * 86_400_000_000 + d.seconds * 1_000_000 + d.microseconds
         if isinstance(v, datetime.date):
             return v.toordinal()
         if isinstance(v, bool) or not isinstance(v, (int, float)):
@@ -1167,12 +1213,12 @@ class LakeTable:
 
     @classmethod
     def _bound_value(cls, v):
-        b = cls._stat_value(v)
-        if b is None:
-            raise TypeError(
-                f"unsupported pruning bound {v!r} (numeric/timestamp only)"
-            )
-        return b
+        """Stat-comparable form of a pruning bound, or None when the bound's
+        type has no collected stats (strings, arrays, ...). Unsupported
+        bounds never raise: pruning silently keeps every file and the exact
+        residual filter decides - so read(where=...) behaves identically
+        whether or not the table happens to carry MOR deltas."""
+        return cls._stat_value(v)
 
     def candidate_files(
         self,
@@ -1193,13 +1239,17 @@ class LakeTable:
         total = sum(len(v) for v in source.values())
         if not where:
             return {b: list(fl) for b, fl in source.items() if fl}, total
-        bounds = {
-            c: (
-                None if lo is None else self._bound_value(lo),
-                None if hi is None else self._bound_value(hi),
-            )
-            for c, (lo, hi) in where.items()
-        }
+        bounds: dict[str, tuple] = {}
+        for c, (lo, hi) in where.items():
+            blo = None if lo is None else self._bound_value(lo)
+            bhi = None if hi is None else self._bound_value(hi)
+            if (lo is not None and blo is None) or (
+                hi is not None and bhi is None
+            ):
+                # Unsupported bound type for this column: no pruning on it
+                # (all files kept), the residual filter stays exact.
+                continue
+            bounds[c] = (blo, bhi)
         all_files = [f for fl in source.values() for f in fl]
         stats = self._stats_for(all_files)
         kept: dict[str, list[str]] = {}
@@ -2596,16 +2646,29 @@ class LakeTable:
                 DELETED_COL, F.when(hit, F.lit(True)).otherwise(F.col(DELETED_COL))
             )
         else:
-            for c, v in assignments.items():
-                val = v if isinstance(v, Column) else F.lit(v)
-                df = df.withColumn(
-                    c,
-                    F.when(hit, val.cast(schema_cols[c])).otherwise(F.col(c)),
-                )
+            # All assignments land in ONE projection: the hit mask and every
+            # RHS resolve against the PRE-update row, matching SQL UPDATE
+            # semantics (SET a=b, b=a swaps). Sequential withColumn calls
+            # would re-resolve `hit` after an assignment mutates a column
+            # the predicate references, silently skipping later SETs.
+            proj = []
+            for c in df.columns:
+                if c in assignments:
+                    v = assignments[c]
+                    val = v if isinstance(v, Column) else F.lit(v)
+                    proj.append(
+                        F.when(hit, val.cast(schema_cols[c]))
+                        .otherwise(F.col(c))
+                        .alias(c)
+                    )
+                else:
+                    proj.append(F.col(c))
+            df = df.select(*proj)
         new_files = self._write_data_files(
             df,
             target_partitions=max(len(target), 1),
             cluster_by=list(snap.pk_fields),
+            bloom_cols=list(snap.pk_fields),
         )
         files = {k: list(v) for k, v in snap.files.items()}
         deltas = {k: list(v) for k, v in snap.deltas.items()}
@@ -2689,6 +2752,7 @@ class LakeTable:
                 if cluster_cols
                 else (list(snap.pk_fields) if cluster else None)
             ),
+            bloom_cols=list(snap.pk_fields),
         )
         files = {k: list(v) for k, v in snap.files.items()}
         deltas = {k: list(v) for k, v in snap.deltas.items()}

@@ -49,12 +49,23 @@ FEATURE_SCHEMA = T.StructType(
 
 
 def real_image_decoder(content: bytes) -> np.ndarray:  # pragma: no cover
-    """Placeholder for a real decoder (PIL/libjpeg). Not available in this
-    container - the pipeline wiring is exercised with fake_image_decoder."""
-    raise NotImplementedError(
-        "media decoding libraries are not installed in this environment; "
-        "inject a real decoder (e.g. PIL.Image.open) here"
-    )
+    """Real decoder behind a guarded optional import: when Pillow is
+    installed this decodes for real (a user with media libs gets working
+    decode with zero code change); otherwise it raises the documented
+    NotImplementedError. Not exercisable in this container (no media
+    libs) - the pipeline wiring is exercised with fake_image_decoder."""
+    try:
+        from PIL import Image  # optional dependency, absent here
+    except ImportError:
+        raise NotImplementedError(
+            "media decoding libraries are not installed in this "
+            "environment; install Pillow to enable real_image_decoder "
+            "(or inject your own decoder callable)"
+        ) from None
+    import io
+
+    img = Image.open(io.BytesIO(content))
+    return np.asarray(img.convert("RGB"), dtype=np.float32) / 255.0
 
 
 def fake_image_decoder(content: bytes) -> np.ndarray:

@@ -185,6 +185,14 @@ def ivf_centroids(
     return cents
 
 
+# Max centroid doubles (n_centroids x dim) to inline as expression
+# literals. Above this, generated code approaches Janino's 64KB method
+# limit (falling back to slow interpreted eval) and the literal-laden
+# plan tree bloats the driver; realistic IVF at ~sqrt(N) centroids
+# (10^4 cells x 768 dims = 7.7M values) is far past it.
+INLINE_LITERAL_BUDGET = 50_000
+
+
 def assign_cells(
     corpus: DataFrame,
     centroids: DataFrame,
@@ -192,33 +200,60 @@ def assign_cells(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Assign every vector to its best (max rounded cosine, min cell on
-    ties) centroid cell. The centroids are collected to the driver
-    (n_centroids x dim doubles - driver-safe by construction) and INLINED
-    as literals, so the argmax is one codegen'd array expression: a
-    single corpus scan, zero joins, zero shuffles. The previous plan
-    (broadcast-join x centroids -> groupBy argmax -> join back) scanned
-    the corpus twice around a shuffle for the same answer; at any scale
-    the inlined form is strictly less work, and the argmax stays exact
-    (array_position of the max picks the FIRST = lowest cell on ties,
-    matching the old max_by tiebreak)."""
-    rows = centroids.orderBy("cell").collect()
+    ties) centroid cell. Always ONE corpus scan, zero joins, zero
+    shuffles; two physically different plans by centroid volume:
+
+      * small (n_centroids x dim <= INLINE_LITERAL_BUDGET): centroids are
+        collected (driver-safe by construction) and INLINED as literals -
+        the argmax is one codegen'd constant-folded array expression.
+      * large: the centroids are packed into ONE row of
+        array<struct<cell, centroid>> and broadcast; a one-row broadcast
+        cross-join attaches them and the same argmax runs as higher-order
+        functions over the broadcast array - the centroid data rides as
+        DATA, not code, so there is no Janino method-size ceiling and no
+        driver-side plan bloat.
+
+    Both paths compute identical doubles (same expression structure) and
+    the same tiebreak: array_position of the max picks the FIRST = lowest
+    cell (cells are in ascending order on both paths - orderBy on the
+    small path, struct-ordered array_sort on the large one)."""
+    n_lit = centroids.agg(
+        F.coalesce(F.sum(F.size(F.col("centroid"))), F.lit(0))
+    ).first()[0]
     corpus = fan_out(corpus)
-    if not rows:
+    if n_lit == 0:
         return corpus.withColumn("cell", F.lit(None).cast("int"))
     vec = _as_double(vec_col)
-    scores = F.array(
-        *[
-            cosine_expr(
-                vec, F.array(*[F.lit(float(x)) for x in r["centroid"]])
-            )
-            for r in rows
-        ]
+    if n_lit <= INLINE_LITERAL_BUDGET:
+        rows = centroids.orderBy("cell").collect()
+        scores = F.array(
+            *[
+                cosine_expr(
+                    vec, F.array(*[F.lit(float(x)) for x in r["centroid"]])
+                )
+                for r in rows
+            ]
+        )
+        cells = F.array(*[F.lit(int(r["cell"])) for r in rows])
+        best = F.element_at(
+            cells, F.array_position(scores, F.array_max(scores)).cast("int")
+        )
+        return corpus.withColumn("cell", best)
+    packed = centroids.select(
+        F.struct(
+            F.col("cell").cast("int").alias("cell"),
+            F.col("centroid").cast("array<double>").alias("centroid"),
+        ).alias("_c")
+    ).agg(F.array_sort(F.collect_list("_c")).alias("_cents"))
+    joined = corpus.join(F.broadcast(packed))
+    scores = F.transform(
+        F.col("_cents"), lambda s: cosine_expr(vec, s["centroid"])
     )
-    cells = F.array(*[F.lit(int(r["cell"])) for r in rows])
+    cells = F.transform(F.col("_cents"), lambda s: s["cell"])
     best = F.element_at(
         cells, F.array_position(scores, F.array_max(scores)).cast("int")
     )
-    return corpus.withColumn("cell", best)
+    return joined.withColumn("cell", best).drop("_cents")
 
 
 def ivf_topk(

@@ -113,5 +113,16 @@ def sessionize(
         F.count(F.lit(1)).alias("n_events"),
     ]
     if agg_value:
-        aggs.append(F.round(F.sum(agg_value), 6).alias("total_value"))
+        # Exact cross-engine sum: cast each value to DECIMAL(18,6) (a
+        # deterministic per-value rounding), sum decimals (exact, hence
+        # ASSOCIATIVE - partial-aggregation order cannot change the
+        # total, unlike a double sum), then one correctly-rounded cast
+        # of the exact total back to double. round(sum(double), 6)
+        # matched DuckDB only while no per-session sum straddled a
+        # 6th-decimal rounding boundary within an ulp.
+        aggs.append(
+            F.sum(F.col(agg_value).cast("decimal(18,6)"))
+            .cast("double")
+            .alias("total_value")
+        )
     return sessions.groupBy(key, "session_seq").agg(*aggs)

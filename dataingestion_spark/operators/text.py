@@ -117,6 +117,10 @@ def fingerprint(df: DataFrame, col: str = "text", out: str = "fp") -> DataFrame:
 # oracle can replay the redaction value-for-value.
 PII_PATTERNS = [
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    # card before phone: a 16-digit run would otherwise be half-eaten by
+    # the shorter phone shape
+    ("card", r"\d{4}[ -]?\d{4}[ -]?\d{4}[ -]?\d{4}", "<CARD>"),
+    ("ipv4", r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}", "<IP>"),
     ("phone", r"(?:\+?\d{1,2}[ .-]?)?\(?\d{3}\)?[ .-]?\d{3}[ .-]?\d{4}", "<PHONE>"),
     ("ssn", r"\d{3}-\d{2}-\d{4}", "<SSN>"),
 ]
@@ -125,11 +129,13 @@ PII_PATTERNS = [
 def redact_pii(
     df: DataFrame, col: str = "text", out: str | None = None
 ) -> DataFrame:
-    """Scrub common PII shapes (emails, NANP-style phone numbers, SSNs)
-    from a text column - the redaction pass a training-data pipeline runs
-    before anything leaves the lake. Pure chained ``regexp_replace``
-    Column expressions (JVM-side, codegen, no Python); order matters and
-    is fixed: emails first (their local part may contain digits), then
+    """Scrub common PII shapes (emails, 16-digit card numbers, IPv4
+    addresses, NANP-style phone numbers, SSNs) from a text column - the
+    redaction pass a training-data pipeline runs before anything leaves
+    the lake. Pure chained ``regexp_replace`` Column expressions
+    (JVM-side, codegen, no Python); order matters and is fixed: emails
+    first (their local part may contain digits), then cards (16 digits
+    would otherwise be half-eaten by the shorter phone shape), IPv4,
     phones, then SSNs (a bare SSN shape is only tagged if the longer
     phone shape didn't already consume it).
 

@@ -93,17 +93,25 @@ def split_invalid(
     require_ts: str | None = None,
     constraints: list[str] | None = None,
 ) -> tuple[DataFrame, DataFrame]:
-    """(valid, quarantined): valid rows pass through unchanged (no extra
-    columns), quarantined rows carry ``_invalid_reason``. Both sides are
-    lazy filters over the same input - Catalyst pushes the predicate to
-    the scan on each side, so the split costs one extra scan of the
-    (staged, columnar) batch, not a shuffle."""
+    """(valid, quarantined): valid rows pass through with ``op``
+    normalized to upper-case (the gate accepts ops case-insensitively,
+    and downstream merge classification compares ``op == 'DELETE'``
+    case-sensitively - canonicalizing here is what makes "the merge only
+    sees rows satisfying its contract" hold for case variants too);
+    quarantined rows carry ``_invalid_reason``. Both sides are lazy
+    filters over the same input - Catalyst pushes the predicate to the
+    scan on each side, so the split costs one extra scan of the (staged,
+    columnar) batch, not a shuffle."""
     reason = invalid_reason(
         pk_fields, lsn_col=lsn_col, op_col=op_col,
         allowed_ops=allowed_ops, require_ts=require_ts,
         constraints=constraints,
     )
     ann = df.withColumn(REASON_COL, reason)
-    valid = ann.filter(F.col(REASON_COL).isNull()).drop(REASON_COL)
+    valid = (
+        ann.filter(F.col(REASON_COL).isNull())
+        .drop(REASON_COL)
+        .withColumn(op_col, F.upper(F.col(op_col)))
+    )
     bad = ann.filter(F.col(REASON_COL).isNotNull())
     return valid, bad

@@ -237,3 +237,42 @@ def test_read_keys_accepts_dataframe_and_prunes_buckets(spark, tmp_table_dir):
     assert_table_equals_oracle(
         tbl.read_keys(keys_df), want, payload_cols=["role", "text", "tool", "ts"]
     )
+
+
+def test_read_keys_pushes_key_predicate_to_scan(spark, tmp_table_dir):
+    """Round-4: the point-lookup plan carries an IN(<first pk>) filter
+    pushed to the parquet scan (row-group pruning via the clustered pk
+    sort / dictionary / compaction-written bloom filters), results
+    unchanged; above PUSHDOWN_MAX_KEYS the filter is omitted."""
+    tbl, oracle = _seeded(spark, tmp_table_dir)
+    tbl.compact()  # clustered + pk bloom filters
+    some = oracle[["conv_id", "turn_idx"]].drop_duplicates().head(9)
+    keys = [tuple(r) for r in some.itertuples(index=False)]
+    df = tbl.read_keys(keys)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan
+    import re
+
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert any("In(conv_id" in p or "EqualTo(conv_id" in p for p in pushed), plan
+    got = df.toPandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    want = (
+        oracle.merge(some, on=["conv_id", "turn_idx"])[got.columns]
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # over the cap: same answer, no pushed key list
+    orig = LakeTable.PUSHDOWN_MAX_KEYS
+    try:
+        LakeTable.PUSHDOWN_MAX_KEYS = 3
+        df2 = tbl.read_keys(keys)
+        plan2 = df2._jdf.queryExecution().executedPlan().toString()
+        pushed2 = re.findall(r"PushedFilters: \[([^\]]*)\]", plan2)
+        assert not any("In(conv_id" in p for p in pushed2)
+        got2 = (
+            df2.toPandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got2, want, check_dtype=False)
+    finally:
+        LakeTable.PUSHDOWN_MAX_KEYS = orig

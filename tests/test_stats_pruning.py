@@ -129,8 +129,11 @@ def test_missing_sidecars_keep_everything(spark, tmp_table_dir, monkeypatch):
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
 
 
-def test_string_bound_rejected(spark, tmp_table_dir):
+def test_string_bound_keeps_all_files(spark, tmp_table_dir):
+    """Unsupported bound types never raise (round-4 advice fix): pruning
+    keeps every file and the exact residual filter decides - identical
+    behavior with or without MOR deltas."""
     tbl = _make_table(spark, tmp_table_dir)
     tbl.append(_day_batch(spark, 1), pipeline_id="a", epoch_id=1)
-    with pytest.raises(TypeError, match="numeric/timestamp"):
-        tbl.candidate_files(where={"conv_id": ("a", "b")})
+    kept, total = tbl.candidate_files(where={"conv_id": ("a", "b")})
+    assert sum(len(v) for v in kept.values()) == total

@@ -122,3 +122,157 @@ def test_sessionize_boundaries(spark):
     assert list(got["total_value"]) == [3.0, 12.0, 16.0, 2.0]
     u1s2 = got[(got.user_id == 1) & (got.session_seq == 2)].iloc[0]
     assert u1s2["session_start"].minute == 40
+
+
+# ----------------------------------------------------------------------
+# parallelism-invariance properties (round-3 verdict item 8): for ANY
+# random gaps/ties, sessionize and asof_join equal their pandas oracles
+# at BOTH an effectively-serial plan (1 shuffle partition, 1 input
+# partition) and a spread one (8/5) - the axis along which partial-agg
+# order, and hence any FP reassociation or window nondeterminism, would
+# show up. Mirrors the salted==unsalted discipline.
+# ----------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_PAR = st.sampled_from([(1, 1), (8, 5)])
+
+
+def _with_parallelism(spark, parts):
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+    return prev
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 3),        # user
+            st.integers(0, 5_000),    # ts seconds (dups likely)
+            st.integers(-64_000, 64_000),  # value in 64ths (dyadic: exact
+        ),                                 # in double AND in decimal(18,6))
+        min_size=1,
+        max_size=120,
+    ),
+    _PAR,
+)
+def test_sessionize_equals_pandas_for_any_gaps_and_ties(spark, rows, par):
+    parts, repart = par
+    pdf = pd.DataFrame(
+        {
+            "user_id": [r[0] for r in rows],
+            "sec": [r[1] for r in rows],
+            "value": [r[2] / 64.0 for r in rows],
+        }
+    )
+    pdf["ts"] = pd.to_datetime(pdf["sec"], unit="s")
+    gap_s = 60
+
+    # pandas oracle: order-insensitive within equal ts (equal ts => gap 0
+    # => same session), exact dyadic sums
+    o = pdf.sort_values(["user_id", "sec"], kind="mergesort").copy()
+    brk = (o["user_id"] != o["user_id"].shift()) | (
+        o["sec"] - o["sec"].shift() > gap_s
+    )
+    o["session_seq"] = brk.groupby(o["user_id"]).cumsum().astype("int64")
+    want = (
+        o.groupby(["user_id", "session_seq"])
+        .agg(
+            n_events=("value", "size"),
+            total_value=("value", "sum"),
+        )
+        .reset_index()
+        .sort_values(["user_id", "session_seq"])
+        .reset_index(drop=True)
+    )
+
+    prev = _with_parallelism(spark, parts)
+    try:
+        df = spark.createDataFrame(
+            pdf[["user_id", "ts", "value"]], "user_id int, ts timestamp, value double"
+        ).repartition(repart)
+        got = (
+            sessionize(df, gap_s=gap_s, agg_value="value")
+            .select("user_id", "session_seq", "n_events", "total_value")
+            .toPandas()
+            .sort_values(["user_id", "session_seq"])
+            .reset_index(drop=True)
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert len(got) == len(want)
+    assert (got["user_id"].values == want["user_id"].values).all()
+    assert (got["session_seq"].values == want["session_seq"].values).all()
+    assert (got["n_events"].values == want["n_events"].values).all()
+    # EXACT equality: both sides are exact for dyadic 64ths
+    assert (got["total_value"].values == want["total_value"].values).all()
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 300)),
+        min_size=1,
+        max_size=60,
+    ),
+    st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 300)),
+        min_size=1,
+        max_size=60,
+    ),
+    _PAR,
+)
+def test_asof_equals_merge_asof_for_any_ties(spark, lrows, rrows, par):
+    parts, repart = par
+    left = pd.DataFrame(
+        {"k": [r[0] for r in lrows], "ts": [r[1] for r in lrows]}
+    )
+    left["lv"] = range(len(left))
+    right = pd.DataFrame(
+        {"k": [r[0] for r in rrows], "ts": [r[1] for r in rrows]}
+    )
+    right["rv"] = [i * 10 for i in range(len(right))]
+    # unique (k, ts) on the right for a deterministic winner (operator
+    # docstring contract, same as merge_asof's requirement)
+    right = right.drop_duplicates(["k", "ts"], keep="last")
+
+    want = pd.merge_asof(
+        left.sort_values(["ts", "lv"], kind="mergesort"),
+        right.sort_values("ts", kind="mergesort"),
+        on="ts",
+        by="k",
+        direction="backward",
+        allow_exact_matches=True,
+    ).sort_values("lv").reset_index(drop=True)
+
+    prev = _with_parallelism(spark, parts)
+    try:
+        got = (
+            asof_join(
+                spark.createDataFrame(left).repartition(repart),
+                spark.createDataFrame(right).repartition(repart),
+                on=["k"],
+                left_ts="ts",
+                right_ts="ts",
+            )
+            .toPandas()
+            .sort_values("lv")
+            .reset_index(drop=True)
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert len(got) == len(want)
+    assert (got["lv"].values == want["lv"].values).all()
+    got_rv = got["rv_right"].fillna(-1).values
+    want_rv = want["rv"].fillna(-1).values
+    assert (got_rv == want_rv).all()

@@ -85,6 +85,8 @@ def test_redact_pii_scrubs_all_occurrences(spark):
             (3, "ssn 123-45-6789 inline"),
             (4, "clean text"),
             (5, None),
+            (6, "cards 4111 1111 1111 1111, 4111-1111-1111-1111, 4111111111111111"),
+            (7, "hosts 10.0.0.1 and 192.168.255.255 up"),
         ],
         "id int, text string",
     )
@@ -94,3 +96,5 @@ def test_redact_pii_scrubs_all_occurrences(spark):
     assert got[3] == "ssn <SSN> inline"
     assert got[4] == "clean text"
     assert got[5] is None
+    assert got[6] == "cards <CARD>, <CARD>, <CARD>"
+    assert got[7] == "hosts <IP> and <IP> up"
