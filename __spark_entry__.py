@@ -722,6 +722,21 @@ def q_cdc_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tbl.read().orderBy("conv_id", "turn_idx")
 
 
+def q_transcript_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sample assembly (round 4): CDC-replay the flagship binlog,
+    then collapse the per-turn state into ONE row per conversation - the
+    turn-ordered 'role: text' rendering plus the structural stats
+    (role mix, tool-call count, char total, time span) that drive
+    training-data sampling. operators/assembly.py; one conv_id-keyed
+    shuffle, rendering after the aggregate. Oracle: DuckDB
+    string_agg(... ORDER BY turn_idx) + conditional sums over the same
+    portable replay."""
+    from dataingestion_spark.operators.assembly import assemble_conversations
+
+    tbl = _flagship_table(spark, "cdc_asm_")
+    return assemble_conversations(tbl.read()).orderBy("conv_id")
+
+
 def q_cdc_sync_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chained CDC hop: replay the flagship binlog into a source lake
     table epoch-by-epoch, after each epoch sync_incremental a filtered
@@ -996,6 +1011,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_rollback": q_cdc_rollback,
         "simhash_fingerprints": q_simhash_fingerprints,
         "media_features": q_media_features,
+        "transcript_assembly": q_transcript_assembly,
     }
 
 
@@ -1762,6 +1778,25 @@ def oracle_sql() -> dict[str, str]:
         "cdc_rollback": _replay_sql(
             n_events=10_000, n_convs=80, max_turns=40, seed=42,
             cutoff_lsn=14_000,
+        ),
+        "transcript_assembly": (
+            # every sum CAST to BIGINT (DuckDB HUGEINT -> float64 pitfall);
+            # rendering: coalesced role/text so no null element semantics
+            # are involved; ORDER BY turn_idx is total (pk-unique per conv)
+            "SELECT conv_id, count(*) AS n_turns,"
+            " CAST(sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS BIGINT)"
+            "   AS n_user,"
+            " CAST(sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END) AS BIGINT)"
+            "   AS n_assistant,"
+            " CAST(sum(CASE WHEN tool IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)"
+            "   AS n_tool_calls,"
+            " CAST(sum(coalesce(length(text), 0)) AS BIGINT) AS total_chars,"
+            " min(ts) AS first_ts, max(ts) AS last_ts,"
+            " string_agg(coalesce(role, '') || ': ' || coalesce(text, ''),"
+            "            chr(10) ORDER BY turn_idx) AS sample"
+            " FROM ("
+            + _replay_sql(n_events=10_000, n_convs=80, max_turns=40, seed=42)
+            + ") GROUP BY conv_id"
         ),
         "cdc_agg_view": (
             # BIGINT cast: DuckDB sum(INTEGER)=HUGEINT -> pandas float64
