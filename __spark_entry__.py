@@ -296,6 +296,91 @@ def q_cdc_clickstream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_multi_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source ingest end-to-end (the reference's MultiSourceE2ETest
+    shape, e2e-tests/MultiSourceE2ETest.scala: several upstreams land in
+    ONE table and the final state is checked): two upstream shards - a
+    MySQL binlog carrying the even event ids and an Aerospike record CDC
+    carrying the odd ones - are each parsed by their format adapter to
+    the canonical change relation, normalized to the shared user-table
+    schema, UNIONED into one change batch, and LWW-merged into a single
+    lake table (lsn = event id orders across sources). The other two
+    adapters (Mongo, ClickStream) are oracle-verified individually;
+    the union path is source-count-agnostic. Oracle: SQL union replay
+    with the same per-source mappings + one window LWW."""
+    import atexit
+    import shutil
+
+    from pyspark.sql import types as T
+
+    from dataingestion_spark.lake import LakeTable
+    from dataingestion_spark.sources.cdc_formats import (
+        parse_aerospike_cdc,
+        parse_mysql_binlog,
+    )
+
+    ev = _read(spark, sf_dir, "events")
+    my_env = ev.filter(ev.event_id % 2 == 0).select(
+        _event_op(ev).alias("operation"),
+        F.lit("events").alias("table_name"),
+        ev.user_id.cast("long").alias("primary_key"),
+        F.col("props").alias("data"),
+        F.format_string(
+            "mysql-bin.%06d", F.pmod(ev.event_id, F.lit(4)).cast("int")
+        ).alias("binlog_file"),
+        ev.event_id.cast("long").alias("binlog_position"),
+        F.unix_millis(ev.ts.cast("timestamp")).alias("timestamp"),
+    )
+    my = parse_mysql_binlog(my_env, payload_fields=[("k", "int")]).select(
+        "op",
+        F.col("primary_key").alias("user_id"),
+        "k",
+        F.lit("mysql").alias("src"),
+        "ts_ms",
+        "lsn",
+        "source_file",
+    )
+    ae_env = ev.filter(ev.event_id % 2 == 1).select(
+        F.when(ev.event_type == "error", F.lit("DELETE"))
+        .otherwise(F.lit("WRITE"))
+        .alias("operation"),
+        F.lit("prod").alias("namespace"),
+        F.lit("events").alias("set_name"),
+        F.format_string("user:%d", ev.user_id).alias("user_key"),
+        F.when(ev.event_type == "error", F.lit(None).cast("string"))
+        .otherwise(F.col("props"))
+        .alias("bins"),
+        F.unix_millis(ev.ts.cast("timestamp")).alias("timestamp"),
+        ev.event_id.cast("long").alias("generation"),
+    )
+    ae = parse_aerospike_cdc(ae_env, payload_fields=[("k", "int")]).select(
+        "op",
+        F.regexp_extract("user_key", r"(\d+)$", 1).cast("long").alias("user_id"),
+        "k",
+        F.lit("aerospike").alias("src"),
+        "ts_ms",
+        "lsn",
+        "source_file",
+    )
+    batch = my.unionByName(ae)
+    tmp = tempfile.mkdtemp(prefix="cdc_multi_")
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("k", T.IntegerType()),
+            T.StructField("src", T.StringType()),
+            T.StructField("ts_ms", T.LongType()),
+        ]
+    )
+    tbl = LakeTable.create(
+        spark, f"{tmp}/users", schema,
+        pk_fields=["user_id"], order_fields=["lsn"], num_buckets=8,
+    )
+    tbl.merge(batch, pipeline_id="entry", epoch_id=0)
+    return tbl.read().orderBy("user_id")
+
+
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-style grouped aggregation (scan efficiency headline)."""
     li = _read(spark, sf_dir, "lineitem")
@@ -1012,6 +1097,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_fingerprints": q_simhash_fingerprints,
         "media_features": q_media_features,
         "transcript_assembly": q_transcript_assembly,
+        "cdc_multi_source": q_cdc_multi_source,
     }
 
 
@@ -1394,6 +1480,37 @@ def oracle_sql() -> dict[str, str]:
                    epoch_ms(date_trunc('second', ts)) AS ts_ms,
                    epoch_ms(date_trunc('second', ts)) AS lsn
             FROM events
+        """,
+        "cdc_multi_source": """
+            WITH src AS (
+              SELECT CASE WHEN event_type = 'signup' THEN 'INSERT'
+                          WHEN event_type = 'error' THEN 'DELETE'
+                          ELSE 'UPDATE' END AS op,
+                     CAST(user_id AS BIGINT) AS user_id,
+                     CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+                     'mysql' AS src,
+                     epoch_ms(ts) AS ts_ms,
+                     CAST(event_id AS BIGINT) AS lsn
+              FROM events WHERE event_id % 2 = 0
+              UNION ALL
+              SELECT CASE WHEN event_type = 'error' THEN 'DELETE'
+                          ELSE 'UPSERT' END AS op,
+                     CAST(user_id AS BIGINT) AS user_id,
+                     CASE WHEN event_type = 'error' THEN NULL
+                          ELSE CAST(json_extract_string(props, '$.k') AS INTEGER)
+                     END AS k,
+                     'aerospike' AS src,
+                     epoch_ms(ts) AS ts_ms,
+                     CAST(event_id AS BIGINT) AS lsn
+              FROM events WHERE event_id % 2 = 1
+            ),
+            w AS (
+              SELECT *, row_number() OVER (PARTITION BY user_id
+                                           ORDER BY lsn DESC) AS rn
+              FROM src
+            )
+            SELECT user_id, k, src, ts_ms FROM w
+            WHERE rn = 1 AND op <> 'DELETE'
         """,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,

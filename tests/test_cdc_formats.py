@@ -178,3 +178,60 @@ def test_binlog_parse_to_merge_end_to_end(spark, tmp_path):
     assert len(got) == 1
     assert got[0]["name"] == "John Smith"
     assert got[0]["email"] == "john.smith@example.com"
+
+
+def test_multi_source_union_merge(spark, tmp_path):
+    """MultiSourceE2ETest analog (round 4): two upstream shards - MySQL
+    binlog and Aerospike CDC - parse to the canonical relation, union
+    into ONE batch, LWW-merge into one table. The aerospike write (higher
+    lsn) must beat the mysql update; the mysql delete (highest lsn) must
+    tombstone across sources."""
+    my = parse_mysql_binlog(
+        spark.createDataFrame(
+            [
+                ("INSERT", "users", 1, '{"v": "m1"}', "mysql-bin.000001", 10, 1000),
+                ("UPDATE", "users", 1, '{"v": "m2"}', "mysql-bin.000001", 12, 1200),
+                ("INSERT", "users", 2, '{"v": "m3"}', "mysql-bin.000001", 14, 1400),
+                ("DELETE", "users", 2, '{"v": null}', "mysql-bin.000001", 20, 2000),
+            ],
+            "operation string, table_name string, primary_key long, data string,"
+            " binlog_file string, binlog_position long, timestamp long",
+        ),
+        payload_fields=[("v", "string")],
+    ).select(
+        "op", F.col("primary_key").alias("user_id"), "v",
+        F.lit("mysql").alias("src"), "ts_ms", "lsn", "source_file",
+    )
+    ae = parse_aerospike_cdc(
+        spark.createDataFrame(
+            [
+                ("WRITE", "prod", "users", "user:1", '{"v": "a1"}', 1300, 13),
+                ("WRITE", "prod", "users", "user:2", '{"v": "a2"}', 1500, 15),
+            ],
+            "operation string, namespace string, set_name string,"
+            " user_key string, bins string, timestamp long, generation long",
+        ),
+        payload_fields=[("v", "string")],
+    ).select(
+        "op",
+        F.regexp_extract("user_key", r"(\d+)$", 1).cast("long").alias("user_id"),
+        "v", F.lit("aerospike").alias("src"), "ts_ms", "lsn", "source_file",
+    )
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("v", T.StringType()),
+            T.StructField("src", T.StringType()),
+            T.StructField("ts_ms", T.LongType()),
+        ]
+    )
+    tbl = LakeTable.create(
+        spark, tmp_path / "multi", schema,
+        pk_fields=["user_id"], order_fields=["lsn"], num_buckets=2,
+    )
+    tbl.merge(my.unionByName(ae), pipeline_id="p", epoch_id=0)
+    got = {r["user_id"]: r for r in tbl.read().collect()}
+    # user 1: aerospike lsn 13 beats mysql lsn 12
+    assert set(got) == {1}
+    assert got[1]["v"] == "a1" and got[1]["src"] == "aerospike"
+    # user 2: mysql DELETE at lsn 20 tombstones the aerospike write at 15
