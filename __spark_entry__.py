@@ -1036,6 +1036,61 @@ def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test assignment: content-addressed
+    portable-md5 bucket of the doc_id, never rand() (operators/curation.py
+    hash_split) - a re-ingested doc always lands in the same split. Pure
+    projection, no shuffle."""
+    from dataingestion_spark.operators.curation import hash_split
+
+    docs = _read(spark, sf_dir, "documents")
+    return hash_split(
+        docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}, seed=42
+    ).select("doc_id", "split")
+
+
+def q_doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: training docs sharing >=3 distinct word
+    3-grams with the held-out eval slice (doc_id % 50 == 0) are flagged.
+    Eval gram hashes broadcast; the doc-side scan never shuffles raw grams
+    (operators/curation.py decontaminate). n=3 here because the synthetic
+    vocabulary is tiny; real corpora use 8-13."""
+    from dataingestion_spark.operators.curation import decontaminate
+
+    docs = _read(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 50 != 0)
+    evals = docs.filter(F.col("doc_id") % 50 == 0)
+    return decontaminate(train, evals, n=3, min_overlap=3).select(
+        "doc_id", "overlap", "contaminated"
+    )
+
+
+def q_doc_pack_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (concat-and-chunk): within each language shard,
+    docs in doc_id order are cut into 512-token packs; a doc belongs to
+    the pack where its first token lands. One window cumsum per shard
+    (operators/curation.py pack_sequences)."""
+    from dataingestion_spark.operators.curation import pack_sequences
+
+    docs = token_count(_read(spark, sf_dir, "documents"))
+    packed = pack_sequences(
+        docs, "n_tokens", budget=512, part_cols=["lang"], order_cols=["doc_id"]
+    )
+    return packed.select("doc_id", "lang", "n_tokens", "pack_id")
+
+
+def q_doc_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: top-50 unigrams by frequency, ties broken by
+    token text - partial-aggregated counts + distributed top-k, never a
+    full vocabulary sort (operators/curation.py top_ngrams)."""
+    from dataingestion_spark.operators.curation import top_ngrams
+
+    docs = _read(spark, sf_dir, "documents")
+    return top_ngrams(docs, n=1, k=50).select(
+        "rnk", "gram", F.col("cnt").cast("long").alias("cnt")
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -1098,10 +1153,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": q_media_features,
         "transcript_assembly": q_transcript_assembly,
         "cdc_multi_source": q_cdc_multi_source,
+        "doc_hash_split": q_doc_hash_split,
+        "doc_decontaminate": q_doc_decontaminate,
+        "doc_pack_assign": q_doc_pack_assign,
+        "doc_vocab_topk": q_doc_vocab_topk,
     }
 
 
 _TOKS = r"regexp_split_to_array(trim(lower(text)), '\s+')"
+
+
+def _mk_hash_split_case() -> str:
+    from dataingestion_spark.operators.curation import hash_split_sql
+
+    return hash_split_sql("doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}, seed=42)
+
+
+_hash_split_case = _mk_hash_split_case()
 
 
 def _simhash_sql(bits: int = 32) -> str:
@@ -1988,5 +2056,58 @@ def oracle_sql() -> dict[str, str]:
             WHERE list_dot_product(a.v, b.v)
                   / (sqrt(list_dot_product(a.v, a.v))
                      * sqrt(list_dot_product(b.v, b.v))) >= 0.4
+        """,
+        "doc_hash_split": f"""
+            SELECT doc_id, {_hash_split_case} AS split FROM documents
+        """,
+        "doc_decontaminate": f"""
+            WITH toks AS (
+              SELECT doc_id, {_TOKS} AS t FROM documents
+              WHERE text IS NOT NULL AND length(trim(text)) > 0
+            ),
+            grams AS (
+              SELECT doc_id, array_to_string(t[i:i+2], ' ') AS g
+              FROM toks, LATERAL (
+                SELECT unnest(generate_series(1, len(t) - 2)) AS i)
+            ),
+            ev AS (SELECT DISTINCT g FROM grams WHERE doc_id % 50 = 0),
+            hits AS (
+              SELECT d.doc_id, count(DISTINCT d.g) AS overlap
+              FROM grams d JOIN ev USING (g)
+              WHERE d.doc_id % 50 <> 0 GROUP BY 1
+            )
+            SELECT doc_id,
+                   CAST(coalesce(overlap, 0) AS BIGINT) AS overlap,
+                   coalesce(overlap, 0) >= 3 AS contaminated
+            FROM documents LEFT JOIN hits USING (doc_id)
+            WHERE doc_id % 50 <> 0
+        """,
+        "doc_pack_assign": f"""
+            WITH d AS (
+              SELECT doc_id, lang,
+                     CASE WHEN text IS NULL THEN NULL
+                          WHEN length(trim(text)) = 0 THEN 0
+                          ELSE len({_TOKS}) END AS n_tokens
+              FROM documents
+            )
+            SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+                   CAST(floor((sum(coalesce(n_tokens, 0)) OVER (
+                            PARTITION BY lang ORDER BY doc_id
+                            ROWS UNBOUNDED PRECEDING)
+                          - coalesce(n_tokens, 0)) / 512.0) AS BIGINT)
+                       AS pack_id
+            FROM d
+        """,
+        "doc_vocab_topk": f"""
+            WITH toks AS (
+              SELECT {_TOKS} AS t FROM documents
+              WHERE text IS NOT NULL AND length(trim(text)) > 0
+            ),
+            words AS (SELECT unnest(t) AS gram FROM toks),
+            counts AS (SELECT gram, count(*) AS cnt FROM words GROUP BY 1)
+            SELECT CAST(row_number() OVER (ORDER BY cnt DESC, gram) AS INTEGER)
+                       AS rnk,
+                   gram, CAST(cnt AS BIGINT) AS cnt
+            FROM counts ORDER BY cnt DESC, gram LIMIT 50
         """,
     }
