@@ -1091,6 +1091,65 @@ def q_doc_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality gate: per-doc top-bigram fraction
+    and duplicate-bigram fraction (exact integer counts, one rounded
+    division), keep iff both within thresholds (operators/repetition.py).
+    Explode + two map-side-combinable aggregates; O(total tokens), never
+    O(doc_len^2)."""
+    from dataingestion_spark.operators.repetition import repetition_filter
+
+    docs = _read(spark, sf_dir, "documents")
+    return repetition_filter(
+        docs, n=2, max_top_frac=0.10, max_dup_frac=0.50
+    ).select("doc_id", "total_grams", "top_gram_frac", "dup_gram_frac", "keep")
+
+
+def q_doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling (data mixing): per-language keep
+    rates applied via a seeded content hash of the doc_id - no RNG, so
+    the mix is stable under reruns/appends/repartition, unlike
+    df.sample() (operators/curation.py stratified_sample). Pure
+    projection in the scan stage."""
+    from dataingestion_spark.operators.curation import stratified_sample
+
+    docs = _read(spark, sf_dir, "documents")
+    rates = {"en": 1.0, "de": 0.5, "fr": 0.25, "es": 0.1, "zh": 0.75}
+    return (
+        stratified_sample(docs, "doc_id", rates, stratum_col="lang")
+        .where(F.col("sampled"))
+        .select("doc_id", "lang")
+    )
+
+
+def q_doc_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus inverted index: per-token document frequency, total term
+    frequency, and the (truncated) ascending posting list
+    (operators/search.py inverted_index). Explode + two combinable
+    aggregates keyed on the token; shuffle payload is (token, doc_id)
+    pairs, never text."""
+    from dataingestion_spark.operators.search import inverted_index
+
+    docs = _read(spark, sf_dir, "documents")
+    return inverted_index(docs, max_postings=100).select(
+        "token", "doc_freq", "total_tf", "postings"
+    )
+
+
+def q_doc_tfidf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword retrieval: top-25 docs for a 3-term query under exact
+    integer TF-IDF (idf_micro = 1e6*N div df - associative int64 sums,
+    no cross-engine ln/float fragility). One aggregate pass broadcasts
+    (N, df per term); the scoring scan is shuffle-free and the top-k is
+    TakeOrderedAndProject (operators/search.py tfidf_topk)."""
+    from dataingestion_spark.operators.search import tfidf_topk
+
+    docs = _read(spark, sf_dir, "documents")
+    return tfidf_topk(docs, ["query", "scan", "fast"], k=25).select(
+        "doc_id", "score", "rnk"
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -1157,6 +1216,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_decontaminate": q_doc_decontaminate,
         "doc_pack_assign": q_doc_pack_assign,
         "doc_vocab_topk": q_doc_vocab_topk,
+        "doc_repetition": q_doc_repetition,
+        "doc_stratified_sample": q_doc_stratified_sample,
+        "doc_inverted_index": q_doc_inverted_index,
+        "doc_tfidf_search": q_doc_tfidf_search,
     }
 
 
@@ -1170,6 +1233,28 @@ def _mk_hash_split_case() -> str:
 
 
 _hash_split_case = _mk_hash_split_case()
+
+
+def _mk_stratified_case() -> str:
+    from dataingestion_spark.operators.curation import stratified_sample_sql
+
+    return stratified_sample_sql(
+        "doc_id",
+        {"en": 1.0, "de": 0.5, "fr": 0.25, "es": 0.1, "zh": 0.75},
+        stratum_col="lang",
+    )
+
+
+def _mk_repetition_cte() -> str:
+    from dataingestion_spark.operators.repetition import ngram_repetition_sql
+
+    return ngram_repetition_sql(n=2)
+
+
+def _mk_tfidf_sql() -> str:
+    from dataingestion_spark.operators.search import tfidf_topk_sql
+
+    return tfidf_topk_sql(["query", "scan", "fast"], k=25)
 
 
 def _simhash_sql(bits: int = 32) -> str:
@@ -2110,4 +2195,32 @@ def oracle_sql() -> dict[str, str]:
                    gram, CAST(cnt AS BIGINT) AS cnt
             FROM counts ORDER BY cnt DESC, gram LIMIT 50
         """,
+        "doc_repetition": f"""
+            {_mk_repetition_cte()}
+            SELECT r.doc_id, r.total_grams, r.top_gram_frac, r.dup_gram_frac,
+                   (d.text IS NOT NULL AND r.top_gram_frac <= 0.10
+                    AND r.dup_gram_frac <= 0.50) AS keep
+            FROM rep_stats r JOIN documents d USING (doc_id)
+        """,
+        "doc_stratified_sample": f"""
+            SELECT doc_id, lang FROM documents
+            WHERE {_mk_stratified_case()}
+        """,
+        "doc_inverted_index": f"""
+            WITH toks AS (
+              SELECT doc_id, {_TOKS} AS t FROM documents
+              WHERE text IS NOT NULL AND length(trim(text)) > 0
+            ),
+            occ AS (SELECT doc_id, unnest(t) AS token FROM toks),
+            per_doc AS (
+              SELECT token, doc_id, count(*) AS tf FROM occ GROUP BY 1, 2
+            )
+            SELECT token,
+                   CAST(count(*) AS BIGINT) AS doc_freq,
+                   CAST(sum(tf) AS BIGINT) AS total_tf,
+                   array_to_string(list_sort(list(doc_id))[1:100], ',')
+                       AS postings
+            FROM per_doc GROUP BY token
+        """,
+        "doc_tfidf_search": _mk_tfidf_sql(),
     }

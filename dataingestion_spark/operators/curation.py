@@ -228,3 +228,77 @@ def top_ngrams(
     topk = counts.orderBy(F.desc("cnt"), F.asc("gram")).limit(k)
     w = Window.orderBy(F.desc("cnt"), F.asc("gram"))
     return topk.withColumn("rnk", F.row_number().over(w))
+
+
+# ---------------------------------------------------------------------------
+# deterministic stratified sampling
+# ---------------------------------------------------------------------------
+
+
+def stratified_sample(
+    df: DataFrame,
+    key_col: str,
+    rates: dict[str, float] | float,
+    stratum_col: str | None = None,
+    seed: int = 7,
+    out: str = "sampled",
+) -> DataFrame:
+    """Content-addressed stratified sampling: keep a row iff the seeded
+    md5 bucket of its key falls below the stratum's rate threshold.
+
+    ``rates`` is either one global rate or a per-stratum dict keyed by
+    ``stratum_col`` values (data mixing: e.g. downsample common-crawl to
+    10% but keep 100% of wiki). Unlisted strata default to rate 0.0 -
+    an explicit mix spec, never a silent keep.
+
+    Like hash_split (same hash stream family, different seed column so
+    the two decisions are independent), this is a pure projection: no
+    shuffle, no RNG state, stable under reruns / repartitioning /
+    incremental appends, and a given doc is kept or dropped consistently
+    across engines - which `df.sample()` (partition-index-seeded RNG)
+    cannot guarantee. At 100 TB this runs inside the scan stage and
+    composes with predicate pushdown on the stratum column."""
+    bucket = _md5_long(
+        F.format_string(f"sample:{seed}:%s", F.col(key_col).cast("string"))
+    ) % SPLIT_BUCKETS
+    if isinstance(rates, dict):
+        if stratum_col is None:
+            raise ValueError("stratum_col is required with per-stratum rates")
+        cut = None
+        for name, rate in rates.items():
+            arm = F.when(
+                F.col(stratum_col) == name,
+                F.lit(int(round(float(rate) * SPLIT_BUCKETS))),
+            )
+            cut = arm if cut is None else cut.when(
+                F.col(stratum_col) == name,
+                F.lit(int(round(float(rate) * SPLIT_BUCKETS))),
+            )
+        cut = F.lit(0) if cut is None else cut.otherwise(F.lit(0))
+    else:
+        cut = F.lit(int(round(float(rates) * SPLIT_BUCKETS)))
+    return df.withColumn(out, bucket < cut)
+
+
+def stratified_sample_sql(
+    key_col: str,
+    rates: dict[str, float] | float,
+    stratum_col: str | None = None,
+    seed: int = 7,
+) -> str:
+    """DuckDB twin of stratified_sample's boolean expression."""
+    b = (
+        f"((('0x' || substring(md5('sample:{seed}:' ||"
+        f" CAST({key_col} AS VARCHAR)), 1, {_HEX_W})))::BIGINT"
+        f" % {SPLIT_BUCKETS})"
+    )
+    if isinstance(rates, dict):
+        arms = " ".join(
+            f"WHEN {stratum_col} = '{name}'"
+            f" THEN {int(round(float(rate) * SPLIT_BUCKETS))}"
+            for name, rate in rates.items()
+        )
+        cut = f"(CASE {arms} ELSE 0 END)"
+    else:
+        cut = str(int(round(float(rates) * SPLIT_BUCKETS)))
+    return f"({b} < {cut})"
