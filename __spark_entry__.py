@@ -296,6 +296,47 @@ def q_cdc_clickstream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_debezium(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5: Debezium change-event envelope (the standard public CDC JSON:
+    before/after/source/op/ts_ms) -> canonical change relation. The
+    synthesized stream exercises all four op codes: c (signup), u (other),
+    d (error - after=null, key recovered from before), r (view - snapshot
+    read mapped to idempotent UPSERT)."""
+    from dataingestion_spark.sources.cdc_formats import parse_debezium
+
+    ev = _read(spark, sf_dir, "events")
+    dbz_op = (
+        F.when(ev.event_type == "signup", F.lit("c"))
+        .when(ev.event_type == "error", F.lit("d"))
+        .when(ev.event_type == "view", F.lit("r"))
+        .otherwise(F.lit("u"))
+    )
+    after = F.when(ev.event_type == "error", F.lit("null")).otherwise(
+        F.format_string(
+            '{"user_id": %d, "k": %s}',
+            ev.user_id.cast("long"),
+            F.coalesce(F.get_json_object("props", "$.k"), F.lit("null")),
+        )
+    )
+    before = F.when(
+        ev.event_type == "error",
+        F.format_string('{"user_id": %d}', ev.user_id.cast("long")),
+    ).otherwise(F.lit("null"))
+    value = F.format_string(
+        '{"before": %s, "after": %s, "source": {"connector": "postgresql",'
+        ' "db": "app", "table": "events", "lsn": %d}, "op": "%s", "ts_ms": %d}',
+        before,
+        after,
+        ev.event_id.cast("long"),
+        dbz_op,
+        F.unix_millis(ev.ts.cast("timestamp")),
+    )
+    env = ev.select(value.alias("value"))
+    return parse_debezium(
+        env, payload_fields=[("k", "int")], key_field="user_id", key_type="long"
+    ).select("op", "user_id", "k", "ts_ms", "lsn", "source_file")
+
+
 def q_cdc_multi_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-source ingest end-to-end (the reference's MultiSourceE2ETest
     shape, e2e-tests/MultiSourceE2ETest.scala: several upstreams land in
@@ -1150,6 +1191,50 @@ def q_doc_tfidf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate CLUSTERS: connected components over the verified
+    MinHash-LSH near-dup pair graph, each doc labeled with its
+    component's min doc id (operators/dedup.py duplicate_clusters).
+    Iterative min-label propagation - one join+min-agg shuffle per round,
+    rounds = component diameter (2-4 for template-clique near-dups).
+    Oracle: DuckDB WITH RECURSIVE transitive closure over the same
+    pair list."""
+    from dataingestion_spark.operators.dedup import (
+        duplicate_clusters,
+        minhash_near_duplicates,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    pairs = minhash_near_duplicates(
+        docs, n=3, num_hashes=8, num_bands=4, threshold=0.5
+    )
+    return duplicate_clusters(pairs).select("doc_id", "cluster_id")
+
+
+def q_doc_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus length distribution: doc count + exact p25/p50/
+    p75/p95 of n_chars (linear-interpolation percentiles - the same
+    definition DuckDB's quantile_cont uses, so the oracle is exact).
+    Exact percentile holds each group's value multiset in the aggregate
+    state; at 100 TB swap in approx_percentile (t-digest, mergeable,
+    bounded state) - the query shape is identical."""
+    docs = _read(spark, sf_dir, "documents")
+    agg = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.expr(
+            "percentile(n_chars, array(0.25D, 0.5D, 0.75D, 0.95D))"
+        ).alias("_q"),
+    )
+    return agg.select(
+        "lang",
+        "n_docs",
+        *[
+            F.round(F.element_at("_q", i + 1), 6).alias(name)
+            for i, name in enumerate(["p25", "p50", "p75", "p95"])
+        ],
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -1220,6 +1305,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_stratified_sample": q_doc_stratified_sample,
         "doc_inverted_index": q_doc_inverted_index,
         "doc_tfidf_search": q_doc_tfidf_search,
+        "cdc_debezium": q_cdc_debezium,
+        "doc_dup_clusters": q_doc_dup_clusters,
+        "doc_length_quantiles": q_doc_length_quantiles,
     }
 
 
@@ -2223,4 +2311,76 @@ def oracle_sql() -> dict[str, str]:
             FROM per_doc GROUP BY token
         """,
         "doc_tfidf_search": _mk_tfidf_sql(),
+        "cdc_debezium": """
+            SELECT CASE WHEN event_type = 'signup' THEN 'INSERT'
+                        WHEN event_type = 'error' THEN 'DELETE'
+                        WHEN event_type = 'view' THEN 'UPSERT'
+                        ELSE 'UPDATE' END AS op,
+                   CAST(user_id AS BIGINT) AS user_id,
+                   CASE WHEN event_type = 'error' THEN NULL
+                        ELSE CAST(json_extract_string(props, '$.k') AS INTEGER)
+                   END AS k,
+                   epoch_ms(ts) AS ts_ms,
+                   CAST(event_id AS BIGINT) AS lsn,
+                   'app.events' AS source_file
+            FROM events
+        """,
+        "doc_dup_clusters": f"""
+            WITH RECURSIVE {shingle_cte},
+            sig AS (
+              SELECT doc_id,
+                     min(md5('0:' || shingle)) AS h0, min(md5('1:' || shingle)) AS h1,
+                     min(md5('2:' || shingle)) AS h2, min(md5('3:' || shingle)) AS h3,
+                     min(md5('4:' || shingle)) AS h4, min(md5('5:' || shingle)) AS h5,
+                     min(md5('6:' || shingle)) AS h6, min(md5('7:' || shingle)) AS h7
+              FROM sh GROUP BY doc_id
+            ),
+            banded AS (
+              SELECT doc_id, 0 AS band_idx, md5(h0 || '|' || h1) AS band_hash FROM sig
+              UNION ALL SELECT doc_id, 1, md5(h2 || '|' || h3) FROM sig
+              UNION ALL SELECT doc_id, 2, md5(h4 || '|' || h5) FROM sig
+              UNION ALL SELECT doc_id, 3, md5(h6 || '|' || h7) FROM sig
+            ),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM banded a JOIN banded b
+                ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+               AND a.doc_id < b.doc_id
+            ),
+            sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            inter AS (
+              SELECT c.id_a, c.id_b, count(*) AS n_inter
+              FROM cand c
+              JOIN sh sa ON sa.doc_id = c.id_a
+              JOIN sh sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
+              GROUP BY c.id_a, c.id_b
+            ),
+            pairs AS (
+              SELECT i.id_a, i.id_b
+              FROM inter i
+              JOIN sizes na ON na.doc_id = i.id_a
+              JOIN sizes nb ON nb.doc_id = i.id_b
+              WHERE n_inter / CAST(na.n + nb.n - n_inter AS DOUBLE) >= 0.5
+            ),
+            edges AS (
+              SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION ALL SELECT id_b, id_a FROM pairs
+            ),
+            nodes AS (SELECT DISTINCT src AS id FROM edges),
+            reach AS (
+              SELECT id, id AS lab FROM nodes
+              UNION
+              SELECT e.dst AS id, r.lab FROM reach r JOIN edges e ON e.src = r.id
+            )
+            SELECT id AS doc_id, CAST(min(lab) AS BIGINT) AS cluster_id
+            FROM reach GROUP BY id
+        """,
+        "doc_length_quantiles": """
+            SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+                   round(quantile_cont(n_chars, 0.25), 6) AS p25,
+                   round(quantile_cont(n_chars, 0.50), 6) AS p50,
+                   round(quantile_cont(n_chars, 0.75), 6) AS p75,
+                   round(quantile_cont(n_chars, 0.95), 6) AS p95
+            FROM documents GROUP BY lang
+        """,
     }

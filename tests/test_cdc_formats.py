@@ -235,3 +235,59 @@ def test_multi_source_union_merge(spark, tmp_path):
     assert set(got) == {1}
     assert got[1]["v"] == "a1" and got[1]["src"] == "aerospike"
     # user 2: mysql DELETE at lsn 20 tombstones the aerospike write at 15
+
+
+def _debezium_envelope(spark):
+    # Public Debezium envelope shape: before/after/source/op/ts_ms as one
+    # JSON value per event (Kafka record value).
+    rows = [
+        ('{"before": null, "after": {"id": 1, "name": "John"}, "source": '
+         '{"connector": "postgresql", "db": "app", "table": "users", '
+         '"lsn": 100}, "op": "c", "ts_ms": 1719565200000}',),
+        ('{"before": {"id": 1, "name": "John"}, "after": {"id": 1, "name": '
+         '"Johnny"}, "source": {"connector": "postgresql", "db": "app", '
+         '"table": "users", "lsn": 101}, "op": "u", "ts_ms": 1719568800000}',),
+        ('{"before": null, "after": {"id": 2, "name": "Snap"}, "source": '
+         '{"connector": "mysql", "db": "app", "table": "users", '
+         '"pos": 102}, "op": "r", "ts_ms": 1719570000000}',),
+        ('{"before": {"id": 1, "name": "Johnny"}, "after": null, "source": '
+         '{"connector": "postgresql", "db": "app", "table": "users", '
+         '"lsn": 103}, "op": "d", "ts_ms": 1719572400000}',),
+    ]
+    return spark.createDataFrame(rows, "value string")
+
+
+def test_debezium_parse(spark):
+    from dataingestion_spark.sources.cdc_formats import parse_debezium
+
+    out = parse_debezium(
+        _debezium_envelope(spark),
+        payload_fields=[("id", "long"), ("name", "string")],
+        key_field="id",
+        key_type="long",
+    ).orderBy("lsn")
+    rows = out.collect()
+    assert [r["op"] for r in rows] == ["INSERT", "UPDATE", "UPSERT", "DELETE"]
+    # key survives a delete via the before image
+    assert [r["id"] for r in rows] == [1, 1, 2, 1]
+    # payload comes from after only: null-filled on delete
+    assert [r["name"] for r in rows] == ["John", "Johnny", "Snap", None]
+    # lsn: postgres lsn and mysql pos both land in the canonical ordinal
+    assert [r["lsn"] for r in rows] == [100, 101, 102, 103]
+    assert rows[0]["source_file"] == "app.users"
+    assert rows[0]["ts_ms"] == 1719565200000
+
+
+def test_debezium_dispatch_and_bad_payload(spark):
+    df = spark.createDataFrame(
+        [('{"before": null, "after": {"id": "oops"}, "source": {"db": "a", '
+          '"table": "t", "lsn": 1}, "op": "c", "ts_ms": 5}',)],
+        "value string",
+    )
+    out = parse_cdc(
+        df, "debezium", payload_fields=[("id", "long")],
+        key_field="id", key_type="long",
+    ).collect()[0]
+    # try_cast degrades a malformed value to NULL instead of killing the
+    # batch under ANSI mode; the quarantine gate rejects it row-wise.
+    assert out["id"] is None and out["op"] == "INSERT"

@@ -82,3 +82,60 @@ def test_simhash_near_dup_has_close_fingerprint(spark):
     ham_far = bin(fps[0] ^ fps[4]).count("1")
     assert ham_near < ham_far
     assert ham_near <= 8
+
+
+def test_duplicate_clusters_transitive_chain(spark):
+    from dataingestion_spark.operators.dedup import duplicate_clusters
+
+    # chain 1-2, 2-3 plus separate component 10-11: exact transitive
+    # closure, unlike dedup_near's greedy rule
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"] for r in duplicate_clusters(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_duplicate_clusters_long_chain_and_direction(spark):
+    from dataingestion_spark.operators.dedup import duplicate_clusters
+
+    # a 9-hop path given in descending orientation: label propagation
+    # must still reach the far end (one hop per round, both directions)
+    pairs = spark.createDataFrame(
+        [(i + 1, i) for i in range(9)], "id_a long, id_b long"
+    )
+    got = duplicate_clusters(pairs).collect()
+    assert {r["cluster_id"] for r in got} == {0}
+    assert {r["doc_id"] for r in got} == set(range(10))
+
+
+def test_duplicate_clusters_matches_duckdb_recursive(spark):
+    import duckdb
+
+    from dataingestion_spark.operators.dedup import duplicate_clusters
+
+    edges = [(1, 5), (5, 9), (2, 3), (7, 8), (8, 9)]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = sorted(
+        (r["doc_id"], r["cluster_id"]) for r in duplicate_clusters(pairs).collect()
+    )
+    vals = ", ".join(f"({a}, {b})" for a, b in edges)
+    want = duckdb.sql(
+        f"""
+        WITH RECURSIVE pairs(id_a, id_b) AS (VALUES {vals}),
+        edges AS (
+          SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION ALL SELECT id_b, id_a FROM pairs
+        ),
+        nodes AS (SELECT DISTINCT src AS id FROM edges),
+        reach AS (
+          SELECT id, id AS lab FROM nodes
+          UNION
+          SELECT e.dst AS id, r.lab FROM reach r JOIN edges e ON e.src = r.id
+        )
+        SELECT id, min(lab) FROM reach GROUP BY id ORDER BY id
+        """
+    ).fetchall()
+    assert got == [tuple(r) for r in want]
