@@ -1211,6 +1211,74 @@ def q_doc_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicate_clusters(pairs).select("doc_id", "cluster_id")
 
 
+def q_doc_lsh_index_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental LSH band-index maintenance (lake/sync.py
+    sync_band_index): a document lake table is fed in two CDC epochs
+    (inserts, then late inserts + text updates + deletes), and after each
+    epoch the MinHash band index - the (doc_id, band_idx, band_hash)
+    relation lsh_candidates joins on - is synced off the changelog,
+    re-shingling ONLY the changed docs. Returns the final index state.
+    Oracle: the band relation recomputed in SQL over the final doc state -
+    incremental maintenance must equal recompute from scratch."""
+    import atexit
+    import shutil
+
+    from pyspark.sql import types as T
+
+    from dataingestion_spark.lake import LakeTable
+    from dataingestion_spark.lake.sync import sync_band_index
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    tmp = tempfile.mkdtemp(prefix="lsh_idx_")
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    src = LakeTable.create(
+        spark, f"{tmp}/docs", schema, pk_fields=["doc_id"],
+        order_fields=["lsn"], num_buckets=8,
+    )
+
+    def env(df: DataFrame, op: str, base: int) -> DataFrame:
+        return df.select(
+            F.lit(op).alias("op"),
+            "doc_id",
+            "text",
+            (F.lit(base) + F.col("doc_id")).cast("long").alias("lsn"),
+            F.lit("datagen").alias("source_file"),
+        )
+
+    spec = dict(n=3, num_hashes=8, num_bands=4)
+    src.merge(
+        env(docs.filter(F.col("doc_id") % 3 != 0), "INSERT", 0),
+        pipeline_id="ing", epoch_id=0,
+    )
+    sync_band_index(src, f"{tmp}/idx", **spec)  # seed
+    late = env(docs.filter(F.col("doc_id") % 3 == 0), "INSERT", 100_000)
+    upd = env(
+        docs.filter(F.col("doc_id") % 10 == 0).withColumn(
+            "text", F.concat(F.lit("v2 "), F.col("text"))
+        ),
+        "UPDATE", 200_000,
+    )
+    dele = env(
+        docs.filter(F.col("doc_id") % 17 == 0).withColumn(
+            "text", F.lit(None).cast("string")
+        ),
+        "DELETE", 300_000,
+    )
+    src.merge(
+        late.unionByName(upd).unionByName(dele), pipeline_id="ing", epoch_id=1
+    )
+    sync_band_index(src, f"{tmp}/idx", **spec)  # incremental
+    return LakeTable(spark, f"{tmp}/idx").read().select(
+        "doc_id", "band_idx", "band_hash"
+    )
+
+
 def q_doc_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language corpus length distribution: doc count + exact p25/p50/
     p75/p95 of n_chars (linear-interpolation percentiles - the same
@@ -1308,6 +1376,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_debezium": q_cdc_debezium,
         "doc_dup_clusters": q_doc_dup_clusters,
         "doc_length_quantiles": q_doc_length_quantiles,
+        "doc_lsh_index_sync": q_doc_lsh_index_sync,
     }
 
 
@@ -2374,6 +2443,43 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT id AS doc_id, CAST(min(lab) AS BIGINT) AS cluster_id
             FROM reach GROUP BY id
+        """,
+        "doc_lsh_index_sync": f"""
+            WITH final AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 10 = 0 THEN 'v2 ' || text
+                          ELSE text END AS text
+              FROM documents WHERE doc_id % 17 <> 0
+            ),
+            t AS (
+              SELECT doc_id,
+                     CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                          ELSE {_TOKS} END AS toks
+              FROM final WHERE text IS NOT NULL
+            ),
+            sh AS (
+              SELECT DISTINCT doc_id, shingle
+              FROM (
+                SELECT doc_id,
+                       unnest(CASE WHEN len(toks) < 3 THEN []::VARCHAR[]
+                              ELSE [array_to_string(toks[i:i+2], ' ')
+                                    for i in range(1, len(toks) - 1)] END)
+                           AS shingle
+                FROM t
+              )
+            ),
+            sig AS (
+              SELECT doc_id,
+                     min(md5('0:' || shingle)) AS h0, min(md5('1:' || shingle)) AS h1,
+                     min(md5('2:' || shingle)) AS h2, min(md5('3:' || shingle)) AS h3,
+                     min(md5('4:' || shingle)) AS h4, min(md5('5:' || shingle)) AS h5,
+                     min(md5('6:' || shingle)) AS h6, min(md5('7:' || shingle)) AS h7
+              FROM sh GROUP BY doc_id
+            )
+            SELECT doc_id, 0 AS band_idx, md5(h0 || '|' || h1) AS band_hash FROM sig
+            UNION ALL SELECT doc_id, 1, md5(h2 || '|' || h3) FROM sig
+            UNION ALL SELECT doc_id, 2, md5(h4 || '|' || h5) FROM sig
+            UNION ALL SELECT doc_id, 3, md5(h6 || '|' || h7) FROM sig
         """,
         "doc_length_quantiles": """
             SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,

@@ -303,3 +303,144 @@ def sync_aggregate(
         ],
     )
     return _merge_totals(totals)
+
+
+# ----------------------------------------------------------------------
+# incremental LSH band-index maintenance (secondary-index sync)
+# ----------------------------------------------------------------------
+
+
+def band_index_schema(src_schema, id_col: str):
+    """Destination schema for a band index: the doc id (type from the
+    source), the band ordinal, and the band hash."""
+    from pyspark.sql import types as T
+
+    return T.StructType(
+        [
+            src_schema[id_col],
+            T.StructField("band_idx", T.IntegerType(), True),
+            T.StructField("band_hash", T.StringType(), True),
+        ]
+    )
+
+
+def sync_band_index(
+    src: LakeTable,
+    dst: "LakeTable | str",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 16,
+    num_bands: int = 4,
+    pipeline_id: str = "lshsync",
+    num_buckets: int = 32,
+    write_mode: str = "cow",
+) -> Snapshot | None:
+    """Incrementally maintain the MinHash-LSH band index of a document
+    lake table as its own lake table - the secondary-index analog of
+    :func:`sync_aggregate`. The index relation is
+    (id, band_idx, band_hash), pk (id, band_idx): exactly what
+    `operators/dedup.py lsh_candidates` joins on, so near-dup candidate
+    generation against a 100 TB corpus becomes one equi-join of the
+    PRE-COMPUTED index with itself (or with a new batch's band rows)
+    instead of re-shingling the corpus per run.
+
+    Per sync: one ``read_changes`` (bucket-pruned to changed source
+    manifests), re-shingle/minhash/band ONLY the changed docs'
+    post-images, then one MERGE:
+
+      * docs with live post-image text -> UPSERT their ``num_bands``
+        rows (a changed text changes every band hash, same keys);
+      * deleted docs AND docs whose new text yields no shingles (null /
+        shorter than ``n`` tokens) -> DELETE all ``num_bands`` keys.
+
+    The dichotomy is sound because every indexed doc has exactly 0 or
+    ``num_bands`` rows (`band_relation`'s invariant). Cost scales with
+    the CHANGE volume (shingling is per changed doc, the merge is
+    bucket-pruned by the index's own layout), never the corpus.
+
+    Exactly-once rides the source-version-as-epoch mechanism of
+    :func:`sync_incremental`; the first sync seeds from the full current
+    state; an expired cursor raises (re-seed at a fresh path). The
+    (n, num_hashes, num_bands, text_col) spec is the caller's contract -
+    the destination schema/pk is validated, but changing the hash spec
+    against an existing index silently mixes hash families; use a new
+    path per spec."""
+    from dataingestion_spark.operators.dedup import band_relation
+
+    if isinstance(dst, (str,)) or hasattr(dst, "__fspath__"):
+        path = dst
+        probe = LakeTable(src.spark, path)
+        if probe.exists():
+            dst = probe
+        else:
+            dst = LakeTable.create(
+                src.spark,
+                path,
+                band_index_schema(src.snapshot().schema, id_col),
+                pk_fields=[id_col, "band_idx"],
+                order_fields=["lsn"],
+                num_buckets=num_buckets,
+            )
+    want = {f.name for f in band_index_schema(src.snapshot().schema, id_col).fields}
+    have = {f.name for f in dst.snapshot().schema.fields}
+    if list(dst.snapshot().pk_fields) != [id_col, "band_idx"] or want != have:
+        raise ValueError(
+            "destination is not the band index this call describes "
+            f"(pk {dst.snapshot().pk_fields} vs [{id_col!r}, 'band_idx'], "
+            f"columns {sorted(have)} vs {sorted(want)}); "
+            "point at a fresh path or match the original spec"
+        )
+    cur = src.current_version()
+    last = dst.last_applied_epoch(pipeline_id)
+    if last >= cur:
+        return None
+
+    def _merge(batch: DataFrame) -> Snapshot | None:
+        return dst.merge(
+            batch,
+            pipeline_id=pipeline_id,
+            epoch_id=cur,
+            write_mode=write_mode,
+            lineage={
+                "lshsync_from": None if last == -1 else last,
+                "lshsync_to": cur,
+            },
+        )
+
+    def _envelope(rows: DataFrame, op: str) -> DataFrame:
+        return rows.select(
+            F.lit(op).alias("op"),
+            *[c for c in rows.columns],
+            F.lit(cur).cast("long").alias("lsn"),
+            F.lit(f"lshsync@v{cur}").alias("source_file"),
+        )
+
+    if last == -1:
+        state = src.read(version=cur)
+        bands = band_relation(state, id_col, text_col, n, num_hashes, num_bands)
+        return _merge(_envelope(bands, "INSERT"))
+
+    retained = sorted(int(p.stem[1:]) for p in src._snap_dir.glob("v*.json"))
+    if last not in retained:
+        raise ValueError(
+            f"band-index cursor v{last} expired from source history "
+            f"(oldest retained: v{retained[0]}); re-seed the destination"
+        )
+    diff = src.read_changes(last, cur)
+    live = diff.filter(F.col("change_type") != "delete")
+    new_bands = band_relation(live, id_col, text_col, n, num_hashes, num_bands)
+    # Changed keys with no new band rows (deleted, or text degraded to
+    # null/short): retire ALL their band keys. num_bands is a small
+    # constant, so the explode is O(changed keys).
+    dead = (
+        diff.select(id_col)
+        .join(new_bands.select(id_col).distinct(), id_col, "left_anti")
+        .select(
+            F.col(id_col),
+            F.explode(F.sequence(F.lit(0), F.lit(num_bands - 1))).alias("band_idx"),
+            F.lit(None).cast("string").alias("band_hash"),
+        )
+    )
+    batch = _envelope(new_bands, "UPSERT").unionByName(_envelope(dead, "DELETE"))
+    return _merge(batch)

@@ -120,15 +120,16 @@ def minhash_signatures(
     )
 
 
-def lsh_candidates(
+def banded_signatures(
     signatures: DataFrame,
     id_col: str = "doc_id",
     num_bands: int = 4,
 ) -> DataFrame:
-    """Band the signatures and emit candidate pairs (a < b) that share at
-    least one band bucket. The join key is (band_idx, band_hash): shuffle
-    volume is O(docs x bands), never O(pairs)."""
-    banded = signatures.select(
+    """Split each signature into ``num_bands`` equal bands and hash each
+    band: (id, band_idx, band_hash) - the LSH band relation. This is both
+    the join key of candidate generation and the row format of the
+    persistent band INDEX (lake/sync.py sync_band_index)."""
+    return signatures.select(
         F.col(id_col),
         F.posexplode(
             F.transform(
@@ -146,6 +147,33 @@ def lsh_candidates(
             )
         ).alias("band_idx", "band_hash"),
     )
+
+
+def band_relation(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 16,
+    num_bands: int = 4,
+) -> DataFrame:
+    """Corpus -> LSH band relation (id, band_idx, band_hash): shingle,
+    minhash, band. Every doc contributes exactly 0 rows (null/short text
+    yields no shingles) or ``num_bands`` rows - the invariant the
+    incremental index maintenance relies on."""
+    sigs = minhash_signatures(shingled(df, id_col, text_col, n), id_col, num_hashes)
+    return banded_signatures(sigs, id_col, num_bands)
+
+
+def lsh_candidates(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    num_bands: int = 4,
+) -> DataFrame:
+    """Band the signatures and emit candidate pairs (a < b) that share at
+    least one band bucket. The join key is (band_idx, band_hash): shuffle
+    volume is O(docs x bands), never O(pairs)."""
+    banded = banded_signatures(signatures, id_col, num_bands)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
