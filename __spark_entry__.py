@@ -1211,6 +1211,22 @@ def q_doc_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicate_clusters(pairs).select("doc_id", "cluster_id")
 
 
+def q_doc_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level duplicate statistics (the suffix-array dedup
+    family of Lee et al. 2021, window-hash approximation): per doc, the
+    number of duplicated length-8 token windows, the exact interval-union
+    token coverage, and the covered fraction (operators/dedup.py
+    span_dedup_stats). Explode is O(total tokens); the occurrence count
+    is one combinable aggregate on a 128-bit key; coverage is one lag
+    over a per-doc sort - nothing quadratic."""
+    from dataingestion_spark.operators.dedup import span_dedup_stats
+
+    docs = _read(spark, sf_dir, "documents")
+    return span_dedup_stats(docs, window=8, min_count=2).select(
+        "doc_id", "n_tokens", "n_dup_spans", "dup_tokens", "dup_frac"
+    )
+
+
 def q_doc_lsh_index_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental LSH band-index maintenance (lake/sync.py
     sync_band_index): a document lake table is fed in two CDC epochs
@@ -1377,6 +1393,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_dup_clusters": q_doc_dup_clusters,
         "doc_length_quantiles": q_doc_length_quantiles,
         "doc_lsh_index_sync": q_doc_lsh_index_sync,
+        "doc_dup_spans": q_doc_dup_spans,
     }
 
 
@@ -2488,5 +2505,43 @@ def oracle_sql() -> dict[str, str]:
                    round(quantile_cont(n_chars, 0.75), 6) AS p75,
                    round(quantile_cont(n_chars, 0.95), 6) AS p95
             FROM documents GROUP BY lang
+        """,
+        "doc_dup_spans": f"""
+            WITH toks AS (
+              SELECT doc_id,
+                     CASE WHEN text IS NULL OR length(trim(text)) = 0
+                          THEN []::VARCHAR[] ELSE {_TOKS} END AS t
+              FROM documents
+            ),
+            wins AS (
+              SELECT doc_id, i - 1 AS pos,
+                     md5(array_to_string(t[i:i+7], ' ')) AS h
+              FROM toks, LATERAL (
+                SELECT unnest(generate_series(1, len(t) - 7)) AS i)
+            ),
+            dup AS (
+              SELECT h FROM (
+                SELECT h, count(*) AS c FROM wins GROUP BY h) WHERE c >= 2
+            ),
+            spans AS (SELECT w.doc_id, w.pos FROM wins w JOIN dup USING (h)),
+            contrib AS (
+              SELECT doc_id,
+                     least(8, coalesce(pos - lag(pos) OVER (
+                         PARTITION BY doc_id ORDER BY pos), 8)) AS new_toks
+              FROM spans
+            ),
+            per_doc AS (
+              SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_spans,
+                     CAST(sum(new_toks) AS BIGINT) AS dup_tokens
+              FROM contrib GROUP BY doc_id
+            )
+            SELECT t.doc_id, CAST(len(t.t) AS BIGINT) AS n_tokens,
+                   CAST(coalesce(p.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+                   CAST(coalesce(p.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+                   CASE WHEN len(t.t) > 0
+                        THEN round(coalesce(p.dup_tokens, 0)
+                                   / CAST(len(t.t) AS BIGINT), 6)
+                        ELSE 0.0 END AS dup_frac
+            FROM toks t LEFT JOIN per_doc p USING (doc_id)
         """,
     }

@@ -419,3 +419,119 @@ def simhash(
         ).alias("simhash"),
     )
     return fp
+
+
+# ---------------------------------------------------------------------------
+# substring-level duplicate spans (token-window hashing)
+# ---------------------------------------------------------------------------
+
+
+def duplicate_spans(
+    df: DataFrame,
+    window: int = 50,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Substring-level duplicate detection: every length-``window`` token
+    run that occurs at least ``min_count`` times across the corpus
+    (including repeats inside one document) is a duplicated span. Returns
+    (id, pos, span_hash) - one row per duplicated window occurrence, pos
+    = 0-based start token index.
+
+    This is the scalable approximation of exact suffix-array substring
+    dedup (the public "Deduplicating Training Data Makes Language Models
+    Better" recipe, Lee et al. 2021): a duplicated substring of length
+    >= window contains a duplicated window at every offset, so
+    window-hashing finds exactly the substrings suffix arrays would, at
+    granularity ``window`` - and it is embarrassingly parallel where a
+    distributed suffix array is not. Cost: explode is O(total tokens)
+    rows (each token starts one window); the hash count is one
+    map-side-combinable aggregate on a 128-bit key; the occurrence join
+    is an equi-join on the same key. Nothing is quadratic and no raw text
+    crosses the shuffle - windows travel as md5 hex (the portable,
+    oracle-reproducible choice)."""
+    from dataingestion_spark.operators.text import tokens_expr
+
+    toks = F.when(F.col(text_col).isNull(), F.array().cast("array<string>")).otherwise(
+        tokens_expr(text_col)
+    )
+    wins = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.when(
+                F.size(toks) < window, F.array().cast("array<string>")
+            ).otherwise(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(toks) - (window - 1)),
+                    lambda i: F.md5(F.array_join(F.slice(toks, i, window), " ")),
+                )
+            )
+        ).alias("pos", "span_hash"),
+    )
+    dup = (
+        wins.groupBy("span_hash")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+        .filter(F.col("n_occ") >= min_count)
+    )
+    return wins.join(dup.select("span_hash"), "span_hash").select(
+        id_col, "pos", "span_hash"
+    )
+
+
+def span_dedup_stats(
+    df: DataFrame,
+    window: int = 50,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document duplicated-substring statistics: number of duplicated
+    windows, number of TOKENS covered by at least one duplicated window
+    (exact interval union), and the covered fraction. The fraction is the
+    dedup gate's input - a doc that is mostly duplicated substrings gets
+    dropped or trimmed.
+
+    Interval union without an interval tree: all spans have equal length,
+    so ends are monotone in starts, and a span sorted after its
+    predecessor contributes min(window, pos - prev_pos) new tokens - one
+    lag over a per-doc sort, exact integer arithmetic, one rounded
+    division at the end (cross-engine deterministic)."""
+    from pyspark.sql import Window as W
+
+    spans = duplicate_spans(df, window, min_count, id_col, text_col)
+    w = W.partitionBy(id_col).orderBy("pos")
+    contrib = spans.withColumn(
+        "new_toks",
+        F.least(
+            F.lit(window),
+            F.coalesce(F.col("pos") - F.lag("pos").over(w), F.lit(window)),
+        ),
+    )
+    per_doc = contrib.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_dup_spans"),
+        F.sum("new_toks").cast("long").alias("dup_tokens"),
+    )
+    from dataingestion_spark.operators.text import tokens_expr
+
+    toks = F.when(F.col(text_col).isNull(), F.array().cast("array<string>")).otherwise(
+        tokens_expr(text_col)
+    )
+    base = df.select(F.col(id_col), F.size(toks).cast("long").alias("n_tokens"))
+    return (
+        base.join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            "n_tokens",
+            F.coalesce("n_dup_spans", F.lit(0)).cast("long").alias("n_dup_spans"),
+            F.coalesce("dup_tokens", F.lit(0)).cast("long").alias("dup_tokens"),
+            F.when(
+                F.col("n_tokens") > 0,
+                F.round(
+                    F.coalesce("dup_tokens", F.lit(0)) / F.col("n_tokens"), 6
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("dup_frac"),
+        )
+    )

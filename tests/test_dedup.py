@@ -139,3 +139,66 @@ def test_duplicate_clusters_matches_duckdb_recursive(spark):
         """
     ).fetchall()
     assert got == [tuple(r) for r in want]
+
+
+def test_duplicate_spans_exact_positions(spark):
+    from dataingestion_spark.operators.dedup import duplicate_spans
+
+    # docs 1 and 2 share the 3-token run "x y z" (doc 2 at two offsets);
+    # doc 3 shares nothing
+    df = spark.createDataFrame(
+        [
+            (1, "a b x y z c"),
+            (2, "x y z q x y z"),
+            (3, "p q r s t u v"),
+        ],
+        "doc_id long, text string",
+    )
+    got = sorted(
+        (r["doc_id"], r["pos"])
+        for r in duplicate_spans(df, window=3, min_count=2).collect()
+    )
+    assert got == [(1, 2), (2, 0), (2, 4)]
+
+
+def test_span_dedup_stats_interval_union(spark):
+    from dataingestion_spark.operators.dedup import span_dedup_stats
+
+    # doc 2's spans at pos 0 and 4 with window 3 are disjoint -> 6 covered
+    # tokens of 7; doc 1 covers 3 of 6; doc 3 covers nothing; doc 4 (null)
+    # is zero everywhere
+    df = spark.createDataFrame(
+        [
+            (1, "a b x y z c"),
+            (2, "x y z q x y z"),
+            (3, "p q r s t u v"),
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_dup_spans"], r["dup_tokens"], r["dup_frac"])
+        for r in span_dedup_stats(df, window=3, min_count=2).collect()
+    }
+    assert got[1] == (6, 1, 3, 0.5)
+    assert got[2] == (7, 2, 6, round(6 / 7, 6))
+    assert got[3] == (7, 0, 0, 0.0)
+    assert got[4] == (0, 0, 0, 0.0)
+
+
+def test_span_dedup_overlapping_spans_coverage(spark):
+    from dataingestion_spark.operators.dedup import span_dedup_stats
+
+    # "w1 w2 w3 w4" repeated -> doc has windows at every offset duplicated
+    # against the twin doc; overlapping spans must not double-count tokens
+    df = spark.createDataFrame(
+        [(1, "w1 w2 w3 w4 tail1"), (2, "w1 w2 w3 w4 tail2")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_dup_spans"], r["dup_tokens"])
+        for r in span_dedup_stats(df, window=2, min_count=2).collect()
+    }
+    # duplicated 2-gram windows at pos 0..2 ("w1 w2","w2 w3","w3 w4"):
+    # union covers tokens 0..4 -> 4 tokens
+    assert got[1] == (3, 4) and got[2] == (3, 4)
