@@ -634,6 +634,40 @@ def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization of the embedding column: per-vector scale
+    = max|x|/127, q = round(x/scale) (operators/similarity.py
+    quantize_embeddings) - the 4x storage-tier compression a 100 TB
+    embedding corpus scans instead of the floats. q is emitted as a
+    comma-joined string (the portable hash-comparable form for the
+    driver; the library keeps the int array)."""
+    from dataingestion_spark.operators.similarity import quantize_embeddings
+
+    emb = _read(spark, sf_dir, "embeddings")
+    out = quantize_embeddings(emb)
+    return out.select(
+        "vec_id",
+        F.concat_ws(",", F.col("q").cast("array<string>")).alias("q_str"),
+        F.round("scale", 6).alias("scale_r"),
+    )
+
+
+def q_embedding_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 neighbors per query under QUANTIZED cosine - the integer
+    dot-product first pass over the int8 tier (scales cancel; score is a
+    pure function of exact int64 dots). Same broadcast/scan/rank plan as
+    the float baseline (operators/similarity.py quantized_topk)."""
+    from dataingestion_spark.operators.similarity import quantized_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return quantized_topk(emb, queries, k=5).select(
+        "query_id", "rank", F.col("vec_id").alias("neighbor_id"), "score"
+    )
+
+
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _read(spark, sf_dir, "embeddings")
     return embedding_near_duplicates(emb, threshold=0.4, n_planes=4).select(
@@ -1394,6 +1428,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_length_quantiles": q_doc_length_quantiles,
         "doc_lsh_index_sync": q_doc_lsh_index_sync,
         "doc_dup_spans": q_doc_dup_spans,
+        "embedding_quantize": q_embedding_quantize,
+        "embedding_quantized_topk": q_embedding_quantized_topk,
     }
 
 
@@ -2130,6 +2166,58 @@ def oracle_sql() -> dict[str, str]:
                            / (sqrt(list_dot_product(qv, qv))
                               * sqrt(list_dot_product(v, v))), 6) AS score
               FROM q CROSS JOIN e WHERE e.vec_id <> q.query_id
+            ),
+            ranked AS (
+              SELECT query_id, vec_id, score,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY score DESC, vec_id) AS rank
+              FROM scored)
+            SELECT query_id, CAST(rank AS INTEGER) AS rank,
+                   vec_id AS neighbor_id, score
+            FROM ranked WHERE rank <= 5
+        """,
+        "embedding_quantize": """
+            WITH v AS (
+              SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+            ),
+            s AS (
+              SELECT vec_id, e,
+                     CASE WHEN list_max(list_transform(e, x -> abs(x))) > 0
+                          THEN list_max(list_transform(e, x -> abs(x))) / 127
+                          ELSE 1.0 END AS scale
+              FROM v
+            )
+            SELECT vec_id,
+                   array_to_string(
+                     list_transform(e, x -> CAST(round(x / scale) AS INTEGER)),
+                     ',') AS q_str,
+                   round(scale, 6) AS scale_r
+            FROM s
+        """,
+        "embedding_quantized_topk": """
+            WITH v AS (
+              SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+            ),
+            s AS (
+              SELECT vec_id, e,
+                     CASE WHEN list_max(list_transform(e, x -> abs(x))) > 0
+                          THEN list_max(list_transform(e, x -> abs(x))) / 127
+                          ELSE 1.0 END AS scale
+              FROM v
+            ),
+            q AS (
+              SELECT vec_id,
+                     list_transform(e, x -> CAST(round(x / scale) AS BIGINT))
+                         AS qv
+              FROM s
+            ),
+            qq AS (SELECT vec_id AS query_id, qv AS qqv FROM q WHERE vec_id < 5),
+            scored AS (
+              SELECT qq.query_id, q.vec_id,
+                     round(list_dot_product(qqv, qv)
+                           / (sqrt(list_dot_product(qqv, qqv))
+                              * sqrt(list_dot_product(qv, qv))), 6) AS score
+              FROM qq CROSS JOIN q WHERE q.vec_id <> qq.query_id
             ),
             ranked AS (
               SELECT query_id, vec_id, score,

@@ -376,3 +376,95 @@ def embedding_near_duplicates(
         )
         .filter(F.col("score") >= threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# int8 scalar quantization
+# ---------------------------------------------------------------------------
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = 8,
+) -> DataFrame:
+    """Per-vector symmetric scalar quantization: q_i = round(x_i / scale)
+    with scale = max|x| / (2^(bits-1) - 1), the standard int8 embedding
+    compression (4x smaller than float32, 8x than float64). Returns
+    (id, q array<int>, scale double); dequantize is q_i * scale.
+
+    At 100 TB of embeddings this is a STORAGE-TIER operator: the
+    quantized table is what similarity scans read (4x less IO, and the
+    integer dot product vectorizes), with the float originals kept cold
+    for re-ranking. Quantized cosine needs no dequantization at all -
+    dot(qa,qb) / (|qa||qb|) cancels both scales (see quantized_topk).
+
+    Determinism: elements are cast to double before any arithmetic, the
+    per-vector max and the division are order-fixed expressions, and
+    round() is half-away-from-zero in both Spark and DuckDB - the oracle
+    reproduces q exactly. A zero/null vector gets scale 1.0 (no
+    divide-by-zero; q stays zeros/null)."""
+    levels = (1 << (bits - 1)) - 1
+    v = _as_double(vec_col)
+    amax = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    scale = F.when(amax > 0, amax / levels).otherwise(F.lit(1.0))
+    q = F.transform(v, lambda x: F.round(x / scale).cast("int"))
+    return df.select(F.col(id_col), q.alias("q"), scale.alias("scale"))
+
+
+def quantized_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    bits: int = 8,
+) -> DataFrame:
+    """Exact-arithmetic top-k under QUANTIZED cosine: both sides are
+    int8-quantized, scored by dot(qa,qb) / (|qa| |qb|) - the scales
+    cancel, so the score is a pure function of integer dot products
+    (int64-exact sums; only the final divide and sqrt are floating).
+    Same plan shape as brute_force_topk: broadcast queries, shuffle-free
+    scoring scan, per-query rank filter. This is the cheap first pass a
+    100 TB pipeline runs over the quantized tier before float re-ranking
+    the survivors."""
+    qc = quantize_embeddings(corpus, id_col, vec_col, bits).withColumnRenamed(
+        "q", "_cq"
+    )
+    qq = quantize_embeddings(queries, query_id_col, vec_col, bits).select(
+        F.col(query_id_col), F.col("q").alias("_qq")
+    )
+
+    def idot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x * y).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    scored = (
+        fan_out(qc)
+        .join(F.broadcast(qq), F.col(id_col) != F.col(query_id_col))
+        .select(
+            query_id_col,
+            id_col,
+            F.round(
+                idot(F.col("_qq"), F.col("_cq"))
+                / (
+                    F.sqrt(idot(F.col("_qq"), F.col("_qq")).cast("double"))
+                    * F.sqrt(idot(F.col("_cq"), F.col("_cq")).cast("double"))
+                ),
+                6,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "rank", id_col, "score")
+    )

@@ -186,3 +186,62 @@ def test_embedding_near_dup_width_guard_splits_hot_bucket(spark):
     assert (10_000, 10_001) in {
         (r.id_a, r.id_b) for r in out.itertuples(index=False)
     }
+
+
+def test_quantize_embeddings_exact_values(spark):
+    from dataingestion_spark.operators.similarity import quantize_embeddings
+
+    df = spark.createDataFrame(
+        [(1, [1.0, -0.5, 0.25]), (2, [0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    out = {r["vec_id"]: r for r in quantize_embeddings(df).collect()}
+    # amax=1.0 -> scale=1/127; q = round(x*127), half away from zero
+    assert out[1]["q"] == [127, -64, 32]
+    assert abs(out[1]["scale"] - 1.0 / 127) < 1e-15
+    # zero vector: scale 1.0 (no divide-by-zero), q all zeros
+    assert out[2]["q"] == [0, 0, 0] and out[2]["scale"] == 1.0
+
+
+def test_quantize_dequantize_error_bound(spark):
+    from dataingestion_spark.operators.similarity import quantize_embeddings
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(i, [((i * 37 + j * 13) % 200 - 100) / 100.0 for j in range(16)])
+         for i in range(50)],
+        "vec_id long, embedding array<double>",
+    )
+    q = quantize_embeddings(df)
+    joined = df.join(q, "vec_id")
+    max_err = joined.select(
+        F.array_max(
+            F.zip_with(
+                F.col("embedding"),
+                F.col("q"),
+                lambda x, qv: F.abs(x - qv * F.col("scale")),
+            )
+        ).alias("e")
+    ).agg(F.max("e")).collect()[0][0]
+    max_scale = q.agg(F.max("scale")).collect()[0][0]
+    assert max_err <= max_scale / 2 + 1e-12
+
+
+def test_quantized_topk_matches_float_ranking_when_separable(spark):
+    from dataingestion_spark.operators.similarity import (
+        brute_force_topk,
+        quantized_topk,
+    )
+
+    # well-separated directions: int8 rounding cannot flip the ranking
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.95, 0.1, 0.0]),
+        (2, [0.0, 1.0, 0.0]),
+        (3, [0.0, 0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = df.filter("vec_id = 0").selectExpr("vec_id AS query_id", "embedding")
+    f = [(r["rank"], r["vec_id"]) for r in brute_force_topk(df, q, k=3).collect()]
+    g = [(r["rank"], r["vec_id"]) for r in quantized_topk(df, q, k=3).collect()]
+    assert [x[1] for x in f] == [x[1] for x in g] == [1, 2, 3]
