@@ -57,6 +57,11 @@ BENCH_QUERIES = [
     "cdc_changelog",
     "events_asof_attribution",
     "events_sessionize",
+    # round-4 features
+    "doc_dup_spans",
+    "doc_dup_clusters",
+    "doc_tfidf_search",
+    "embedding_quantized_topk",
 ]
 
 

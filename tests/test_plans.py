@@ -128,3 +128,29 @@ def test_cow_join_plan_shape_no_python_in_hot_path(spark, tmp_path):
     assert "partial_max_by" in plan, "in-batch dedup lost map-side combine"
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_dup_spans_no_cartesian_and_combinable_count(spark):
+    """Span dedup must stay explode + hash-agg + equi-join: a cartesian or
+    BNLJ here would be O(docs^2) at corpus scale."""
+    plan = _plan(entry.q_doc_dup_spans(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "HashAggregate" in plan  # combinable occurrence count
+
+
+def test_quantized_topk_broadcasts_queries_no_corpus_shuffle(spark):
+    """The quantized scoring scan must keep the brute-force baseline's
+    shape: queries broadcast, corpus never exchanged for the join."""
+    plan = _plan(entry.q_embedding_quantized_topk(spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_inverted_index_is_two_hash_aggregates(spark):
+    """token index = per-(token,doc) count then per-token fold - both hash
+    aggregates with map-side partials; no sort-based aggregation and no
+    join anywhere."""
+    plan = _plan(entry.q_doc_inverted_index(spark, SF))
+    assert "HashAggregate" in plan or "ObjectHashAggregate" in plan
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
