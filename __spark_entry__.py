@@ -1225,6 +1225,21 @@ def q_doc_tfidf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_dedup_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-exact near-dup FILTERING: one survivor (min id) per
+    duplicate cluster (operators/dedup.py dedup_clustered) - the
+    transitive-closure-correct variant of doc_near_dedup_keep (which may
+    keep two docs joined only through a larger hub). Oracle: recursive
+    closure, survivors = docs that are not a non-min member of any
+    component."""
+    from dataingestion_spark.operators.dedup import dedup_clustered
+
+    docs = _read(spark, sf_dir, "documents")
+    return dedup_clustered(
+        docs, n=3, num_hashes=8, num_bands=4, threshold=0.5
+    ).select("doc_id")
+
+
 def q_doc_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate CLUSTERS: connected components over the verified
     MinHash-LSH near-dup pair graph, each doc labeled with its
@@ -1430,6 +1445,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_dup_spans": q_doc_dup_spans,
         "embedding_quantize": q_embedding_quantize,
         "embedding_quantized_topk": q_embedding_quantized_topk,
+        "doc_dedup_clustered": q_doc_dedup_clustered,
     }
 
 
@@ -2548,6 +2564,57 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT id AS doc_id, CAST(min(lab) AS BIGINT) AS cluster_id
             FROM reach GROUP BY id
+        """,
+        "doc_dedup_clustered": f"""
+            WITH RECURSIVE {shingle_cte},
+            sig AS (
+              SELECT doc_id,
+                     min(md5('0:' || shingle)) AS h0, min(md5('1:' || shingle)) AS h1,
+                     min(md5('2:' || shingle)) AS h2, min(md5('3:' || shingle)) AS h3,
+                     min(md5('4:' || shingle)) AS h4, min(md5('5:' || shingle)) AS h5,
+                     min(md5('6:' || shingle)) AS h6, min(md5('7:' || shingle)) AS h7
+              FROM sh GROUP BY doc_id
+            ),
+            banded AS (
+              SELECT doc_id, 0 AS band_idx, md5(h0 || '|' || h1) AS band_hash FROM sig
+              UNION ALL SELECT doc_id, 1, md5(h2 || '|' || h3) FROM sig
+              UNION ALL SELECT doc_id, 2, md5(h4 || '|' || h5) FROM sig
+              UNION ALL SELECT doc_id, 3, md5(h6 || '|' || h7) FROM sig
+            ),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM banded a JOIN banded b
+                ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+               AND a.doc_id < b.doc_id
+            ),
+            sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            inter AS (
+              SELECT c.id_a, c.id_b, count(*) AS n_inter
+              FROM cand c
+              JOIN sh sa ON sa.doc_id = c.id_a
+              JOIN sh sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
+              GROUP BY c.id_a, c.id_b
+            ),
+            pairs AS (
+              SELECT i.id_a, i.id_b
+              FROM inter i
+              JOIN sizes na ON na.doc_id = i.id_a
+              JOIN sizes nb ON nb.doc_id = i.id_b
+              WHERE n_inter / CAST(na.n + nb.n - n_inter AS DOUBLE) >= 0.5
+            ),
+            edges AS (
+              SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION ALL SELECT id_b, id_a FROM pairs
+            ),
+            nodes AS (SELECT DISTINCT src AS id FROM edges),
+            reach AS (
+              SELECT id, id AS lab FROM nodes
+              UNION
+              SELECT e.dst AS id, r.lab FROM reach r JOIN edges e ON e.src = r.id
+            ),
+            clusters AS (SELECT id, min(lab) AS cid FROM reach GROUP BY id)
+            SELECT d.doc_id FROM documents d
+            WHERE d.doc_id NOT IN (SELECT id FROM clusters WHERE id <> cid)
         """,
         "doc_lsh_index_sync": f"""
             WITH final AS (

@@ -362,12 +362,16 @@ def sync_band_index(
     Exactly-once rides the source-version-as-epoch mechanism of
     :func:`sync_incremental`; the first sync seeds from the full current
     state; an expired cursor raises (re-seed at a fresh path). The
-    (n, num_hashes, num_bands, text_col) spec is the caller's contract -
-    the destination schema/pk is validated, but changing the hash spec
-    against an existing index silently mixes hash families; use a new
-    path per spec."""
+    (n, num_hashes, num_bands, text_col) spec is RECORDED in the index
+    table's snapshot properties at creation and validated on every later
+    sync - a call with a different spec raises instead of silently
+    mixing hash families in one index."""
     from dataingestion_spark.operators.dedup import band_relation
 
+    spec = {
+        "id_col": id_col, "text_col": text_col,
+        "n": n, "num_hashes": num_hashes, "num_bands": num_bands,
+    }
     if isinstance(dst, (str,)) or hasattr(dst, "__fspath__"):
         path = dst
         probe = LakeTable(src.spark, path)
@@ -381,6 +385,7 @@ def sync_band_index(
                 pk_fields=[id_col, "band_idx"],
                 order_fields=["lsn"],
                 num_buckets=num_buckets,
+                properties={"lsh_spec": spec},
             )
     want = {f.name for f in band_index_schema(src.snapshot().schema, id_col).fields}
     have = {f.name for f in dst.snapshot().schema.fields}
@@ -390,6 +395,13 @@ def sync_band_index(
             f"(pk {dst.snapshot().pk_fields} vs [{id_col!r}, 'band_idx'], "
             f"columns {sorted(have)} vs {sorted(want)}); "
             "point at a fresh path or match the original spec"
+        )
+    stored = dst.snapshot().properties.get("lsh_spec")
+    if stored is not None and stored != spec:
+        raise ValueError(
+            f"band index at {dst.root} was built with spec {stored}; "
+            f"this call passed {spec} - one index, one hash family "
+            "(use a fresh path for a new spec)"
         )
     cur = src.current_version()
     last = dst.last_applied_epoch(pipeline_id)

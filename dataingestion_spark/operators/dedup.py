@@ -362,6 +362,38 @@ def duplicate_clusters(
     return labels.select(F.col("id").alias("doc_id"), F.col("lab").alias("cluster_id"))
 
 
+def dedup_clustered(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 16,
+    num_bands: int = 4,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Cluster-exact near-duplicate filtering: keep exactly ONE
+    representative (the min id) per duplicate CLUSTER (connected
+    component of the verified pair graph); docs in no pair pass through,
+    as do null-text rows.
+
+    Where it differs from ``dedup_near``'s one-pass greedy rule: members
+    connected only through a larger hub. Pairs (1,9) and (5,9) - greedy
+    drops only 9 (the only id ever named as the larger side) and KEEPS
+    both 1 and 5, two docs that are near-duplicates of the same content;
+    clustering puts {1,5,9} in one component and keeps only 1. The cost
+    of exactness is the label-propagation rounds of
+    :func:`duplicate_clusters` - bounded by component diameter, 2-4 for
+    near-dup template cliques."""
+    pairs = minhash_near_duplicates(
+        df, id_col, text_col, n, num_hashes, num_bands, threshold
+    )
+    clusters = duplicate_clusters(pairs)
+    drop = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select(
+        F.col("doc_id").alias(id_col)
+    )
+    return df.join(drop, id_col, "left_anti")
+
+
 def simhash(
     df: DataFrame,
     id_col: str = "doc_id",
