@@ -188,6 +188,17 @@ def main(argv: list[str] | None = None) -> int:
     )
     p.add_argument("--pipeline-id", default="aggsync")
 
+    p = sub.add_parser("lshindex")
+    _add_common(p)
+    p.add_argument("--src-table", required=True, help="document lake table path")
+    p.add_argument("--out", required=True, help="band index table path")
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--shingle-n", type=int, default=3)
+    p.add_argument("--num-hashes", type=int, default=16)
+    p.add_argument("--num-bands", type=int, default=4)
+    p.add_argument("--pipeline-id", default="lshsync")
+
     p = sub.add_parser("rebucket")
     _add_common(p)
     p.add_argument("--config", required=True)
@@ -333,6 +344,30 @@ def main(argv: list[str] | None = None) -> int:
                 {
                     "src_version": src.current_version(),
                     "view_version": dst.current_version(),
+                    "applied": snap is not None,
+                }
+            )
+        )
+    elif a.cmd == "lshindex":
+        from dataingestion_spark.lake.sync import sync_band_index
+
+        src = LakeTable(spark, a.src_table)
+        snap = sync_band_index(
+            src,
+            a.out,
+            id_col=a.id_col,
+            text_col=a.text_col,
+            n=a.shingle_n,
+            num_hashes=a.num_hashes,
+            num_bands=a.num_bands,
+            pipeline_id=a.pipeline_id,
+        )
+        dst = LakeTable(spark, a.out)
+        print(
+            json.dumps(
+                {
+                    "src_version": src.current_version(),
+                    "index_version": dst.current_version(),
                     "applied": snap is not None,
                 }
             )
