@@ -80,6 +80,30 @@ def main() -> int:
             failures.append((name, f"columns {sorted(got.columns)} != {sorted(want.columns)}"))
             print(f"FAIL  {name}: columns {sorted(got.columns)} != {sorted(want.columns)}")
             continue
+        # Driver hash-strictness emulation (round-3 lesson): the driver
+        # stringifies values, so DuckDB sum(INTEGER)->HUGEINT->float64
+        # hashes "734.0" against Spark's "734" and fails even when the
+        # values are identical. Flag any column whose dtype KIND differs
+        # (int vs float vs object) between the two engines before the
+        # tolerant value compare papers over it.
+        kind_mismatch = [
+            c
+            for c in sorted(got.columns)
+            if got[c].dtype.kind != want[c].dtype.kind
+            and {got[c].dtype.kind, want[c].dtype.kind} <= {"i", "u", "f"}
+            and not (got[c].dtype.kind in "iu" and want[c].dtype.kind in "iu")
+        ]
+        if kind_mismatch:
+            failures.append((name, f"dtype-kind mismatch {kind_mismatch}"))
+            print(
+                f"FAIL  {name}: dtype-kind mismatch (driver hash would "
+                f"differ): "
+                + ", ".join(
+                    f"{c} spark={got[c].dtype} duckdb={want[c].dtype}"
+                    for c in kind_mismatch
+                )
+            )
+            continue
         g, w = canon(got), canon(want)
         try:
             pd.testing.assert_frame_equal(g, w, check_dtype=False, atol=1e-6)
