@@ -996,6 +996,69 @@ def q_cdc_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tbl.read_changes(v_from).orderBy("conv_id", "turn_idx", "change_type")
 
 
+def q_cdc_debezium_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outbound CDC feed round-trip: replay the flagship binlog in two
+    epochs, emit the v_epoch0 -> head diff as Kafka-record-shaped Debezium
+    envelopes (LakeTable.read_changes_envelope - the emit-side complement
+    of the parse_debezium adapter), then consume the feed back through
+    parse_debezium with the composite (conv_id, turn_idx) key. Exercises
+    the full produce->JSON->consume loop a downstream subscriber runs;
+    the oracle computes the same NET diff from the generator CTEs with
+    Debezium's image rules (payload from after only - deletes null-fill;
+    ts_ms = event time millis, pre-image for deletes; lsn = the head
+    snapshot version, the feed's replay ordinal)."""
+    import atexit
+    import shutil
+
+    from pyspark.sql import types as T
+
+    from dataingestion_spark.lake import LakeTable
+    from dataingestion_spark.sources.cdc_formats import parse_debezium
+    from dataingestion_spark.sources.datagen import gen_changes
+
+    schema = T.StructType(
+        [
+            T.StructField("conv_id", T.StringType()),
+            T.StructField("turn_idx", T.IntegerType()),
+            T.StructField("role", T.StringType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("tool", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    tmp = tempfile.mkdtemp(prefix="cdc_dbz_feed_")
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    tbl = LakeTable.create(
+        spark, f"{tmp}/transcripts", schema,
+        pk_fields=["conv_id", "turn_idx"], order_fields=["lsn", "ts"],
+        num_buckets=8,
+    )
+    changes = gen_changes(
+        spark, n_events=10_000, n_convs=80, max_turns=40, seed=42,
+        hash_mode="md5",
+    )
+    v_from = None
+    for epoch, lo, hi in [(0, 0, 7_000), (1, 7_000, 10_000)]:
+        part = changes.filter((F.col("lsn") >= lo * 2) & (F.col("lsn") < hi * 2))
+        tbl.merge(part, pipeline_id="entry", epoch_id=epoch)
+        if epoch == 0:
+            v_from = tbl.current_version()
+    env = tbl.read_changes_envelope(v_from, db="lakedb", table_name="transcripts")
+    parsed = parse_debezium(
+        env,
+        payload_fields=[
+            ("role", "string"),
+            ("text", "string"),
+            ("tool", "string"),
+        ],
+        key_fields=[("conv_id", "string"), ("turn_idx", "int")],
+    )
+    return parsed.select(
+        "op", "conv_id", "turn_idx", "role", "text", "tool", "ts_ms", "lsn",
+        "source_file",
+    ).orderBy("conv_id", "turn_idx")
+
+
 def q_cdc_partial_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """update_mode='partial' end-to-end: $set-style masked UPDATE payloads
     through the real lake merge - epoch 0 as merge-on-read (overlay delta
@@ -1416,6 +1479,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcript_cdc_replay": q_transcript_cdc_replay,
         "cdc_partial_replay": q_cdc_partial_replay,
         "cdc_changelog": q_cdc_changelog,
+        "cdc_debezium_feed": q_cdc_debezium_feed,
         "cdc_sync_serving": q_cdc_sync_serving,
         "cdc_delete_where": q_cdc_delete_where,
         "cdc_update_where": q_cdc_update_where,
@@ -1690,6 +1754,56 @@ def _changelog_sql(
         FROM sa a FULL OUTER JOIN sb b
           ON a.conv_id = b.conv_id AND a.turn_idx = b.turn_idx
       ) WHERE change_type IS NOT NULL
+    """
+
+
+def _debezium_feed_sql(
+    n_events: int = 10_000,
+    n_convs: int = 80,
+    max_turns: int = 40,
+    seed: int = 42,
+    cutoff_lsn: int = 14_000,
+    head_version: int = 3,
+) -> str:
+    """DuckDB oracle for cdc_debezium_feed: the same NET diff as
+    _changelog_sql, projected through Debezium envelope rules as
+    parse_debezium recovers them - op INSERT/UPDATE/DELETE from the
+    classification, payload columns from the post-image only (deletes
+    null-fill: parse_debezium reads payload from ``after``), ts_ms =
+    epoch millis of the event time (pre-image ts for deletes), lsn = the
+    head snapshot version (create=1 + one commit per epoch merge ->
+    head_version=3 for the two-epoch build), source_file = db.table."""
+    base = _replay_sql(n_events, n_convs, max_turns, seed)
+    head, _, _ = base.rpartition("ranked AS (")
+    cols = ["role", "text", "tool", "ts"]
+    differs = " OR ".join(f"a.{c} IS DISTINCT FROM b.{c}" for c in cols)
+    post = ",\n               ".join(
+        f"CASE WHEN b.conv_id IS NULL THEN NULL ELSE b.{c} END AS {c}"
+        for c in ("role", "text", "tool")
+    )
+    state = """
+        SELECT conv_id, turn_idx, role, text, tool, ts FROM (
+          SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+                                       ORDER BY lsn DESC) AS rn
+          FROM ev2 {where}
+        ) WHERE rn = 1 AND op <> 'DELETE'
+    """
+    return head + f"""sa AS ({state.format(where=f"WHERE lsn < {cutoff_lsn}")}),
+      sb AS ({state.format(where="")})
+      SELECT * FROM (
+        SELECT CASE WHEN a.conv_id IS NULL THEN 'INSERT'
+                    WHEN b.conv_id IS NULL THEN 'DELETE'
+                    WHEN {differs} THEN 'UPDATE' END AS op,
+               coalesce(a.conv_id, b.conv_id) AS conv_id,
+               coalesce(a.turn_idx, b.turn_idx) AS turn_idx,
+               {post},
+               CAST(epoch_ms(CASE WHEN b.conv_id IS NULL THEN a.ts
+                                  ELSE b.ts END) AS BIGINT) AS ts_ms,
+               CAST({head_version} AS BIGINT) AS lsn,
+               'lakedb.transcripts' AS source_file
+        FROM sa a FULL OUTER JOIN sb b
+          ON a.conv_id = b.conv_id AND a.turn_idx = b.turn_idx
+      ) WHERE op IS NOT NULL
     """
 
 
@@ -2252,6 +2366,10 @@ def oracle_sql() -> dict[str, str]:
             n_events=8_000, n_convs=60, max_turns=30, seed=43
         ),
         "cdc_changelog": _changelog_sql(
+            n_events=10_000, n_convs=80, max_turns=40, seed=42,
+            cutoff_lsn=14_000,
+        ),
+        "cdc_debezium_feed": _debezium_feed_sql(
             n_events=10_000, n_convs=80, max_turns=40, seed=42,
             cutoff_lsn=14_000,
         ),

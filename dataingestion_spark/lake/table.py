@@ -691,6 +691,61 @@ class LakeTable:
             changed.append(int(b))
         return sorted(changed)
 
+    def _diff_images(
+        self, from_version: int, snap_b: "Snapshot"
+    ) -> tuple[DataFrame, Column, Column, Column] | None:
+        """Shared core of the changelog readers (:meth:`read_changes` and
+        :meth:`read_changes_envelope`): the pk-keyed full-outer join of the
+        two snapshots' live states, bucket-pruned to :meth:`changed_buckets`
+        via exact manifest lists. Returns ``(joined, is_insert, is_delete,
+        is_update)`` where ``joined`` carries the coalesced pk columns plus
+        ``_a_pay`` / ``_b_pay`` pre-/post-image payload structs, or ``None``
+        when the range provably contains no changed buckets. Classification
+        predicates are returned (not applied) so each caller projects its
+        own output shape off ONE join."""
+        snap_a = self.snapshot(from_version)
+        if snap_a.version > snap_b.version:
+            raise ValueError(
+                f"from_version {snap_a.version} is newer than to_version "
+                f"{snap_b.version}"
+            )
+        schema = snap_b.schema
+        pk = list(snap_b.pk_fields)
+        payload = [f.name for f in schema.fields if f.name not in pk]
+        changed = (
+            []
+            if snap_a.version == snap_b.version
+            else self.changed_buckets(snap_a.version, snap_b.version)
+        )
+        if not changed:
+            return None
+
+        def _live(snap: Snapshot) -> DataFrame:
+            df = self._resolved(snap, changed, schema=schema)
+            df = df.filter(~F.coalesce(F.col(DELETED_COL), F.lit(False)))
+            return df.select(*pk, *payload)
+
+        a = _live(snap_a).withColumn("_a_present", F.lit(True))
+        b = _live(snap_b).withColumn("_b_present", F.lit(True))
+        a = a.select(
+            *pk,
+            F.struct(*[F.col(c).alias(c) for c in payload]).alias("_a_pay"),
+            "_a_present",
+        )
+        b = b.select(
+            *pk,
+            F.struct(*[F.col(c).alias(c) for c in payload]).alias("_b_pay"),
+            "_b_present",
+        )
+        j = a.join(b, on=pk, how="full_outer")
+        is_insert = F.col("_a_present").isNull()
+        is_delete = F.col("_b_present").isNull()
+        # null-safe struct equality: one comparison covers every payload col
+        is_update = (
+            ~is_insert & ~is_delete & ~F.col("_a_pay").eqNullSafe(F.col("_b_pay"))
+        )
+        return j, is_insert, is_delete, is_update
+
     def read_changes(
         self,
         from_version: int,
@@ -726,50 +781,15 @@ class LakeTable:
         two snapshots appears in neither state and emits nothing -
         changelog semantics over snapshots, not a binlog replay."""
         snap_b = self.snapshot(to_version)
-        snap_a = self.snapshot(from_version)
-        if snap_a.version > snap_b.version:
-            raise ValueError(
-                f"from_version {snap_a.version} is newer than to_version "
-                f"{snap_b.version}"
-            )
-        schema = snap_b.schema
         pk = list(snap_b.pk_fields)
-        payload = [f.name for f in schema.fields if f.name not in pk]
-        out_fields = [T.StructField("change_type", T.StringType(), False)] + list(
-            schema.fields
-        )
-        changed = (
-            []
-            if snap_a.version == snap_b.version
-            else self.changed_buckets(snap_a.version, snap_b.version)
-        )
-        if not changed:
+        payload = [f.name for f in snap_b.schema.fields if f.name not in pk]
+        joined = self._diff_images(from_version, snap_b)
+        if joined is None:
+            out_fields = [
+                T.StructField("change_type", T.StringType(), False)
+            ] + list(snap_b.schema.fields)
             return self.spark.createDataFrame([], T.StructType(out_fields))
-
-        def _live(snap: Snapshot) -> DataFrame:
-            df = self._resolved(snap, changed, schema=schema)
-            df = df.filter(~F.coalesce(F.col(DELETED_COL), F.lit(False)))
-            return df.select(*pk, *payload)
-
-        a = _live(snap_a).withColumn("_a_present", F.lit(True))
-        b = _live(snap_b).withColumn("_b_present", F.lit(True))
-        a = a.select(
-            *pk,
-            F.struct(*[F.col(c).alias(c) for c in payload]).alias("_a_pay"),
-            "_a_present",
-        )
-        b = b.select(
-            *pk,
-            F.struct(*[F.col(c).alias(c) for c in payload]).alias("_b_pay"),
-            "_b_present",
-        )
-        j = a.join(b, on=pk, how="full_outer")
-        is_insert = F.col("_a_present").isNull()
-        is_delete = F.col("_b_present").isNull()
-        # null-safe struct equality: one comparison covers every payload col
-        is_update = (
-            ~is_insert & ~is_delete & ~F.col("_a_pay").eqNullSafe(F.col("_b_pay"))
-        )
+        j, is_insert, is_delete, is_update = joined
 
         def _tagged(tag: str, side: str):
             return F.struct(
@@ -795,6 +815,97 @@ class LakeTable:
             F.col("_chg.change_type").alias("change_type"),
             *pk,
             *[F.col(f"_chg.{c}").alias(c) for c in payload],
+        )
+
+    def read_changes_envelope(
+        self,
+        from_version: int,
+        to_version: int | None = None,
+        db: str = "lake",
+        table_name: str | None = None,
+        ts_col: str = "ts",
+    ) -> DataFrame:
+        """OUTBOUND CDC feed: the snapshot-range changelog as Kafka-record-
+        shaped Debezium change events, so downstream consumers subscribe to
+        this table exactly like they would to a Debezium connector (the
+        emit-side complement of :func:`sources.cdc_formats.parse_debezium`;
+        public Debezium envelope, before/after/source/op/ts_ms).
+
+        Returns two string columns - ``key`` (JSON of the pk fields, the
+        Kafka record key, so a keyed topic partitioner preserves per-key
+        ordering) and ``value`` (the envelope JSON):
+
+          * insert -> op ``c``: ``before`` null, ``after`` = post-image;
+          * update -> op ``u``: ``before`` = pre-image, ``after`` =
+            post-image (one event per key - the NET diff, not the
+            intermediate history);
+          * delete -> op ``d``: ``before`` = pre-image, ``after`` null
+            (Debezium's delete convention: the only row image is before).
+
+        ``source.lsn`` is the ``to`` snapshot version - the feed's monotone
+        replay ordinal, exactly what a consumer needs for LWW ordering
+        across successive emits (version numbers are totally ordered and
+        publish-gated). ``ts_ms`` is the post-image's ``ts_col`` in epoch
+        millis (pre-image for deletes), null when the table has no such
+        column - deterministic event time, never emit wall-clock.
+
+        Same scale shape as :meth:`read_changes`: ONE bucket-pruned
+        pk-keyed full-outer join, then a pure projection - the JSON
+        rendering is ``to_json`` (JVM codegen, ``ignoreNullFields=false``
+        so the envelope carries explicit ``"before": null`` like Debezium
+        does). Round-trip contract (tested): ``parse_debezium`` over this
+        output recovers op/keys/payload exactly, so a second LakeTable can
+        chain off the feed with the standard adapter."""
+        snap_b = self.snapshot(to_version)
+        pk = list(snap_b.pk_fields)
+        payload = [f.name for f in snap_b.schema.fields if f.name not in pk]
+        out_schema = T.StructType(
+            [
+                T.StructField("key", T.StringType(), False),
+                T.StructField("value", T.StringType(), False),
+            ]
+        )
+        joined = self._diff_images(from_version, snap_b)
+        if joined is None:
+            return self.spark.createDataFrame([], out_schema)
+        j, is_insert, is_delete, is_update = joined
+
+        def _image(side: str) -> Column:
+            return F.struct(
+                *[F.col(c).alias(c) for c in pk],
+                *[F.col(f"{side}.{c}").alias(c) for c in payload],
+            )
+
+        before = F.when(is_delete | is_update, _image("_a_pay"))
+        after = F.when(~is_delete, _image("_b_pay"))
+        op = (
+            F.when(is_insert, F.lit("c"))
+            .when(is_delete, F.lit("d"))
+            .when(is_update, F.lit("u"))
+        )
+        if ts_col in payload:
+            ts_ms = F.unix_millis(
+                F.when(is_delete, F.col(f"_a_pay.{ts_col}")).otherwise(
+                    F.col(f"_b_pay.{ts_col}")
+                ).cast("timestamp")
+            )
+        else:
+            ts_ms = F.lit(None).cast("long")
+        source = F.struct(
+            F.lit(db).alias("db"),
+            F.lit(table_name or self.root.name).alias("table"),
+            F.lit(int(snap_b.version)).cast("long").alias("lsn"),
+        )
+        envelope = F.struct(
+            before.alias("before"),
+            after.alias("after"),
+            source.alias("source"),
+            op.alias("op"),
+            ts_ms.alias("ts_ms"),
+        )
+        return j.filter(is_insert | is_delete | is_update).select(
+            F.to_json(F.struct(*[F.col(c).alias(c) for c in pk])).alias("key"),
+            F.to_json(envelope, {"ignoreNullFields": "false"}).alias("value"),
         )
 
     def read_keys(

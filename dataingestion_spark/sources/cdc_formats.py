@@ -194,9 +194,10 @@ def parse_clickstream(
 def parse_debezium(
     df: DataFrame,
     payload_fields: PayloadFields,
-    key_field: str,
+    key_field: str | None = None,
     key_type: str = "string",
     value_col: str = "value",
+    key_fields: PayloadFields | None = None,
 ) -> DataFrame:
     """Debezium change-event envelope -> canonical change relation.
 
@@ -226,7 +227,17 @@ def parse_debezium(
 
     All extraction is ``get_json_object`` on one value column - JVM-side,
     codegen'd, no Python row path - so a 10^10-event Debezium topic replay
-    is bounded by scan + the downstream merge, not parsing."""
+    is bounded by scan + the downstream merge, not parsing.
+
+    Composite keys: pass ``key_fields=[(name, sql_type), ...]`` instead of
+    ``key_field``/``key_type`` - each is extracted from the row image with
+    the same after-falling-back-to-before rule (a transcript table's
+    ``(conv_id, turn_idx)`` pk needs both to merge). Exactly one of
+    ``key_field`` / ``key_fields`` must be given."""
+    if (key_field is None) == (key_fields is None):
+        raise ValueError("pass exactly one of key_field / key_fields")
+    if key_fields is None:
+        key_fields = [(key_field, key_type)]
     v = F.col(value_col)
     after = F.get_json_object(v, "$.after")
     before = F.get_json_object(v, "$.before")
@@ -240,9 +251,10 @@ def parse_debezium(
     )
     return df.select(
         op.alias("op"),
-        F.get_json_object(row_image, f"$.{key_field}")
-        .try_cast(key_type)
-        .alias(key_field),
+        *[
+            F.get_json_object(row_image, f"$.{name}").try_cast(t).alias(name)
+            for name, t in key_fields
+        ],
         *_extract(after, payload_fields),
         F.get_json_object(v, "$.ts_ms").try_cast("long").alias("ts_ms"),
         F.coalesce(
