@@ -1059,6 +1059,59 @@ def q_cdc_debezium_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("conv_id", "turn_idx")
 
 
+def q_cdc_rename_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column rename mid-stream (Iceberg RENAME COLUMN analog,
+    LakeTable.rename_column - metadata-only, no data rewrite): replay
+    epoch 0 of the flagship binlog under the original schema, rename
+    ``tool`` -> ``tool_used``, then replay epoch 1 whose batches carry the
+    NEW name (the updated producer). The final read mixes pre-rename files
+    (physical column ``tool``) with post-rename files (``tool_used``) and
+    must resolve them through the prior-name map exactly - LWW winners
+    crossing the rename boundary included. Oracle: the plain replay with
+    the column aliased, since a rename never changes values (reference
+    schema-evolution lifecycle: artifacts/lld/LLD.md:103-122, which stops
+    at add/widen - rename is the arm the reference lacks)."""
+    import atexit
+    import shutil
+
+    from pyspark.sql import types as T
+
+    from dataingestion_spark.lake import LakeTable
+    from dataingestion_spark.sources.datagen import gen_changes
+
+    schema = T.StructType(
+        [
+            T.StructField("conv_id", T.StringType()),
+            T.StructField("turn_idx", T.IntegerType()),
+            T.StructField("role", T.StringType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("tool", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    tmp = tempfile.mkdtemp(prefix="cdc_rename_")
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    tbl = LakeTable.create(
+        spark, f"{tmp}/transcripts", schema,
+        pk_fields=["conv_id", "turn_idx"], order_fields=["lsn", "ts"],
+        num_buckets=8,
+    )
+    changes = gen_changes(
+        spark, n_events=10_000, n_convs=80, max_turns=40, seed=42,
+        hash_mode="md5",
+    )
+    tbl.merge(
+        changes.filter(F.col("lsn") < 14_000), pipeline_id="entry", epoch_id=0
+    )
+    tbl.rename_column("tool", "tool_used")
+    tbl.merge(
+        changes.filter(F.col("lsn") >= 14_000)
+        .withColumnRenamed("tool", "tool_used"),
+        pipeline_id="entry", epoch_id=1,
+    )
+    return tbl.read().orderBy("conv_id", "turn_idx")
+
+
 def q_cdc_partial_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """update_mode='partial' end-to-end: $set-style masked UPDATE payloads
     through the real lake merge - epoch 0 as merge-on-read (overlay delta
@@ -1479,6 +1532,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcript_cdc_replay": q_transcript_cdc_replay,
         "cdc_partial_replay": q_cdc_partial_replay,
         "cdc_changelog": q_cdc_changelog,
+        "cdc_rename_evolution": q_cdc_rename_evolution,
         "cdc_debezium_feed": q_cdc_debezium_feed,
         "cdc_sync_serving": q_cdc_sync_serving,
         "cdc_delete_where": q_cdc_delete_where,
@@ -2372,6 +2426,14 @@ def oracle_sql() -> dict[str, str]:
         "cdc_debezium_feed": _debezium_feed_sql(
             n_events=10_000, n_convs=80, max_turns=40, seed=42,
             cutoff_lsn=14_000,
+        ),
+        # a rename changes no values: the oracle is the plain replay with
+        # the column aliased to its post-rename name
+        "cdc_rename_evolution": (
+            "SELECT conv_id, turn_idx, role, text, tool AS tool_used, ts "
+            "FROM ("
+            + _replay_sql(n_events=10_000, n_convs=80, max_turns=40, seed=42)
+            + ")"
         ),
         "events_asof_attribution": """
             SELECT p.event_id, p.user_id, p.ts, p.value,

@@ -208,6 +208,20 @@ def main(argv: list[str] | None = None) -> int:
         "(run off the ingest path, like compaction)",
     )
 
+    p = sub.add_parser("rename")
+    _add_common(p)
+    p.add_argument("--config", required=True)
+    p.add_argument(
+        "--column", metavar="OLD=NEW",
+        help="metadata-only column rename (no data rewrite); old files "
+        "resolve through the prior-name map at read time",
+    )
+    p.add_argument(
+        "--retire", action="store_true",
+        help="instead of renaming, drop prior-name mappings proven absent "
+        "from every referenced file (footer check)",
+    )
+
     p = sub.add_parser("describe")
     _add_common(p)
     p.add_argument("--config", required=True)
@@ -381,6 +395,35 @@ def main(argv: list[str] | None = None) -> int:
                 {"version": snap.version, "num_buckets": snap.num_buckets}
             )
         )
+    elif a.cmd == "rename":
+        cfg = DatasetConfig.load(a.config)
+        tbl = LakeTable(spark, cfg.table_path)
+        if a.retire:
+            retired = tbl.retire_renames()
+            print(
+                json.dumps(
+                    {
+                        "version": tbl.current_version(),
+                        "retired_prior_names": retired,
+                    }
+                )
+            )
+        else:
+            if not a.column:
+                raise SystemExit("rename needs --column OLD=NEW or --retire")
+            old, sep, new = a.column.partition("=")
+            if not sep:
+                raise SystemExit(f"--column needs OLD=NEW, got {a.column!r}")
+            snap = tbl.rename_column(old, new)
+            print(
+                json.dumps(
+                    {
+                        "version": snap.version,
+                        "renamed": {"from": old, "to": new},
+                        "schema_version": snap.schema_version,
+                    }
+                )
+            )
     elif a.cmd == "describe":
         cfg = DatasetConfig.load(a.config)
         tbl = LakeTable(spark, cfg.table_path)

@@ -459,6 +459,7 @@ class LakeTable:
         file_map: dict[str, list[str]] | None = None,
         with_seq: bool = False,
         with_partial: bool = False,
+        renames: dict[str, list[str]] | None = None,
     ) -> DataFrame:
         """Read a snapshot's files (base by default, or any manifest dict
         such as ``snap.deltas``), optionally restricted to buckets and
@@ -467,7 +468,16 @@ class LakeTable:
         ``with_seq`` additionally surfaces the per-commit delta ordinal
         column stamped into merge-on-read delta files; ``with_partial``
         surfaces the overlay flag of partial-update delta rows (null-filled
-        False for full-row delta files)."""
+        False for full-row delta files).
+
+        Columns renamed by :meth:`rename_column` resolve through the
+        snapshot's prior-name map (``properties["renames"]``, overridable
+        via ``renames`` for cross-snapshot reads): the scan schema carries
+        the current name AND every prior physical name (typed as the
+        current - widened - type), and each renamed column projects as
+        ``coalesce(current, *priors)``. Any one file physically contains
+        at most ONE of the names (writes always use the name current at
+        write time), so the coalesce is exact, never a value preference."""
         source = snap.files if file_map is None else file_map
         wanted = (
             source
@@ -486,16 +496,45 @@ class LakeTable:
             )
         if not files:
             return self.spark.createDataFrame([], phys)
-        # Manifest-driven read: exact file list, no directory listing; the
-        # explicit schema gives null-fill for pre-evolution files and
-        # widened-type reads.
-        return self.spark.read.schema(phys).parquet(*files)
+        if renames is None:
+            renames = snap.properties.get("renames", {})
+        cur_names = {f.name for f in phys.fields}
+        active = {
+            f.name: renames[f.name]
+            for f in phys.fields
+            if f.name in renames
+        }
+        if not active:
+            # Manifest-driven read: exact file list, no directory listing;
+            # the explicit schema gives null-fill for pre-evolution files
+            # and widened-type reads.
+            return self.spark.read.schema(phys).parquet(*files)
+        types = {f.name: f.dataType for f in phys.fields}
+        prior_fields = [
+            T.StructField(p, types[cur], True)
+            for cur, priors in active.items()
+            for p in priors
+            if p not in cur_names
+        ]
+        scan_schema = T.StructType(list(phys.fields) + prior_fields)
+        df = self.spark.read.schema(scan_schema).parquet(*files)
+        return df.select(
+            *[
+                (
+                    F.coalesce(F.col(f.name), *[F.col(p) for p in active[f.name]])
+                    if f.name in active
+                    else F.col(f.name)
+                ).alias(f.name)
+                for f in phys.fields
+            ]
+        )
 
     def _resolved(
         self,
         snap: Snapshot,
         buckets: list[int] | None,
         schema: T.StructType | None = None,
+        renames: dict[str, list[str]] | None = None,
     ) -> DataFrame:
         """Base ∪ delta rows with read-time LWW resolution (merge-on-read):
         for every pk the winner by (_lsn, delta commit ordinal) survives,
@@ -508,7 +547,7 @@ class LakeTable:
         Base rows order as ordinal 0. The LWW runs on transient ordering
         columns; stored ``_lsn`` values (incl. nulls from append mode) pass
         through unchanged."""
-        base = self._read_files(snap, buckets, schema)
+        base = self._read_files(snap, buckets, schema, renames=renames)
         has_deltas = any(
             fl
             for b, fl in snap.deltas.items()
@@ -524,7 +563,7 @@ class LakeTable:
         )
         deltas = self._read_files(
             snap, buckets, schema, file_map=snap.deltas, with_seq=True,
-            with_partial=has_partial,
+            with_partial=has_partial, renames=renames,
         )
         if has_partial:
             return self._resolve_partial(snap, base, deltas, schema)
@@ -721,7 +760,13 @@ class LakeTable:
             return None
 
         def _live(snap: Snapshot) -> DataFrame:
-            df = self._resolved(snap, changed, schema=schema)
+            # the `to` side's prior-name map covers renames that happened
+            # anywhere in the range, so the `from` side's files read
+            # correctly under the `to` schema's (renamed) column names
+            df = self._resolved(
+                snap, changed, schema=schema,
+                renames=snap_b.properties.get("renames", {}),
+            )
             df = df.filter(~F.coalesce(F.col(DELETED_COL), F.lit(False)))
             return df.select(*pk, *payload)
 
@@ -1029,6 +1074,29 @@ class LakeTable:
                 f = T.StructField(f.name, tf.dataType, f.nullable)
             norm_fields.append(f)
         batch_schema = T.StructType(norm_fields)
+        # A batch column bearing a PRIOR physical name (pre-rename) is a
+        # stale producer, not an addition: silently evolving it would fork
+        # the renamed column (new files would resurrect the old name that
+        # read-time coalesce still resolves). Fail fast with the mapping.
+        stale = self._stale_rename_fields(snap, batch_schema)
+        if stale:
+            detail = "; ".join(
+                f"column '{old}' was renamed to '{new}'" for old, new in stale
+            )
+            self._ledger_append(
+                {
+                    "schema_version": snap.schema_version,
+                    "status": SchemaStatus.BLOCKED.value,
+                    "change_type": ChangeType.BREAKING.value,
+                    "detail": f"batch uses pre-rename column names: {detail}",
+                    "schema_json": json.loads(batch_schema.json()),
+                }
+            )
+            if fail_on_breaking:
+                raise SchemaEvolutionError(
+                    f"batch uses pre-rename column names: {detail}"
+                )
+            return snap.schema, snap.schema_version, None
         cmp = compare_schemas(snap.schema, batch_schema)
         if cmp.change_type == ChangeType.NO_CHANGE:
             return snap.schema, snap.schema_version, None
@@ -1076,6 +1144,24 @@ class LakeTable:
         )
         return evolved, new_version, cmp.describe()
 
+    @staticmethod
+    def _stale_rename_fields(
+        snap: Snapshot, batch_schema: T.StructType
+    ) -> list[tuple[str, str]]:
+        """(prior_name, current_name) pairs for batch fields that are not
+        in the table schema but match a recorded pre-rename physical name."""
+        table_names = {f.name for f in snap.schema.fields}
+        prior_to_cur = {
+            p: cur
+            for cur, priors in snap.properties.get("renames", {}).items()
+            for p in priors
+        }
+        return [
+            (f.name, prior_to_cur[f.name])
+            for f in batch_schema.fields
+            if f.name not in table_names and f.name in prior_to_cur
+        ]
+
     def propose_schema(self, schema: T.StructType) -> dict | None:
         """Register a schema-evolution REQUEST as a PENDING version - the
         reference's ADD COLUMN / drop-column admin flow creates a PENDING
@@ -1084,6 +1170,14 @@ class LakeTable:
         ledger entry (None when the proposal is a no-op); raises on a
         breaking proposal, recording it BLOCKED."""
         snap = self.snapshot()
+        stale = self._stale_rename_fields(snap, schema)
+        if stale:
+            detail = "; ".join(
+                f"column '{old}' was renamed to '{new}'" for old, new in stale
+            )
+            raise SchemaEvolutionError(
+                f"proposal uses pre-rename column names: {detail}"
+            )
         cmp = compare_schemas(snap.schema, schema)
         if cmp.change_type == ChangeType.NO_CHANGE:
             return None
@@ -1363,6 +1457,10 @@ class LakeTable:
             bounds[c] = (blo, bhi)
         all_files = [f for fl in source.values() for f in fl]
         stats = self._stats_for(all_files)
+        # stats sidecars record the column name CURRENT AT WRITE TIME, so a
+        # predicate on a renamed column must also consult its prior names
+        renames = snap.properties.get("renames", {})
+        aliases = {c: [c] + renames.get(c, []) for c in bounds}
         kept: dict[str, list[str]] = {}
         for b, fl in source.items():
             keep = []
@@ -1371,8 +1469,9 @@ class LakeTable:
                 drop = False
                 if s:
                     for c, (lo, hi) in bounds.items():
-                        if c in s:
-                            fmin, fmax = s[c]
+                        name = next((n for n in aliases[c] if n in s), None)
+                        if name is not None:
+                            fmin, fmax = s[name]
                             if (hi is not None and fmin > hi) or (
                                 lo is not None and fmax < lo
                             ):
@@ -1709,6 +1808,165 @@ class LakeTable:
         """Change the table's bucket count with optimistic commit retries;
         see :meth:`_rebucket_once`."""
         return self._retry_commit(lambda: self._rebucket_once(new_num_buckets))
+
+    def rename_column(self, old: str, new: str) -> Snapshot:
+        """Rename a column METADATA-ONLY (Iceberg ``ALTER TABLE ... RENAME
+        COLUMN`` analog): no data file is touched. Iceberg carries renames
+        via immutable field IDs; parquet-over-directory has only names, so
+        the same contract is kept with a PRIOR-NAME MAP
+        (``properties["renames"]``: current -> [prior physical names,
+        newest first]) that every read resolves through - files written
+        before the rename still store the old column name and project as
+        ``coalesce(new, old)`` (exact: any one file contains at most one
+        of the names). Writes after the rename use the new name; a batch
+        still producing the OLD name is rejected by the schema gate with
+        the rename mapping in the error (stale-producer fail-fast), and
+        adding a fresh column that reuses a prior name is likewise
+        refused - that name is still live inside old files, and the
+        read-time coalesce could not tell the two columns apart. For the
+        same reason renaming BACK to a prior name is refused until
+        :meth:`retire_renames` proves no referenced file still carries it.
+
+        Renaming a pk or order field is allowed: bucketing hashes VALUES,
+        not names, so the layout is untouched; ``pk_fields`` /
+        ``order_fields`` follow the rename atomically in the same commit.
+
+        Scale shape: O(1) driver-side - one snapshot json write; the
+        rename never triggers a data rewrite at any table size (the
+        Iceberg guarantee). Read-side cost is one codegen'd ``coalesce``
+        per renamed column until :meth:`retire_renames`; note filter
+        PUSHDOWN on a renamed column is lost while the map is active
+        (the predicate sits above the coalesce), the file-level min/max
+        skipping in :meth:`candidate_files` still applies via prior-name
+        stats lookup."""
+
+        def _once() -> Snapshot:
+            snap = self.snapshot()
+            names = {f.name for f in snap.schema.fields}
+            if old not in names:
+                raise ValueError(f"no such column: {old!r}")
+            if new in names:
+                raise ValueError(f"column already exists: {new!r}")
+            if not new or new.startswith("_"):
+                raise ValueError(
+                    f"invalid column name {new!r}: empty or reserved "
+                    "underscore prefix"
+                )
+            renames = {
+                k: list(v)
+                for k, v in snap.properties.get("renames", {}).items()
+            }
+            priors_all = {p for ps in renames.values() for p in ps}
+            if new in priors_all:
+                raise ValueError(
+                    f"{new!r} is a retired physical name still present in "
+                    "old data files; run retire_renames() after a full "
+                    "rewrite to free it"
+                )
+            renames[new] = [old] + renames.pop(old, [])
+            fields = [
+                T.StructField(new if f.name == old else f.name, f.dataType, f.nullable)
+                for f in snap.schema.fields
+            ]
+            schema = T.StructType(fields)
+            new_version = snap.schema_version + 1
+            self._ledger_append(
+                {
+                    "schema_version": new_version,
+                    "status": SchemaStatus.ACTIVE.value,
+                    "previous_status": SchemaStatus.OBSOLETE.value,
+                    "change_type": ChangeType.NON_BREAKING.value,
+                    "detail": f"RENAMED: {old} -> {new}",
+                    "schema_json": json.loads(schema.json()),
+                }
+            )
+            props = json.loads(json.dumps(snap.properties))
+            props["renames"] = renames
+            out = Snapshot(
+                version=snap.version + 1,
+                parent=snap.version,
+                schema_json=json.loads(schema.json()),
+                schema_version=new_version,
+                num_buckets=snap.num_buckets,
+                pk_fields=[new if c == old else c for c in snap.pk_fields],
+                order_fields=[new if c == old else c for c in snap.order_fields],
+                files={k: list(v) for k, v in snap.files.items()},
+                properties=props,
+                operation="rename-column",
+                summary={"renamed_from": old, "renamed_to": new},
+                deltas={k: list(v) for k, v in snap.deltas.items()},
+            )
+            return self._commit(out, parent=snap)
+
+        return self._retry_commit(_once)
+
+    def retire_renames(self) -> list[str]:
+        """Drop prior-name mappings whose old physical name no longer
+        appears in ANY file referenced by the current snapshot (base or
+        delta), freeing the name for reuse and removing the read-time
+        coalesce. Proof is footer-exact: the union of the referenced
+        files' parquet schemas (footer reads only - no data scan, one
+        driver-side listing of O(files) footers) must not contain the
+        prior name - true after compaction/rebucket/DML has rewritten
+        every pre-rename file. Returns the retired prior names; mappings
+        still live in some file are kept (partial retirement of a chain
+        is fine - each prior name is judged independently)."""
+
+        def _once() -> list[str]:
+            snap = self.snapshot()
+            renames = {
+                k: list(v)
+                for k, v in snap.properties.get("renames", {}).items()
+            }
+            if not renames:
+                return []
+            files = [
+                str(self.root / f)
+                for source in (snap.files, snap.deltas)
+                for fl in source.values()
+                for f in fl
+            ]
+            if files:
+                physical = {
+                    f.name
+                    for f in self.spark.read.option("mergeSchema", "true")
+                    .parquet(*files)
+                    .schema.fields
+                }
+            else:
+                physical = set()
+            retired: list[str] = []
+            kept: dict[str, list[str]] = {}
+            for cur, priors in renames.items():
+                live = [p for p in priors if p in physical]
+                retired.extend(p for p in priors if p not in physical)
+                if live:
+                    kept[cur] = live
+            if not retired:
+                return []
+            props = json.loads(json.dumps(snap.properties))
+            if kept:
+                props["renames"] = kept
+            else:
+                props.pop("renames", None)
+            out = Snapshot(
+                version=snap.version + 1,
+                parent=snap.version,
+                schema_json=dict(snap.schema_json),
+                schema_version=snap.schema_version,
+                num_buckets=snap.num_buckets,
+                pk_fields=list(snap.pk_fields),
+                order_fields=list(snap.order_fields),
+                files={k: list(v) for k, v in snap.files.items()},
+                properties=props,
+                operation="retire-renames",
+                summary={"retired_prior_names": sorted(retired)},
+                deltas={k: list(v) for k, v in snap.deltas.items()},
+            )
+            self._commit(out, parent=snap)
+            return sorted(retired)
+
+        return self._retry_commit(_once)
 
     def delete_where(self, condition, **kwargs) -> Snapshot | None:
         """Predicate DELETE with optimistic commit retries; see
