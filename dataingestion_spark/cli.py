@@ -246,6 +246,18 @@ def main(argv: list[str] | None = None) -> int:
         "(use NULL to clear a column)",
     )
 
+    p = sub.add_parser("feed")
+    _add_common(p)
+    p.add_argument("--src-table", required=True, help="source lake table path")
+    p.add_argument(
+        "--out", required=True,
+        help="feed directory: envelope JSON ranges + cursor land here "
+        "(the file-system stand-in for a Kafka topic)",
+    )
+    p.add_argument("--db", default="lake", help="source.db in the envelope")
+    p.add_argument("--table-name", default=None)
+    p.add_argument("--ts-col", default="ts")
+
     p = sub.add_parser("sync")
     _add_common(p)
     p.add_argument("--src-table", required=True, help="source lake table path")
@@ -471,6 +483,14 @@ def main(argv: list[str] | None = None) -> int:
                 }
             )
         )
+    elif a.cmd == "feed":
+        from dataingestion_spark.lake.sync import emit_feed
+
+        src = LakeTable(spark, a.src_table)
+        out = emit_feed(
+            src, a.out, db=a.db, table_name=a.table_name, ts_col=a.ts_col
+        )
+        print(json.dumps(out))
     elif a.cmd == "vacuum":
         cfg = DatasetConfig.load(a.config)
         tbl = LakeTable(spark, cfg.table_path)

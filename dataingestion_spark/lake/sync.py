@@ -456,3 +456,82 @@ def sync_band_index(
     )
     batch = _envelope(new_bands, "UPSERT").unionByName(_envelope(dead, "DELETE"))
     return _merge(batch)
+
+
+def emit_feed(
+    src: LakeTable,
+    out_dir: str,
+    db: str = "lake",
+    table_name: str | None = None,
+    ts_col: str = "ts",
+) -> dict:
+    """Incremental OUTBOUND Debezium feed to a directory - the
+    file-system stand-in for a Kafka producer (same role the staged
+    parquet dir plays for the inbound Kafka source): each call emits the
+    envelope records (`LakeTable.read_changes_envelope`) for the source
+    range (cursor, head] as JSON-lines files under
+    ``out/v{from}-{to}/``, then advances the cursor.
+
+    Exactly-once by the same construction as :func:`sync_incremental`:
+    the emission for a range is a pure function of two immutable
+    snapshots, the output directory is NAMED by that range and written
+    with overwrite, and the cursor (``_feed_cursor.json``, tmp+rename
+    atomic) only advances after the files land - a crash between write
+    and cursor replays the identical range into the identical directory.
+    Consumers tail range directories in ``from``-version order; within a
+    range, per-key ordering is carried by the record ``key`` (a keyed
+    Kafka topic preserves it) and ``source.lsn`` orders across ranges.
+
+    First call (no cursor) emits the FULL current state as insert
+    envelopes - the changelog from the create snapshot - i.e. Debezium's
+    initial-snapshot phase, so a fresh subscriber needs no side channel.
+
+    Returns ``{"applied", "from_version", "to_version", "events",
+    "path"}`` (``applied=False`` when the cursor is already at head;
+    nothing is written)."""
+    import json as _json
+    import os
+    import tempfile as _tempfile
+
+    cursor_path = os.path.join(out_dir, "_feed_cursor.json")
+    head = src.current_version()
+    if os.path.exists(cursor_path):
+        with open(cursor_path) as fh:
+            last = int(_json.load(fh)["last_version"])
+        retained = sorted(int(p.stem[1:]) for p in src._snap_dir.glob("v*.json"))
+        if last not in retained:
+            raise ValueError(
+                f"feed cursor v{last} expired from source history "
+                f"(oldest retained: v{retained[0]}); re-seed the feed "
+                "from a fresh directory"
+            )
+    else:
+        last = 1  # the create snapshot: empty -> full state emits as inserts
+    if head <= last:
+        return {
+            "applied": False,
+            "from_version": last,
+            "to_version": head,
+            "events": 0,
+            "path": None,
+        }
+    env = src.read_changes_envelope(
+        last, head, db=db, table_name=table_name, ts_col=ts_col
+    )
+    range_dir = os.path.join(out_dir, f"v{last}-{head}")
+    env.write.mode("overwrite").json(range_dir)
+    events = src.spark.read.schema("key string, value string").json(
+        range_dir
+    ).count()
+    os.makedirs(out_dir, exist_ok=True)
+    fd, tmp = _tempfile.mkstemp(dir=out_dir, prefix="_cursor_tmp")
+    with os.fdopen(fd, "w") as fh:
+        _json.dump({"last_version": head}, fh)
+    os.replace(tmp, cursor_path)
+    return {
+        "applied": True,
+        "from_version": last,
+        "to_version": head,
+        "events": int(events),
+        "path": range_dir,
+    }

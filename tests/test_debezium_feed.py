@@ -171,3 +171,120 @@ def test_table_without_ts_column_emits_null_ts_ms(spark, tmp_path):
     assert len(env) == 2
     for val in env["value"]:
         assert json.loads(val)["ts_ms"] is None
+
+
+# ---------------------------------------------------------------------------
+# emit_feed: incremental cursor-tracked emission (the Kafka-producer stand-in)
+# ---------------------------------------------------------------------------
+
+
+def _consume_feed(spark, feed_dir):
+    import glob
+
+    dirs = sorted(
+        glob.glob(str(feed_dir) + "/v*-*"),
+        key=lambda d: int(d.rsplit("/", 1)[1][1:].split("-")[0]),
+    )
+    return [
+        (
+            d,
+            parse_debezium(
+                spark.read.schema("key string, value string").json(d),
+                payload_fields=PAYLOAD_FIELDS,
+                key_fields=KEY_FIELDS,
+            ),
+        )
+        for d in dirs
+    ]
+
+
+def test_emit_feed_full_cycle_and_idempotency(spark, tmp_table_dir, tmp_path):
+    from dataingestion_spark.lake.sync import emit_feed
+
+    feed = str(tmp_path / "feed")
+    tbl, v0 = _two_epoch_table(spark, tmp_table_dir)
+    # first emission: full state as inserts (Debezium initial snapshot)
+    r1 = emit_feed(tbl, feed, db="lakedb", table_name="transcripts")
+    assert r1["applied"] and r1["from_version"] == 1
+    assert r1["to_version"] == tbl.current_version()
+    assert r1["events"] == tbl.read().count()
+    # cursor at head: nothing to do
+    r2 = emit_feed(tbl, feed)
+    assert not r2["applied"] and r2["events"] == 0
+    # more changes -> incremental range only
+    ch = gen_changes(
+        spark, n_events=400, n_convs=40, max_turns=30, seed=99,
+        hash_mode="md5",
+    )
+    tbl.merge(ch, pipeline_id="feed", epoch_id=7)
+    r3 = emit_feed(tbl, feed)
+    assert r3["applied"] and r3["from_version"] == r1["to_version"]
+    assert r3["events"] < r1["events"] + 400  # net diff, not a re-dump
+    # a subscriber replaying the ranges in order converges to source state
+    dst = _make_table(spark, str(tmp_path / "dst"))
+    for d, parsed in _consume_feed(spark, feed):
+        to_v = int(d.rsplit("-", 1)[1])
+        dst.merge(parsed, pipeline_id="sub", epoch_id=to_v)
+    want = (
+        tbl.read().toPandas()
+        .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    )
+    assert_table_equals_oracle(dst.read(), want)
+
+
+def test_emit_feed_crash_replay_is_byte_stable(spark, tmp_table_dir, tmp_path):
+    import json as j
+    import os
+
+    from dataingestion_spark.lake.sync import emit_feed
+
+    feed = str(tmp_path / "feed")
+    tbl, _ = _two_epoch_table(spark, tmp_table_dir, n_events=600)
+    r1 = emit_feed(tbl, feed)
+    first = set(
+        r["value"]
+        for r in spark.read.schema("key string, value string")
+        .json(r1["path"]).collect()
+    )
+    # crash between file write and cursor advance == cursor rolled back:
+    # the replay hits the SAME range directory with the SAME content
+    with open(os.path.join(feed, "_feed_cursor.json"), "w") as fh:
+        j.dump({"last_version": 1}, fh)
+    r2 = emit_feed(tbl, feed)
+    assert (r2["from_version"], r2["to_version"]) == (
+        r1["from_version"], r1["to_version"],
+    )
+    assert r2["path"] == r1["path"]
+    again = set(
+        r["value"]
+        for r in spark.read.schema("key string, value string")
+        .json(r2["path"]).collect()
+    )
+    assert again == first
+
+
+def test_emit_feed_expired_cursor_raises(spark, tmp_table_dir, tmp_path):
+    import json as j
+    import os
+
+    import pytest
+
+    from dataingestion_spark.lake.sync import emit_feed
+
+    feed = str(tmp_path / "feed")
+    tbl, _ = _two_epoch_table(spark, tmp_table_dir, n_events=300)
+    emit_feed(tbl, feed)
+    for e in range(8):
+        tbl.merge(
+            gen_changes(
+                spark, n_events=50, n_convs=10, max_turns=10, seed=e,
+                hash_mode="md5",
+            ),
+            pipeline_id="feed", epoch_id=10 + e,
+        )
+    os.makedirs(feed, exist_ok=True)
+    with open(os.path.join(feed, "_feed_cursor.json"), "w") as fh:
+        j.dump({"last_version": 2}, fh)
+    tbl.expire_snapshots(keep_last=3)
+    with pytest.raises(ValueError, match="expired"):
+        emit_feed(tbl, feed)
