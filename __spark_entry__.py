@@ -1296,6 +1296,22 @@ def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "total_grams", "top_gram_frac", "dup_gram_frac", "keep")
 
 
+def q_doc_rare_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-coverage quality gate: fraction of each doc's token
+    occurrences whose corpus-wide unigram frequency is <= 2 (rare/garbage
+    vocabulary), keep iff assessable and <= 0.2. Integer-exact sibling of
+    a unigram-LM log-likelihood filter (no cross-engine transcendental);
+    three map-side-combinable aggregates, the join runs on distinct
+    (doc, token) pairs, never raw occurrences
+    (operators/curation.py rare_token_filter)."""
+    from dataingestion_spark.operators.curation import rare_token_filter
+
+    docs = _read(spark, sf_dir, "documents")
+    return rare_token_filter(docs, min_count=2, max_rare_frac=0.2).select(
+        "doc_id", "n_tokens", "n_rare", "rare_frac", "keep"
+    )
+
+
 def q_doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified sampling (data mixing): per-language keep
     rates applied via a seeded content hash of the doc_id - no RNG, so
@@ -1553,6 +1569,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_pack_assign": q_doc_pack_assign,
         "doc_vocab_topk": q_doc_vocab_topk,
         "doc_repetition": q_doc_repetition,
+        "doc_rare_tokens": q_doc_rare_tokens,
         "doc_stratified_sample": q_doc_stratified_sample,
         "doc_inverted_index": q_doc_inverted_index,
         "doc_tfidf_search": q_doc_tfidf_search,
@@ -2659,6 +2676,30 @@ def oracle_sql() -> dict[str, str]:
                    (d.text IS NOT NULL AND r.top_gram_frac <= 0.10
                     AND r.dup_gram_frac <= 0.50) AS keep
             FROM rep_stats r JOIN documents d USING (doc_id)
+        """,
+        "doc_rare_tokens": f"""
+            WITH toks AS (
+              SELECT doc_id, {_TOKS} AS t FROM documents
+              WHERE text IS NOT NULL AND length(trim(text)) > 0
+            ),
+            words AS (SELECT doc_id, unnest(t) AS gram FROM toks),
+            dg AS (SELECT doc_id, gram, count(*) AS k FROM words GROUP BY 1, 2),
+            g AS (SELECT gram, sum(k) AS cnt FROM dg GROUP BY 1),
+            sc AS (
+              SELECT doc_id,
+                     CAST(sum(k) AS BIGINT) AS n_tokens,
+                     CAST(sum(CASE WHEN cnt <= 2 THEN k ELSE 0 END) AS BIGINT)
+                         AS n_rare
+              FROM dg JOIN g USING (gram) GROUP BY 1
+            )
+            SELECT d.doc_id,
+                   CAST(coalesce(s.n_tokens, 0) AS BIGINT) AS n_tokens,
+                   CAST(coalesce(s.n_rare, 0) AS BIGINT) AS n_rare,
+                   CASE WHEN coalesce(s.n_tokens, 0) > 0
+                        THEN round(s.n_rare / s.n_tokens, 6) END AS rare_frac,
+                   (coalesce(s.n_tokens, 0) > 0
+                    AND round(s.n_rare / s.n_tokens, 6) <= 0.2) AS keep
+            FROM documents d LEFT JOIN sc s USING (doc_id)
         """,
         "doc_stratified_sample": f"""
             SELECT doc_id, lang FROM documents

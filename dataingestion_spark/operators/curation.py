@@ -302,3 +302,57 @@ def stratified_sample_sql(
     else:
         cut = str(int(round(float(rates) * SPLIT_BUCKETS)))
     return f"({b} < {cut})"
+
+
+def rare_token_filter(
+    df: DataFrame,
+    col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 2,
+    max_rare_frac: float = 0.2,
+) -> DataFrame:
+    """Vocabulary-coverage quality gate: the fraction of a document's
+    token OCCURRENCES whose corpus-wide unigram frequency is <=
+    ``min_count`` (rare/garbage vocabulary - OCR noise, mojibake, random
+    ids score high; clean prose scores low). The integer-exact sibling of
+    a unigram-LM log-likelihood filter: counts and fractions are plain
+    integer arithmetic plus ONE final rounded division, so the score is
+    bit-identical across engines (no transcendental log whose last-ulp
+    placement differs by backend - the lesson of the round-3 sessionize
+    FP-fragility finding).
+
+    Scale shape (three map-side-combinable aggregates, no all-occurrence
+    join): occurrences reduce to per-(doc, token) counts first - one
+    shuffle keyed (doc, token), bounded by distinct pairs, not
+    occurrences; per-token corpus totals aggregate FROM that relation
+    (second, much smaller shuffle); the totals join back on token
+    (distinct pairs again) and fold to per-doc stats. Repetitive docs -
+    exactly the ones a quality gate exists for - collapse in the first
+    aggregate instead of being carried through the join. Docs with no
+    tokens keep ``keep=false`` with null fraction: unassessable is not
+    clean."""
+    toks = word_ngrams(df, col=col, n=1, id_col=id_col)
+    dg = toks.groupBy(id_col, "gram").agg(F.count(F.lit(1)).alias("k"))
+    g = dg.groupBy("gram").agg(F.sum("k").alias("cnt"))
+    scored = (
+        dg.join(g, "gram")
+        .groupBy(id_col)
+        .agg(
+            F.sum("k").cast("long").alias("n_tokens"),
+            F.sum(
+                F.when(F.col("cnt") <= min_count, F.col("k")).otherwise(F.lit(0))
+            ).cast("long").alias("n_rare"),
+        )
+    )
+    out = df.select(id_col).join(scored, id_col, "left")
+    n_tokens = F.coalesce(F.col("n_tokens"), F.lit(0).cast("long"))
+    rare_frac = F.when(
+        n_tokens > 0, F.round(F.col("n_rare") / n_tokens, 6)
+    )
+    return out.select(
+        F.col(id_col),
+        n_tokens.alias("n_tokens"),
+        F.coalesce(F.col("n_rare"), F.lit(0).cast("long")).alias("n_rare"),
+        rare_frac.alias("rare_frac"),
+        ((n_tokens > 0) & (rare_frac <= max_rare_frac)).alias("keep"),
+    )

@@ -187,3 +187,40 @@ def test_top_ngrams_bigrams(spark):
     docs = _docs(spark, [(1, "x y x y"), (2, "x y")])
     got = {(r["gram"], r["cnt"]) for r in top_ngrams(docs, n=2, k=10).collect()}
     assert got == {("x y", 3), ("y x", 1)}
+
+
+def test_rare_token_filter_edges(spark):
+    from dataingestion_spark.operators.curation import rare_token_filter
+
+    docs = spark.createDataFrame(
+        [
+            # common vocabulary only (every token appears >= 3 times)
+            ("d1", "the cat sat on the mat"),
+            ("d2", "the cat sat on the mat the cat"),
+            ("d3", "the mat sat on the cat"),
+            # half rare garbage
+            ("d4", "the cat zxqv9 qq7xk"),
+            # all rare
+            ("d5", "aa1 bb2 cc3"),
+            # unassessable
+            ("d6", None),
+            ("d7", "   "),
+        ],
+        "doc_id string, text string",
+    )
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in rare_token_filter(
+            docs, min_count=2, max_rare_frac=0.5
+        ).collect()
+    }
+    assert got["d1"]["keep"] and got["d1"]["n_rare"] == 0
+    assert got["d4"]["n_tokens"] == 4 and got["d4"]["n_rare"] == 2
+    assert got["d4"]["rare_frac"] == 0.5 and got["d4"]["keep"]
+    assert got["d5"]["n_rare"] == 3 and not got["d5"]["keep"]
+    for d in ("d6", "d7"):
+        assert got[d]["n_tokens"] == 0 and got[d]["rare_frac"] is None
+        assert got[d]["keep"] is False
+    # repetition collapses in the first aggregate: occurrences of a
+    # repeated token still count individually in n_tokens
+    assert got["d2"]["n_tokens"] == 8
