@@ -31,9 +31,11 @@ from dataingestion_spark.lake import LakeTable
 from dataingestion_spark.session import build_session
 from dataingestion_spark.sources.datagen import gen_changes, write_change_files
 from dataingestion_spark.streaming.pipeline import (
+    TRIGGERS,
     apply_changes,
     bootstrap_table,
     stage_changes,
+    subscribe_feed,
 )
 from dataingestion_spark.functions.transformers import build_chain
 
@@ -257,6 +259,31 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--db", default="lake", help="source.db in the envelope")
     p.add_argument("--table-name", default=None)
     p.add_argument("--ts-col", default="ts")
+
+    p = sub.add_parser("subscribe")
+    _add_common(p)
+    p.add_argument(
+        "--feed", required=True,
+        help="feed directory produced by `feed` (Debezium-envelope JSON "
+        "ranges); consumed as a Structured Streaming file source",
+    )
+    p.add_argument(
+        "--config", required=True,
+        help="destination DatasetConfig JSON (bootstrapped if absent)",
+    )
+    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--lineage", default=None)
+    p.add_argument(
+        "--key-fields", default="conv_id:string,turn_idx:int",
+        help="comma-separated name:type pk fields in the envelope key",
+    )
+    p.add_argument(
+        "--payload-fields",
+        default="role:string,text:string,tool:string,ts:timestamp",
+        help="comma-separated name:type payload fields in the row images",
+    )
+    p.add_argument("--trigger", default=None, choices=list(TRIGGERS) + [None])
+    p.add_argument("--await-seconds", type=int, default=None)
 
     p = sub.add_parser("sync")
     _add_common(p)
@@ -483,6 +510,40 @@ def main(argv: list[str] | None = None) -> int:
                 }
             )
         )
+    elif a.cmd == "subscribe":
+
+        def _fields(spec: str) -> list[tuple[str, str]]:
+            out = []
+            for item in spec.split(","):
+                name, _, typ = item.strip().partition(":")
+                if not typ:
+                    raise SystemExit(
+                        f"field spec needs name:type, got {item!r}"
+                    )
+                out.append((name, typ))
+            return out
+
+        cfg = DatasetConfig.load(a.config)
+        keys = _fields(a.key_fields)
+        payload = _fields(a.payload_fields)
+        schema = T.StructType(
+            [
+                T.StructField(n, T._parse_datatype_string(t))
+                for n, t in keys + payload
+            ]
+        )
+        tbl = bootstrap_table(spark, cfg, schema)
+        q = subscribe_feed(
+            spark, cfg, a.feed, a.checkpoint,
+            payload_fields=payload, key_fields=keys,
+            lineage_path=a.lineage, trigger=a.trigger,
+        )
+        if a.await_seconds:
+            q.awaitTermination(a.await_seconds)
+            q.stop()
+        else:
+            q.awaitTermination()
+        print(json.dumps({"version": tbl.current_version()}))
     elif a.cmd == "feed":
         from dataingestion_spark.lake.sync import emit_feed
 

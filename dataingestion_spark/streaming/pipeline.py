@@ -217,6 +217,8 @@ def apply_changes(
     available_now: bool = True,
     trigger: str | None = None,
     quarantine_dir: str | None = None,
+    source_format: str = "parquet",
+    reader_options: dict | None = None,
 ) -> StreamingQuery:
     """Phase-2: staged change log -> exactly-once keyed MERGE into the lake.
 
@@ -314,13 +316,20 @@ def apply_changes(
             )
 
     if schema is None:
+        if source_format != "parquet":
+            raise ValueError(
+                f"schema inference is parquet-only; pass an explicit "
+                f"schema for source_format={source_format!r}"
+            )
         schema = spark.read.parquet(source_dir).schema
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     if max_bytes_per_trigger:
         reader = reader.option("maxBytesPerTrigger", max_bytes_per_trigger)
-    stream = reader.parquet(source_dir)
+    for k, v in (reader_options or {}).items():
+        reader = reader.option(k, v)
+    stream = reader.format(source_format).load(source_dir)
     writer = (
         stream.writeStream.foreachBatch(process_batch)
         .option("checkpointLocation", checkpoint_dir)
@@ -328,6 +337,65 @@ def apply_changes(
     )
     writer = _with_trigger(writer, trigger, available_now)
     return writer.start()
+
+
+def subscribe_feed(
+    spark: SparkSession,
+    config: DatasetConfig,
+    feed_dir: str,
+    checkpoint_dir: str,
+    payload_fields: list[tuple[str, str]],
+    key_fields: list[tuple[str, str]],
+    lineage_path: str | None = None,
+    max_files_per_trigger: int | None = None,
+    available_now: bool = True,
+    trigger: str | None = None,
+) -> StreamingQuery:
+    """STREAMING subscriber for an outbound feed directory
+    (`lake.sync.emit_feed` - or any Debezium-envelope JSON-lines drop): a
+    Structured Streaming file source tails the feed's range directories,
+    `parse_debezium` recovers the canonical change relation per
+    micro-batch, and the standard exactly-once MERGE applies it - the
+    complete lake-to-lake CHAIN over a Kafka-shaped wire, both ends
+    checkpointed (producer: emission cursor; consumer: file-source
+    checkpoint + epoch markers).
+
+    Ordering needs NOTHING from the transport: `source.lsn` in each
+    envelope is the producing snapshot version, and the LWW merge orders
+    by it - a micro-batch that picks up several range directories at once
+    (catch-up) or re-delivers one (checkpoint replay) converges to the
+    same state, the same argument the inbound binlog path makes.
+
+    Glob discovery: the source path is ``<feed>/v*-*`` so new range
+    directories published after the stream starts are picked up on the
+    next trigger (the file source re-lists the glob per batch); the
+    cursor file and in-flight ``_cursor_tmp*`` writes never match."""
+    from dataingestion_spark.sources.cdc_formats import parse_debezium
+
+    def _parse(df: DataFrame) -> DataFrame:
+        return parse_debezium(
+            df, payload_fields=payload_fields, key_fields=key_fields
+        )
+
+    return apply_changes(
+        spark,
+        config,
+        source_dir=f"{feed_dir}/v*-*",
+        checkpoint_dir=checkpoint_dir,
+        schema=T.StructType(
+            [
+                T.StructField("key", T.StringType()),
+                T.StructField("value", T.StringType()),
+            ]
+        ),
+        lineage_path=lineage_path,
+        transformers=[_parse],
+        max_files_per_trigger=max_files_per_trigger,
+        available_now=available_now,
+        trigger=trigger,
+        source_format="json",
+        reader_options={"pathGlobFilter": "part-*"},
+    )
 
 
 def bootstrap_table(

@@ -288,3 +288,60 @@ def test_emit_feed_expired_cursor_raises(spark, tmp_table_dir, tmp_path):
     tbl.expire_snapshots(keep_last=3)
     with pytest.raises(ValueError, match="expired"):
         emit_feed(tbl, feed)
+
+
+def test_streaming_subscriber_chains_lake_to_lake(spark, tmp_table_dir, tmp_path):
+    """subscribe_feed: Structured Streaming consumption of the emitted
+    feed - the full produce -> Kafka-shaped wire -> streaming consume ->
+    exactly-once merge chain, including catch-up over ranges published
+    AFTER the first run and checkpoint-replay idempotency."""
+    from dataingestion_spark.config import DatasetConfig
+    from dataingestion_spark.lake.sync import emit_feed
+    from dataingestion_spark.streaming.pipeline import subscribe_feed
+
+    feed = str(tmp_path / "feed")
+    ckpt = str(tmp_path / "ckpt")
+    tbl, _ = _two_epoch_table(spark, tmp_table_dir)
+    emit_feed(tbl, feed)
+    cfg = DatasetConfig(
+        name="sub",
+        table_path=str(tmp_path / "dst"),
+        pk_fields=["conv_id", "turn_idx"],
+        order_fields=["lsn", "ts"],
+        num_buckets=4,
+        mode="upsert",
+    )
+    dst = _make_table(spark, cfg.table_path)
+
+    def run_stream():
+        q = subscribe_feed(
+            spark, cfg, feed, ckpt,
+            payload_fields=PAYLOAD_FIELDS, key_fields=KEY_FIELDS,
+        )
+        q.awaitTermination(120)
+        assert not q.isActive
+
+    run_stream()
+    want = (
+        tbl.read().toPandas()
+        .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    )
+    assert_table_equals_oracle(dst.read(), want)
+    v_after_first = dst.current_version()
+    # replay with the SAME checkpoint and no new ranges: nothing applied
+    run_stream()
+    assert dst.current_version() == v_after_first
+    # publish more changes -> a new range dir appears -> catch-up run
+    ch = gen_changes(
+        spark, n_events=300, n_convs=30, max_turns=20, seed=5,
+        hash_mode="md5",
+    )
+    tbl.merge(ch, pipeline_id="feed", epoch_id=9)
+    r = emit_feed(tbl, feed)
+    assert r["applied"]
+    run_stream()
+    want = (
+        tbl.read().toPandas()
+        .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    )
+    assert_table_equals_oracle(dst.read(), want)
