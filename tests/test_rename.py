@@ -312,3 +312,27 @@ def test_rename_then_widen_combo(spark, tmp_table_dir):
     got = tbl.read().orderBy("turn_no").toPandas()
     # the pre-rename, pre-widening file reads as long under 'turn_no'
     assert got["turn_no"].tolist() == [0, 2**40]
+
+
+def test_renamed_read_plan_no_exchange_and_prior_in_scan(spark, tmp_table_dir):
+    """The prior-name resolution must stay a SCAN-STAGE projection: a
+    rename adds zero exchanges/jobs to a COW read, the parquet scan's
+    ReadSchema carries both physical names, and the coalesce is inside
+    the codegen'd project - the O(1)-forever cost claim of SCALE.md."""
+    tbl = _make(spark, tmp_table_dir)
+    tbl.merge(
+        _batch(spark, [("c1", 0, "hi", "search", 1), ("c2", 0, "yo", None, 2)]),
+        pipeline_id="p", epoch_id=0,
+    )
+    def _plan(df):
+        return df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+
+    base_plan = _plan(tbl.read())
+    tbl.rename_column("tool", "tool_name")
+    plan = _plan(tbl.read())
+    assert plan.count("Exchange") == base_plan.count("Exchange") == 0
+    assert "tool_name" in plan and "tool" in plan  # both physical names read
+    assert "coalesce" in plan.lower()
+    assert "BatchEvalPython" not in plan
