@@ -1059,6 +1059,88 @@ def q_cdc_debezium_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("conv_id", "turn_idx")
 
 
+def q_cdc_feed_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full lake-to-lake CDC chain over the Debezium wire, end to
+    end: replay the flagship binlog into a source table (two epochs),
+    emit_feed renders the cursor-tracked envelope feed (initial snapshot
+    + incremental range), and subscribe_feed consumes it as a Structured
+    Streaming file source through parse_debezium into a SECOND lake
+    table via the exactly-once merge. Returned state is the SUBSCRIBER's
+    - the oracle is the plain replay, so the whole wire (JSON envelopes,
+    cursor, file-source checkpoint, epoch markers, LWW by source.lsn)
+    must be value-transparent. Generalizes the reference's one-hop
+    Kafka->lake shape (Phase1Job/Phase2Job) into a composable chain."""
+    import atexit
+    import shutil
+
+    from pyspark.sql import types as T
+
+    from dataingestion_spark.config import DatasetConfig
+    from dataingestion_spark.lake import LakeTable
+    from dataingestion_spark.lake.sync import emit_feed
+    from dataingestion_spark.sources.datagen import gen_changes
+    from dataingestion_spark.streaming.pipeline import subscribe_feed
+
+    schema = T.StructType(
+        [
+            T.StructField("conv_id", T.StringType()),
+            T.StructField("turn_idx", T.IntegerType()),
+            T.StructField("role", T.StringType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("tool", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    tmp = tempfile.mkdtemp(prefix="cdc_feed_chain_")
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    src = LakeTable.create(
+        spark, f"{tmp}/src", schema,
+        pk_fields=["conv_id", "turn_idx"], order_fields=["lsn", "ts"],
+        num_buckets=8,
+    )
+    changes = gen_changes(
+        spark, n_events=10_000, n_convs=80, max_turns=40, seed=42,
+        hash_mode="md5",
+    )
+    # two emissions: initial snapshot (epoch 0 state), then the
+    # incremental range for epoch 1 - the subscriber must converge over
+    # BOTH kinds of range in one availableNow pass
+    src.merge(
+        changes.filter(F.col("lsn") < 14_000), pipeline_id="chain", epoch_id=0
+    )
+    emit_feed(src, f"{tmp}/feed")
+    src.merge(
+        changes.filter(F.col("lsn") >= 14_000), pipeline_id="chain", epoch_id=1
+    )
+    emit_feed(src, f"{tmp}/feed")
+    cfg = DatasetConfig(
+        name="chainsub",
+        table_path=f"{tmp}/dst",
+        pk_fields=["conv_id", "turn_idx"],
+        order_fields=["lsn", "ts"],
+        num_buckets=8,
+        mode="upsert",
+    )
+    LakeTable.create(
+        spark, cfg.table_path, schema,
+        pk_fields=["conv_id", "turn_idx"], order_fields=["lsn", "ts"],
+        num_buckets=8,
+    )
+    q = subscribe_feed(
+        spark, cfg, f"{tmp}/feed", f"{tmp}/ckpt",
+        payload_fields=[
+            ("role", "string"),
+            ("text", "string"),
+            ("tool", "string"),
+            ("ts", "timestamp"),
+        ],
+        key_fields=[("conv_id", "string"), ("turn_idx", "int")],
+    )
+    q.awaitTermination(180)
+    dst = LakeTable(spark, cfg.table_path)
+    return dst.read().orderBy("conv_id", "turn_idx")
+
+
 def q_cdc_rename_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Column rename mid-stream (Iceberg RENAME COLUMN analog,
     LakeTable.rename_column - metadata-only, no data rewrite): replay
@@ -1549,6 +1631,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_partial_replay": q_cdc_partial_replay,
         "cdc_changelog": q_cdc_changelog,
         "cdc_rename_evolution": q_cdc_rename_evolution,
+        "cdc_feed_chain": q_cdc_feed_chain,
         "cdc_debezium_feed": q_cdc_debezium_feed,
         "cdc_sync_serving": q_cdc_sync_serving,
         "cdc_delete_where": q_cdc_delete_where,
@@ -2443,6 +2526,11 @@ def oracle_sql() -> dict[str, str]:
         "cdc_debezium_feed": _debezium_feed_sql(
             n_events=10_000, n_convs=80, max_turns=40, seed=42,
             cutoff_lsn=14_000,
+        ),
+        # the wire is value-transparent: the subscriber's state must equal
+        # the plain replay
+        "cdc_feed_chain": _replay_sql(
+            n_events=10_000, n_convs=80, max_turns=40, seed=42
         ),
         # a rename changes no values: the oracle is the plain replay with
         # the column aliased to its post-rename name

@@ -373,9 +373,11 @@ def subscribe_feed(
     from dataingestion_spark.sources.cdc_formats import parse_debezium
 
     def _parse(df: DataFrame) -> DataFrame:
+        # ts_ms/source_file are wire metadata, not table columns - keeping
+        # them would schema-evolve the destination with transport artifacts
         return parse_debezium(
             df, payload_fields=payload_fields, key_fields=key_fields
-        )
+        ).drop("ts_ms", "source_file")
 
     return apply_changes(
         spark,

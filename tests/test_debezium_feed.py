@@ -322,6 +322,11 @@ def test_streaming_subscriber_chains_lake_to_lake(spark, tmp_table_dir, tmp_path
         assert not q.isActive
 
     run_stream()
+    # transport metadata (ts_ms/source_file) must NOT schema-evolve the
+    # destination: the chained table's schema equals the source's
+    assert [f.name for f in dst.snapshot().schema.fields] == [
+        f.name for f in tbl.snapshot().schema.fields
+    ]
     want = (
         tbl.read().toPandas()
         .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
