@@ -278,9 +278,9 @@ def main(argv: list[str] | None = None) -> int:
         help="comma-separated name:type pk fields in the envelope key",
     )
     p.add_argument(
-        "--payload-fields",
-        default="role:string,text:string,tool:string,ts:timestamp",
-        help="comma-separated name:type payload fields in the row images",
+        "--payload-fields", default=None,
+        help="comma-separated name:type payload fields in the row images; "
+        "omit to infer from the existing destination table's schema",
     )
     p.add_argument("--trigger", default=None, choices=list(TRIGGERS) + [None])
     p.add_argument("--await-seconds", type=int, default=None)
@@ -525,17 +525,25 @@ def main(argv: list[str] | None = None) -> int:
 
         cfg = DatasetConfig.load(a.config)
         keys = _fields(a.key_fields)
-        payload = _fields(a.payload_fields)
-        schema = T.StructType(
-            [
-                T.StructField(n, T._parse_datatype_string(t))
-                for n, t in keys + payload
-            ]
-        )
-        tbl = bootstrap_table(spark, cfg, schema)
+        payload = _fields(a.payload_fields) if a.payload_fields else None
+        if payload is not None:
+            schema = T.StructType(
+                [
+                    T.StructField(n, T._parse_datatype_string(t))
+                    for n, t in keys + payload
+                ]
+            )
+            tbl = bootstrap_table(spark, cfg, schema)
+        else:
+            tbl = LakeTable(spark, cfg.table_path)
+            if not tbl.exists():
+                raise SystemExit(
+                    "destination table does not exist: pass "
+                    "--payload-fields to bootstrap it"
+                )
         q = subscribe_feed(
             spark, cfg, a.feed, a.checkpoint,
-            payload_fields=payload, key_fields=keys,
+            key_fields=keys, payload_fields=payload,
             lineage_path=a.lineage, trigger=a.trigger,
         )
         if a.await_seconds:

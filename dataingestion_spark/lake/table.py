@@ -247,6 +247,41 @@ class LakeTable:
         self._cache_put(v, snap)
         return snap
 
+    def version_as_of(self, ts) -> int:
+        """Latest committed version whose commit time is <= ``ts`` - the
+        Iceberg ``TIMESTAMP AS OF`` resolution step. ``ts`` is unix
+        seconds or a datetime (naive = local time, matching
+        ``committed_at``'s time.time() base). Raises when ``ts`` predates
+        the oldest RETAINED snapshot (an expired version cannot be read,
+        so resolving to it would lie) or no snapshot exists yet.
+
+        O(retained versions) driver-side metadata reads - an admin/read
+        entry point, never on the ingest hot path (same cost class as
+        Iceberg scanning its metadata log)."""
+        import datetime as _dt
+
+        if isinstance(ts, _dt.datetime):
+            ts = ts.timestamp()
+        ts = float(ts)
+        best: Snapshot | None = None
+        oldest: Snapshot | None = None
+        for snap in self.history():
+            if oldest is None or snap.version < oldest.version:
+                oldest = snap
+            if snap.committed_at <= ts and (
+                best is None or snap.version > best.version
+            ):
+                best = snap
+        if best is None:
+            if oldest is None:
+                raise ValueError("table has no snapshots")
+            raise ValueError(
+                f"as-of {ts} predates the oldest retained snapshot "
+                f"(v{oldest.version} @ {oldest.committed_at}); earlier "
+                "history has been expired"
+            )
+        return best.version
+
     def history(self) -> list[Snapshot]:
         return [
             self.snapshot(int(p.stem[1:]))
@@ -667,9 +702,15 @@ class LakeTable:
         buckets: list[int] | None = None,
         include_system: bool = False,
         where: dict[str, tuple] | None = None,
+        as_of=None,
     ) -> DataFrame:
         """Current (or time-travel) table state: live rows only (delta
         files LWW-resolved against the base for merge-on-read tables).
+
+        Time travel: ``version`` (number or tag name), or ``as_of`` (unix
+        seconds / datetime - resolved to the latest snapshot committed at
+        or before it, Iceberg ``TIMESTAMP AS OF``); passing both is an
+        error.
 
         ``where={col: (lo, hi)}`` (numeric/timestamp closed ranges; either
         bound may be None) applies file-level min/max DATA SKIPPING before
@@ -682,6 +723,10 @@ class LakeTable:
         by a payload predicate could change a key's read-time LWW winner -
         pruning must never see through unresolved overlays. After
         compact() the table is delta-free and skipping resumes."""
+        if as_of is not None:
+            if version is not None:
+                raise ValueError("pass either version or as_of, not both")
+            version = self.version_as_of(as_of)
         snap = self.snapshot(version)
         pruned_map = None
         if where:

@@ -344,8 +344,8 @@ def subscribe_feed(
     config: DatasetConfig,
     feed_dir: str,
     checkpoint_dir: str,
-    payload_fields: list[tuple[str, str]],
     key_fields: list[tuple[str, str]],
+    payload_fields: list[tuple[str, str]] | None = None,
     lineage_path: str | None = None,
     max_files_per_trigger: int | None = None,
     available_now: bool = True,
@@ -369,8 +369,23 @@ def subscribe_feed(
     Glob discovery: the source path is ``<feed>/v*-*`` so new range
     directories published after the stream starts are picked up on the
     next trigger (the file source re-lists the glob per batch); the
-    cursor file and in-flight ``_cursor_tmp*`` writes never match."""
+    cursor file and in-flight ``_cursor_tmp*`` writes never match.
+
+    ``payload_fields=None`` infers them from the DESTINATION table's
+    current schema (every non-key column, as its table type) - the
+    natural contract for a subscriber: it consumes exactly what its table
+    stores, and after the destination evolves a column the next restart
+    picks the wider shape up automatically."""
     from dataingestion_spark.sources.cdc_formats import parse_debezium
+
+    if payload_fields is None:
+        tbl = LakeTable(spark, config.table_path)
+        keys = {n for n, _ in key_fields}
+        payload_fields = [
+            (f.name, f.dataType.simpleString())
+            for f in tbl.snapshot().schema.fields
+            if f.name not in keys
+        ]
 
     def _parse(df: DataFrame) -> DataFrame:
         # ts_ms/source_file are wire metadata, not table columns - keeping

@@ -259,3 +259,33 @@ def test_rollback_restores_state_and_reopens_epochs(spark, tmp_path):
     # rollback to the current version is a no-op
     v = tbl.current_version()
     assert tbl.rollback(v).version == v
+
+
+def test_read_as_of_timestamp_resolves_like_iceberg(spark, tmp_path):
+    import datetime as dt
+
+    import pytest
+
+    tbl = _make_table(spark, str(tmp_path / "t"), epochs=3)
+    hist = {s.version: s.committed_at for s in tbl.history()}
+    versions = sorted(hist)
+    v_mid = versions[-2]
+    # exactly at a commit time -> that version; just before -> its parent
+    assert tbl.version_as_of(hist[v_mid]) == v_mid
+    assert tbl.version_as_of(hist[v_mid] - 1e-4) == v_mid - 1
+    assert tbl.version_as_of(dt.datetime.now() + dt.timedelta(days=1)) == (
+        tbl.current_version()
+    )
+    a = tbl.read(version=v_mid).toPandas().sort_values(
+        ["conv_id", "turn_idx"]
+    ).reset_index(drop=True)
+    b = tbl.read(as_of=hist[v_mid]).toPandas().sort_values(
+        ["conv_id", "turn_idx"]
+    ).reset_index(drop=True)
+    assert a.equals(b)
+    with pytest.raises(ValueError, match="either version or as_of"):
+        tbl.read(version=v_mid, as_of=hist[v_mid])
+    # a timestamp older than retained history must fail, not lie
+    tbl.expire_snapshots(keep_last=2)
+    with pytest.raises(ValueError, match="predates the oldest retained"):
+        tbl.version_as_of(hist[versions[0]] - 10.0)
