@@ -229,6 +229,15 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--config", required=True)
     p.add_argument("--with-sizes", action="store_true")
 
+    p = sub.add_parser("history")
+    _add_common(p)
+    p.add_argument("--config", required=True)
+    p.add_argument(
+        "--as-of", default=None,
+        help="ISO timestamp or unix seconds: also print which version a "
+        "TIMESTAMP-AS-OF read would resolve to",
+    )
+
     p = sub.add_parser("delete")
     _add_common(p)
     p.add_argument("--config", required=True)
@@ -467,6 +476,32 @@ def main(argv: list[str] | None = None) -> int:
         cfg = DatasetConfig.load(a.config)
         tbl = LakeTable(spark, cfg.table_path)
         print(json.dumps(tbl.describe(with_sizes=a.with_sizes)))
+    elif a.cmd == "history":
+        cfg = DatasetConfig.load(a.config)
+        tbl = LakeTable(spark, cfg.table_path)
+        tags = {v: n for n, v in tbl.tags().items()}
+        out = {
+            "history": [
+                {
+                    "version": s.version,
+                    "operation": s.operation,
+                    "committed_at": s.committed_at,
+                    "schema_version": s.schema_version,
+                    "summary": s.summary,
+                    **({"tag": tags[s.version]} if s.version in tags else {}),
+                }
+                for s in tbl.history()
+            ]
+        }
+        if a.as_of is not None:
+            try:
+                ts = float(a.as_of)
+            except ValueError:
+                import datetime as _dt
+
+                ts = _dt.datetime.fromisoformat(a.as_of).timestamp()
+            out["as_of_resolves_to"] = tbl.version_as_of(ts)
+        print(json.dumps(out))
     elif a.cmd in ("delete", "update"):
         from pyspark.sql import functions as F
 
