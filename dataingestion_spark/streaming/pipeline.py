@@ -375,7 +375,14 @@ def subscribe_feed(
     current schema (every non-key column, as its table type) - the
     natural contract for a subscriber: it consumes exactly what its table
     stores, and after the destination evolves a column the next restart
-    picks the wider shape up automatically."""
+    picks the wider shape up automatically.
+
+    Upstream COLUMN RENAMES cross the wire by name (envelope images carry
+    the producer's current names - the same contract a real Debezium
+    topic has): when the source renames a column, rename the destination
+    (`LakeTable.rename_column`) before consuming the first post-rename
+    range, or a by-name extraction of the old name reads null. The
+    destination's own rename is metadata-only, so the remedy is O(1)."""
     from dataingestion_spark.sources.cdc_formats import parse_debezium
 
     if payload_fields is None:
