@@ -337,6 +337,77 @@ def q_cdc_debezium(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("op", "user_id", "k", "ts_ms", "lsn", "source_file")
 
 
+def q_cdc_wal2json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5: Postgres wal2json (format-version=2) envelope -> canonical
+    change relation. The synthesized WAL stream exercises every record
+    shape: I with a columns image (signup), U with columns + replica
+    identity (other types), D with identity only (error), and interleaved
+    B/C transaction control records that the adapter must drop. The lsn
+    is a real pg_lsn text ('hi/lo' hex halves) offset past 2^32 so the
+    high-half round-trip is exercised on every row."""
+    from dataingestion_spark.sources.cdc_formats import parse_wal2json
+
+    ev = _read(spark, sf_dir, "events")
+    lsn_long = ev.event_id.cast("long") + F.lit(1 << 32)
+    lsn_txt = F.format_string(
+        "%X/%X", F.shiftright(lsn_long, 32), lsn_long % F.lit(1 << 32)
+    )
+    ts_txt = F.concat(
+        F.date_format(ev.ts.cast("timestamp"), "yyyy-MM-dd HH:mm:ss.SSSSSS"),
+        F.lit("+00"),
+    )
+    cols_json = F.format_string(
+        '[{"name": "user_id", "type": "bigint", "value": %d},'
+        ' {"name": "k", "type": "integer", "value": %s}]',
+        ev.user_id.cast("long"),
+        F.coalesce(F.get_json_object("props", "$.k"), F.lit("null")),
+    )
+    ident_json = F.format_string(
+        '[{"name": "user_id", "type": "bigint", "value": %d}]',
+        ev.user_id.cast("long"),
+    )
+    value = (
+        F.when(
+            ev.event_type == "signup",
+            F.format_string(
+                '{"action": "I", "schema": "public", "table": "events",'
+                ' "columns": %s, "lsn": "%s", "timestamp": "%s"}',
+                cols_json, lsn_txt, ts_txt,
+            ),
+        )
+        .when(
+            ev.event_type == "error",
+            F.format_string(
+                '{"action": "D", "schema": "public", "table": "events",'
+                ' "identity": %s, "lsn": "%s", "timestamp": "%s"}',
+                ident_json, lsn_txt, ts_txt,
+            ),
+        )
+        .otherwise(
+            F.format_string(
+                '{"action": "U", "schema": "public", "table": "events",'
+                ' "columns": %s, "identity": %s, "lsn": "%s",'
+                ' "timestamp": "%s"}',
+                cols_json, ident_json, lsn_txt, ts_txt,
+            )
+        )
+    )
+    control = ev.filter(ev.event_id % 97 == 0).select(
+        F.format_string(
+            '{"action": "C", "lsn": "%s"}',
+            F.format_string(
+                "%X/%X",
+                F.shiftright(lsn_long + 1, 32),
+                (lsn_long + 1) % F.lit(1 << 32),
+            ),
+        ).alias("value")
+    )
+    env = ev.select(value.alias("value")).unionAll(control)
+    return parse_wal2json(
+        env, payload_fields=[("k", "int")], key_fields=[("user_id", "long")]
+    ).select("op", "user_id", "k", "ts_ms", "lsn", "source_file")
+
+
 def q_cdc_multi_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-source ingest end-to-end (the reference's MultiSourceE2ETest
     shape, e2e-tests/MultiSourceE2ETest.scala: several upstreams land in
@@ -1657,6 +1728,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_inverted_index": q_doc_inverted_index,
         "doc_tfidf_search": q_doc_tfidf_search,
         "cdc_debezium": q_cdc_debezium,
+        "cdc_wal2json": q_cdc_wal2json,
         "doc_dup_clusters": q_doc_dup_clusters,
         "doc_length_quantiles": q_doc_length_quantiles,
         "doc_lsh_index_sync": q_doc_lsh_index_sync,
@@ -2822,6 +2894,19 @@ def oracle_sql() -> dict[str, str]:
                    epoch_ms(ts) AS ts_ms,
                    CAST(event_id AS BIGINT) AS lsn,
                    'app.events' AS source_file
+            FROM events
+        """,
+        "cdc_wal2json": """
+            SELECT CASE WHEN event_type = 'signup' THEN 'INSERT'
+                        WHEN event_type = 'error' THEN 'DELETE'
+                        ELSE 'UPDATE' END AS op,
+                   CAST(user_id AS BIGINT) AS user_id,
+                   CASE WHEN event_type = 'error' THEN NULL
+                        ELSE CAST(json_extract_string(props, '$.k') AS INTEGER)
+                   END AS k,
+                   epoch_ms(ts) AS ts_ms,
+                   CAST(event_id + 4294967296 AS BIGINT) AS lsn,
+                   'public.events' AS source_file
             FROM events
         """,
         "doc_dup_clusters": f"""

@@ -269,12 +269,124 @@ def parse_debezium(
     )
 
 
+def _w2j_map(json_array: Column) -> Column:
+    """wal2json column list ``[{"name": ..., "type": ..., "value": ...}]``
+    -> a ``map<string,string>`` for by-name lookup. ``from_json`` with a
+    StringType value field renders non-string JSON scalars (numbers,
+    booleans) as their JSON text and JSON null as SQL NULL, so one map
+    type serves every column type; the caller ``try_cast``s per field.
+    All JVM-side (JsonToStructs + map_from_entries), no Python row path."""
+    entries = F.from_json(
+        json_array, "array<struct<name:string,value:string>>"
+    )
+    return F.map_from_entries(
+        F.transform(entries, lambda c: F.struct(c["name"], c["value"]))
+    )
+
+
+def _pg_lsn_to_long(col: Column) -> Column:
+    """Postgres pg_lsn text ('0/16B2C38': hex hi/lo 32-bit halves) -> the
+    64-bit WAL byte position, the stream's monotone replay ordinal."""
+    parts = F.split(col, "/")
+    return (
+        F.conv(parts.getItem(0), 16, 10).try_cast("long") * F.lit(1 << 32)
+        + F.conv(parts.getItem(1), 16, 10).try_cast("long")
+    )
+
+
+def parse_wal2json(
+    df: DataFrame,
+    payload_fields: PayloadFields,
+    key_fields: PayloadFields,
+    value_col: str = "value",
+) -> DataFrame:
+    """Postgres wal2json (format-version=2) envelope -> canonical change
+    relation. Completes the public-format family next to Debezium: the
+    reference's bespoke adapters (MultiSourceCDCTest.scala) cover MySQL/
+    Mongo/Aerospike/ClickStream; wal2json is the standard Postgres
+    logical-decoding output those pipelines consume upstream.
+
+    Each record is one JSON object:
+
+      action     I (insert) | U (update) | D (delete) - plus transaction
+                 control records B/C (begin/commit) and T/M (truncate/
+                 message), which carry no row and are filtered here
+      schema     namespace        -> source_file = schema.table
+      table      relation name
+      columns    [{name, type, value}] new row image (I/U; absent on D)
+      identity   [{name, type, value}] replica-identity (key) image
+                 (U/D; absent on I)
+      lsn        pg_lsn text, e.g. '0/16B2C38' - hex hi/lo halves of the
+                 64-bit WAL position (monotone replay ordinal)
+      timestamp  commit time 'yyyy-MM-dd HH:mm:ss[.ffffff]+00'
+
+    Mapping choices:
+      * key columns resolve from ``columns`` falling back to ``identity``
+        - a delete's only row image is the replica identity (the
+        after-falling-back-to-before rule, same as parse_debezium).
+      * payload columns come from ``columns`` only, so deletes null-fill
+        like every other adapter (the merge drops the row anyway).
+      * B/C/T/M records are dropped: the engine's exactly-once unit is
+        the checkpoint epoch (lake/table.py epoch markers), not the
+        upstream transaction, so transaction control markers carry no
+        information the lsn ordering doesn't already.
+
+    Column lists are name-keyed (wal2json emits them in relation order,
+    which can change under ALTER TABLE), so extraction builds a
+    map<name,value> per record and looks fields up by name - order- and
+    width-independent, which is exactly the schema-evolution posture the
+    rest of the engine takes."""
+    v = F.col(value_col)
+    action = F.get_json_object(v, "$.action")
+    op = (
+        F.when(action == "I", "INSERT")
+        .when(action == "U", "UPDATE")
+        .when(action == "D", "DELETE")
+    )
+    cols = _w2j_map(F.get_json_object(v, "$.columns"))
+    ident = _w2j_map(F.get_json_object(v, "$.identity"))
+    return df.where(action.isin("I", "U", "D")).select(
+        op.alias("op"),
+        # try_element_at, not element_at: under ANSI mode (Spark 4
+        # default) element_at THROWS on a missing map key, and a delete
+        # record legitimately has no `columns` entry - the key must
+        # degrade to the identity fallback, not kill the batch.
+        *[
+            F.coalesce(
+                F.try_element_at(cols, F.lit(name)),
+                F.try_element_at(ident, F.lit(name)),
+            )
+            .try_cast(t)
+            .alias(name)
+            for name, t in key_fields
+        ],
+        *[
+            F.try_element_at(cols, F.lit(name)).try_cast(t).alias(name)
+            for name, t in payload_fields
+        ],
+        F.unix_millis(
+            F.to_timestamp(
+                F.regexp_replace(
+                    F.get_json_object(v, "$.timestamp"), r"\+00$", ""
+                )
+            )
+        ).alias("ts_ms"),
+        _pg_lsn_to_long(F.get_json_object(v, "$.lsn")).alias("lsn"),
+        F.concat_ws(
+            ".",
+            F.get_json_object(v, "$.schema"),
+            F.get_json_object(v, "$.table"),
+        ).alias("source_file"),
+    )
+
+
 CDC_PARSERS = {
     "mysql-binlog": parse_mysql_binlog,
     "mongo-change-stream": parse_mongo_change_stream,
     "aerospike-cdc": parse_aerospike_cdc,
     "clickstream": parse_clickstream,
     "debezium": parse_debezium,
+    "wal2json": parse_wal2json,
 }
 
 

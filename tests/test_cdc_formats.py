@@ -291,3 +291,68 @@ def test_debezium_dispatch_and_bad_payload(spark):
     # try_cast degrades a malformed value to NULL instead of killing the
     # batch under ANSI mode; the quarantine gate rejects it row-wise.
     assert out["id"] is None and out["op"] == "INSERT"
+
+
+def _wal2json_envelope(spark):
+    # wal2json format-version=2 stream: one JSON object per change, plus
+    # the B/C transaction control records the adapter must drop. Column
+    # order differs between the insert and the update on purpose (wal2json
+    # emits relation order, which ALTER TABLE can change) - extraction is
+    # by name.
+    rows = [
+        '{"action": "B", "lsn": "0/16B2C00"}',
+        '{"action": "I", "schema": "public", "table": "users",'
+        ' "columns": [{"name": "id", "type": "bigint", "value": 1},'
+        ' {"name": "name", "type": "text", "value": "John"}],'
+        ' "lsn": "0/16B2C38", "timestamp": "2025-06-28 10:00:00.000123+00"}',
+        '{"action": "U", "schema": "public", "table": "users",'
+        ' "columns": [{"name": "name", "type": "text", "value": "Johnny"},'
+        ' {"name": "id", "type": "bigint", "value": 1}],'
+        ' "identity": [{"name": "id", "type": "bigint", "value": 1}],'
+        ' "lsn": "0/16B2D00", "timestamp": "2025-06-28 11:00:00+00"}',
+        '{"action": "D", "schema": "public", "table": "users",'
+        ' "identity": [{"name": "id", "type": "bigint", "value": 1}],'
+        ' "lsn": "1/00000010", "timestamp": "2025-06-28 12:00:00+00"}',
+        '{"action": "C", "lsn": "1/00000020"}',
+    ]
+    return spark.createDataFrame([(r,) for r in rows], "value string")
+
+
+def test_wal2json_parse(spark):
+    from dataingestion_spark.sources.cdc_formats import parse_wal2json
+
+    out = parse_wal2json(
+        _wal2json_envelope(spark),
+        payload_fields=[("name", "string")],
+        key_fields=[("id", "long")],
+    ).orderBy("lsn")
+    rows = out.collect()
+    # B/C control records dropped; I/U/D map to canonical ops
+    assert [r["op"] for r in rows] == ["INSERT", "UPDATE", "DELETE"]
+    # key resolves from columns, falling back to the replica identity on
+    # delete; by-name lookup survives the swapped column order in the U row
+    assert [r["id"] for r in rows] == [1, 1, 1]
+    assert [r["name"] for r in rows] == ["John", "Johnny", None]
+    # pg_lsn 'hi/lo' hex halves -> 64-bit ordinal (the D row exercises the
+    # high half: '1/00000010' = 2^32 + 16)
+    assert rows[0]["lsn"] == 0x16B2C38
+    assert rows[2]["lsn"] == (1 << 32) + 0x10
+    assert rows[0]["source_file"] == "public.users"
+    # microsecond timestamp truncates to epoch ms
+    assert rows[0]["ts_ms"] == 1751104800000
+    assert rows[1]["ts_ms"] == 1751108400000
+
+
+def test_wal2json_dispatch_and_bad_payload(spark):
+    df = spark.createDataFrame(
+        [('{"action": "I", "schema": "s", "table": "t",'
+          ' "columns": [{"name": "id", "type": "bigint", "value": "oops"}],'
+          ' "lsn": "0/1", "timestamp": "2025-06-28 10:00:00+00"}',)],
+        "value string",
+    )
+    out = parse_cdc(
+        df, "wal2json", payload_fields=[], key_fields=[("id", "long")]
+    ).collect()[0]
+    # try_cast degrades a malformed value to NULL instead of killing the
+    # batch under ANSI mode; the quarantine gate rejects it row-wise.
+    assert out["id"] is None and out["op"] == "INSERT" and out["lsn"] == 1
