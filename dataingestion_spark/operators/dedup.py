@@ -485,6 +485,10 @@ def duplicate_spans(
     oracle-reproducible choice)."""
     from dataingestion_spark.operators.text import tokens_expr
 
+    # fan_out guards scan parallelism: window-hashing is the CPU-dense
+    # step (window x md5 per token position) and a one-file corpus
+    # otherwise runs it on a single core.
+    df = fan_out(df)
     toks = F.when(F.col(text_col).isNull(), F.array().cast("array<string>")).otherwise(
         tokens_expr(text_col)
     )
@@ -549,7 +553,10 @@ def span_dedup_stats(
     toks = F.when(F.col(text_col).isNull(), F.array().cast("array<string>")).otherwise(
         tokens_expr(text_col)
     )
-    base = df.select(F.col(id_col), F.size(toks).cast("long").alias("n_tokens"))
+    # the base side re-tokenizes every doc - same parallelism guard
+    base = fan_out(df).select(
+        F.col(id_col), F.size(toks).cast("long").alias("n_tokens")
+    )
     return (
         base.join(per_doc, id_col, "left")
         .select(
