@@ -867,6 +867,27 @@ def q_cdc_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tbl.read_keys(keys).orderBy("conv_id", "turn_idx")
 
 
+def q_cdc_point_lookup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point lookups through the FILE-LEVEL bloom index (lake/bloom.py,
+    the Hudi bloom-index / metadata-table analog): replay the flagship
+    binlog, build the index with LakeTable.update_bloom_index, then fetch
+    the same deterministic key subset as cdc_point_lookup PLUS absent
+    keys - files the bitmaps prove key-free are never opened, results
+    must be identical to the unindexed path. Oracle: the portable replay
+    filtered to the same conversations (absent keys contribute nothing)."""
+    tbl = _flagship_table(spark, "cdc_ptlb_")
+    tbl.update_bloom_index()
+    keys = tbl.read().filter("conv_id LIKE '%0'").select(
+        "conv_id", "turn_idx"
+    ).unionAll(
+        spark.createDataFrame(
+            [("conv_nothere", 1), ("conv_999999", 0)],
+            "conv_id string, turn_idx int",
+        )
+    )
+    return tbl.read_keys(keys).orderBy("conv_id", "turn_idx")
+
+
 def q_cdc_rebucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucket-count evolution (Iceberg spec-evolution analog): replay the
     flagship binlog into an 8-bucket table, grow it to 32 buckets with
@@ -1708,6 +1729,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_delete_where": q_cdc_delete_where,
         "cdc_update_where": q_cdc_update_where,
         "cdc_point_lookup": q_cdc_point_lookup,
+        "cdc_point_lookup_bloom": q_cdc_point_lookup_bloom,
         "cdc_rebucket": q_cdc_rebucket,
         "cdc_agg_view": q_cdc_agg_view,
         "doc_redact_pii": q_doc_redact_pii,
@@ -2669,6 +2691,11 @@ def oracle_sql() -> dict[str, str]:
             + ")"
         ),
         "cdc_point_lookup": (
+            "SELECT * FROM ("
+            + _replay_sql(n_events=10_000, n_convs=80, max_turns=40, seed=42)
+            + ") WHERE conv_id LIKE '%0'"
+        ),
+        "cdc_point_lookup_bloom": (
             "SELECT * FROM ("
             + _replay_sql(n_events=10_000, n_convs=80, max_turns=40, seed=42)
             + ") WHERE conv_id LIKE '%0'"

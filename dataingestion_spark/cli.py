@@ -201,6 +201,16 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--num-bands", type=int, default=4)
     p.add_argument("--pipeline-id", default="lshsync")
 
+    p = sub.add_parser("bloomindex")
+    _add_common(p)
+    p.add_argument("--config", required=True)
+    p.add_argument("--bits-per-key", type=int, default=10)
+    p.add_argument("--k", type=int, default=7)
+    p.add_argument(
+        "--rebuild", action="store_true",
+        help="wipe and rebuild under a new (bits-per-key, k) spec",
+    )
+
     p = sub.add_parser("rebucket")
     _add_common(p)
     p.add_argument("--config", required=True)
@@ -432,6 +442,16 @@ def main(argv: list[str] | None = None) -> int:
                     "index_version": dst.current_version(),
                     "applied": snap is not None,
                 }
+            )
+        )
+    elif a.cmd == "bloomindex":
+        cfg = DatasetConfig.load(a.config)
+        tbl = LakeTable(spark, cfg.table_path)
+        print(
+            json.dumps(
+                tbl.update_bloom_index(
+                    bits_per_key=a.bits_per_key, k=a.k, rebuild=a.rebuild
+                )
             )
         )
     elif a.cmd == "rebucket":

@@ -570,6 +570,8 @@ class LakeTable:
         buckets: list[int] | None,
         schema: T.StructType | None = None,
         renames: dict[str, list[str]] | None = None,
+        file_map: dict[str, list[str]] | None = None,
+        delta_map: dict[str, list[str]] | None = None,
     ) -> DataFrame:
         """Base ∪ delta rows with read-time LWW resolution (merge-on-read):
         for every pk the winner by (_lsn, delta commit ordinal) survives,
@@ -582,10 +584,12 @@ class LakeTable:
         Base rows order as ordinal 0. The LWW runs on transient ordering
         columns; stored ``_lsn`` values (incl. nulls from append mode) pass
         through unchanged."""
-        base = self._read_files(snap, buckets, schema, renames=renames)
+        base = self._read_files(snap, buckets, schema, file_map=file_map,
+                                renames=renames)
+        effective_deltas = snap.deltas if delta_map is None else delta_map
         has_deltas = any(
             fl
-            for b, fl in snap.deltas.items()
+            for b, fl in effective_deltas.items()
             if buckets is None or int(b) in buckets
         )
         if not has_deltas:
@@ -597,7 +601,7 @@ class LakeTable:
             buckets is None or b in buckets for b in partial_buckets
         )
         deltas = self._read_files(
-            snap, buckets, schema, file_map=snap.deltas, with_seq=True,
+            snap, buckets, schema, file_map=effective_deltas, with_seq=True,
             with_partial=has_partial, renames=renames,
         )
         if has_partial:
@@ -1003,6 +1007,7 @@ class LakeTable:
         keys,
         version: int | None = None,
         broadcast_keys: bool = True,
+        use_bloom: bool = True,
     ) -> DataFrame:
         """Point lookups: the live rows for an explicit key set - the
         serving-side read of a CDC-fed table ("fetch these conversations"),
@@ -1039,18 +1044,32 @@ class LakeTable:
             BUCKET_COL,
             bucket_expr(pk[0], snap.num_buckets, key_type=snap.schema[pk[0]].dataType),
         )
-        # ONE collect yields both the bucket set AND the distinct first-pk
-        # values (same cardinality bound: the serving-size key set).
-        kdist = keyed.select(BUCKET_COL, pk[0]).distinct().collect()
+        # ONE collect yields the bucket set, the distinct first-pk values,
+        # AND the full key tuples for the bloom consult (same cardinality
+        # bound: the serving-size key set).
+        kdist = keyed.select(BUCKET_COL, *pk).distinct().collect()
         buckets = sorted({int(r[0]) for r in kdist})
         if not buckets:
             return self.spark.createDataFrame([], snap.schema)
         probe = keys
         if broadcast_keys:
             probe = F.broadcast(probe)
-        df = self._resolved(snap, buckets).filter(
-            ~F.coalesce(F.col(DELETED_COL), F.lit(False))
-        )
+        file_map = delta_map = None
+        if use_bloom and len(kdist) <= self.PUSHDOWN_MAX_KEYS:
+            # File-level bloom skipping (lake/bloom.py, Hudi bloom-index
+            # analog): drop candidate files that provably hold none of the
+            # keys BEFORE the scan is planned. Unindexed files stay.
+            pruned = self._bloom_prune(
+                snap, buckets, [tuple(r[1:]) for r in kdist]
+            )
+            if pruned is not None:
+                file_map, delta_map, _ = pruned
+                if not any(file_map.values()) and not any(delta_map.values()):
+                    # every candidate file proven key-free
+                    return self.spark.createDataFrame([], snap.schema)
+        df = self._resolved(
+            snap, buckets, file_map=file_map, delta_map=delta_map
+        ).filter(~F.coalesce(F.col(DELETED_COL), F.lit(False)))
         pk0_vals = sorted({r[1] for r in kdist if r[1] is not None})
         if pk0_vals and len(pk0_vals) <= self.PUSHDOWN_MAX_KEYS:
             # Key-predicate pushdown: an IN(<first pk>) filter reaches the
@@ -1065,6 +1084,150 @@ class LakeTable:
         return df.join(probe, on=pk, how="left_semi").select(
             *[f.name for f in snap.schema.fields]
         )
+
+    # ------------------------------------------------------------------
+    # file-level bloom index (Hudi bloom-index / metadata-table analog)
+    # ------------------------------------------------------------------
+    BLOOM_SPEC_HASH = "pandas-siphash-v1"
+
+    def update_bloom_index(
+        self,
+        bits_per_key: int = 10,
+        k: int = 7,
+        rebuild: bool = False,
+    ) -> dict:
+        """Incrementally maintain the file-level bloom index under
+        ``_meta/bloom/`` (see lake/bloom.py): build bitmaps for live data
+        files (base AND merge-on-read delta files) that lack one, drop
+        entries for files no longer live, touch only buckets whose file
+        sets changed. Idempotent: a second call on the same snapshot
+        returns ``applied: False`` and writes nothing.
+
+        Like the LSH band index (lake/sync.py sync_band_index), ONE index
+        has ONE hash-family/sizing spec: a call whose (bits_per_key, k)
+        disagrees with the recorded spec fails fast unless
+        ``rebuild=True``, which wipes and rebuilds under the new spec.
+
+        The spark-local build reads each new file's pk columns with
+        pyarrow on the driver - the same stand-in posture as the stats
+        sidecar footer pass (:meth:`_write_stats_sidecar`); a cluster
+        port builds bitmaps executor-side in the writer, as Hudi does.
+        Cost is O(new-file rows) per call, never O(table)."""
+        from dataingestion_spark.lake import bloom as B
+
+        snap = self.snapshot()
+        pk = list(snap.pk_fields)
+        if not B.indexable_pk(snap.schema, pk):
+            raise ValueError(
+                f"bloom index needs string/integer pk columns; table pk "
+                f"{pk} has non-indexable types"
+            )
+        store = B.BloomIndexStore(self.root)
+        want = {
+            "hash": self.BLOOM_SPEC_HASH,
+            "bits_per_key": int(bits_per_key),
+            "k": int(k),
+            "pk_fields": pk,
+        }
+        spec = store.spec()
+        if spec is not None and not rebuild:
+            if {key: spec.get(key) for key in want} != want:
+                raise ValueError(
+                    "bloom index already built with spec "
+                    f"{ {key: spec.get(key) for key in want} }; one index, "
+                    "one hash family - pass rebuild=True to re-create"
+                )
+        if spec is None or rebuild:
+            if rebuild:
+                for p in store.dir.glob("bucket-*.json"):
+                    p.unlink()
+            store.write_spec(want)
+        renames = snap.properties.get("renames", {})
+        indexed = dropped = covered = 0
+        buckets = sorted(set(snap.files) | set(snap.deltas), key=int)
+        for b in buckets:
+            live = list(snap.files.get(b, [])) + list(snap.deltas.get(b, []))
+            entries = store.load_bucket(b)
+            fresh: dict[str, dict] = {}
+            changed = False
+            for rel in live:
+                if rel in entries:
+                    fresh[rel] = entries[rel]
+                    continue
+                frame = self._read_pk_frame(rel, pk, renames)
+                if frame is None:
+                    continue  # pre-rename legacy file w/o pk: stays unindexed
+                fresh[rel] = B.build_bitmap(frame, bits_per_key, k)
+                indexed += 1
+                changed = True
+            stale = len(entries) - sum(1 for r in entries if r in fresh)
+            if stale:
+                dropped += stale
+                changed = True
+            covered += len(fresh)
+            if changed:
+                store.write_bucket(b, fresh)
+        return {
+            "applied": bool(indexed or dropped),
+            "version": snap.version,
+            "indexed": indexed,
+            "dropped": dropped,
+            "covered_files": covered,
+        }
+
+    def _read_pk_frame(self, rel: str, pk: list[str], renames: dict):
+        """pk columns of one data file as a pandas frame in pk order,
+        resolving renamed columns through the prior-name map; None when a
+        pk column is physically absent under any known name."""
+        import pyarrow.parquet as pq
+
+        f = pq.ParquetFile(str(self.root / rel))
+        names = set(f.schema_arrow.names)
+        cols: list[str] = []
+        for c in pk:
+            for cand in [c, *renames.get(c, [])]:
+                if cand in names:
+                    cols.append(cand)
+                    break
+            else:
+                return None
+        frame = f.read(columns=cols).to_pandas()
+        frame = frame[cols]
+        frame.columns = pk
+        return frame
+
+    def _bloom_prune(
+        self, snap, buckets: list[int], key_tuples: list[tuple]
+    ) -> tuple[dict, dict, int] | None:
+        """Bloom-test the candidate buckets' files against the requested
+        keys: returns (file_map, delta_map, skipped) restricted to
+        ``buckets``, or None when no index exists. Files WITHOUT an index
+        entry are always kept, so correctness never depends on index
+        freshness; files with an entry are dropped only when the bitmap
+        PROVES none of the keys is present (no false negatives). Sound
+        under merge-on-read: key-pruning keeps every file that may hold a
+        requested key, so per-key LWW resolution is unchanged."""
+        from dataingestion_spark.lake import bloom as B
+
+        store = B.BloomIndexStore(self.root)
+        if store.spec() is None or not key_tuples:
+            return None
+        h1, h2 = B.key_hashes(key_tuples)
+        fmap: dict[str, list[str]] = {}
+        dmap: dict[str, list[str]] = {}
+        skipped = 0
+        for b in buckets:
+            entries = store.load_bucket(b)
+            for source, out in ((snap.files, fmap), (snap.deltas, dmap)):
+                kept = []
+                for rel in source.get(str(b), []):
+                    e = entries.get(rel)
+                    if e is None or B.any_key_maybe_present(e, h1, h2):
+                        kept.append(rel)
+                    else:
+                        skipped += 1
+                out[str(b)] = kept
+        return fmap, dmap, skipped
 
     # ------------------------------------------------------------------
     # exactly-once epoch markers
