@@ -716,8 +716,8 @@ class LakeTable:
         or before it, Iceberg ``TIMESTAMP AS OF``); passing both is an
         error.
 
-        ``where={col: (lo, hi)}`` (numeric/timestamp closed ranges; either
-        bound may be None) applies file-level min/max DATA SKIPPING before
+        ``where={col: (lo, hi)}`` (numeric/timestamp/string closed ranges;
+        either bound may be None) applies file-level min/max DATA SKIPPING before
         the scan plus an exact residual filter after it - the Iceberg/Delta
         stats-pruning analog for time-range reads ("transcripts since ts").
         Skipping only drops whole files proven disjoint from the range, so
@@ -1567,9 +1567,40 @@ class LakeTable:
             return d.days * 86_400_000_000 + d.seconds * 1_000_000 + d.microseconds
         if isinstance(v, datetime.date):
             return v.toordinal()
+        if isinstance(v, str):
+            # UTF-8 byte order == code-point order, and Spark's string
+            # comparison is code-point order too, so parquet string
+            # min/max are directly comparable to string predicate bounds.
+            return v
         if isinstance(v, bool) or not isinstance(v, (int, float)):
             return None
         return v
+
+    _STAT_STR_TRUNC = 64
+
+    @classmethod
+    def _trunc_lower(cls, s: str) -> str:
+        """Sidecar-size-bounded LOWER bound: a prefix sorts <= the full
+        string, so plain truncation keeps min valid."""
+        return s[: cls._STAT_STR_TRUNC]
+
+    @classmethod
+    def _trunc_upper(cls, s: str) -> str:
+        """Sidecar-size-bounded UPPER bound (Iceberg's truncate transform
+        for max): a plain prefix would sort BELOW the value it bounds, so
+        increment the last incrementable code point of the prefix -
+        strictly greater than every string sharing the prefix. Falls back
+        to the full value when nothing is incrementable."""
+        if len(s) <= cls._STAT_STR_TRUNC:
+            return s
+        p = s[: cls._STAT_STR_TRUNC]
+        for i in range(len(p) - 1, -1, -1):
+            c = ord(p[i]) + 1
+            if 0xD800 <= c <= 0xDFFF:
+                c = 0xE000  # skip the surrogate gap (not JSON-encodable)
+            if c <= 0x10FFFF:
+                return p[:i] + chr(c)
+        return s
 
     def _write_stats_sidecar(
         self, commit_dir: Path, files: dict[str, list[str]]
@@ -1602,6 +1633,13 @@ class LakeTable:
                         else:
                             cols[name] = [lo, hi]
                 if cols:
+                    for name, (lo, hi) in cols.items():
+                        if isinstance(lo, str):
+                            # bound-preserving truncation keeps sidecars
+                            # small for long text-ish columns
+                            cols[name] = [
+                                self._trunc_lower(lo), self._trunc_upper(hi)
+                            ]
                     stats[rel] = cols
         (commit_dir / ".stats.json").write_text(json.dumps(stats))
 
@@ -1627,7 +1665,7 @@ class LakeTable:
     @classmethod
     def _bound_value(cls, v):
         """Stat-comparable form of a pruning bound, or None when the bound's
-        type has no collected stats (strings, arrays, ...). Unsupported
+        type has no collected stats (arrays, binary, ...). Unsupported
         bounds never raise: pruning silently keeps every file and the exact
         residual filter decides - so read(where=...) behaves identically
         whether or not the table happens to carry MOR deltas."""
@@ -1680,6 +1718,12 @@ class LakeTable:
                         name = next((n for n in aliases[c] if n in s), None)
                         if name is not None:
                             fmin, fmax = s[name]
+                            ref = hi if hi is not None else lo
+                            if isinstance(fmin, str) != isinstance(ref, str):
+                                # stat/bound type drift (e.g. legacy sidecar
+                                # before a type change): keep the file, the
+                                # residual filter stays exact
+                                continue
                             if (hi is not None and fmin > hi) or (
                                 lo is not None and fmax < lo
                             ):

@@ -1,5 +1,5 @@
 """File-level column stats + data skipping (Delta add.stats / Iceberg
-manifest-stats analog): per-commit sidecars of numeric/timestamp min-max,
+manifest-stats analog): per-commit sidecars of numeric/timestamp/string min-max,
 and read(where=...) pruning files proven disjoint from the range. The
 invariant everywhere: read(where=...) == read().filter(...) exactly -
 skipping may only drop files that cannot match."""
@@ -129,11 +129,88 @@ def test_missing_sidecars_keep_everything(spark, tmp_table_dir, monkeypatch):
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
 
 
-def test_string_bound_keeps_all_files(spark, tmp_table_dir):
-    """Unsupported bound types never raise (round-4 advice fix): pruning
-    keeps every file and the exact residual filter decides - identical
-    behavior with or without MOR deltas."""
+def test_unsupported_bound_type_keeps_all_files(spark, tmp_table_dir):
+    """Bound types with no collected stats (binary here) never raise
+    (round-4 advice fix): pruning keeps every file and the exact residual
+    filter decides - identical behavior with or without MOR deltas."""
     tbl = _make_table(spark, tmp_table_dir)
     tbl.append(_day_batch(spark, 1), pipeline_id="a", epoch_id=1)
-    kept, total = tbl.candidate_files(where={"conv_id": ("a", "b")})
+    kept, total = tbl.candidate_files(where={"text": (b"a", b"b")})
     assert sum(len(v) for v in kept.values()) == total
+
+
+def _conv_batch(spark, prefix: str, n: int = 30):
+    rows = [
+        (
+            f"{prefix}_{i:04d}",
+            i,
+            "user",
+            f"text {prefix}/{i}",
+            None,
+            dt.datetime(2024, 1, 1, 12, 0, i % 60, tzinfo=UTC),
+        )
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, TRANSCRIPT_SCHEMA)
+
+
+def test_string_range_prunes_and_equals_filtered(spark, tmp_table_dir):
+    """String min/max skipping (round 4): commits with disjoint conv_id
+    ranges prune by a string range, and the pruned read equals the plain
+    filtered read exactly."""
+    tbl = _make_table(spark, tmp_table_dir)
+    for i, prefix in enumerate(("alpha", "mike", "zulu")):
+        tbl.append(_conv_batch(spark, prefix), pipeline_id="a", epoch_id=i)
+    kept, total = tbl.candidate_files(where={"conv_id": ("m", "n")})
+    assert 0 < sum(len(v) for v in kept.values()) < total
+    got = _pdf(tbl.read(where={"conv_id": ("m", "n")}))
+    want = _pdf(tbl.read().filter(F.col("conv_id").between("m", "n")))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert len(got) == 30  # exactly the mike batch
+
+
+def test_string_stat_truncation_keeps_valid_bounds(spark, tmp_table_dir):
+    """Long strings sharing a >64-char prefix: the sidecar's truncated
+    UPPER bound must be incremented (Iceberg truncate transform), or a
+    file whose true max sorts above the bound would be wrongly pruned."""
+    long_prefix = "x" * 70
+    rows = [
+        (long_prefix + suf, i, "user", "t", None,
+         dt.datetime(2024, 1, 1, tzinfo=UTC))
+        for i, suf in enumerate(["a", "b"])
+    ]
+    tbl = _make_table(spark, tmp_table_dir)
+    tbl.append(
+        spark.createDataFrame(rows, TRANSCRIPT_SCHEMA), pipeline_id="a",
+        epoch_id=1,
+    )
+    # sidecar bounds are truncated yet valid
+    stats = tbl._stats_for([f for fl in tbl.snapshot().files.values() for f in fl])
+    for s in stats.values():
+        lo, hi = s["conv_id"]
+        assert len(lo) <= LakeTable._STAT_STR_TRUNC
+        assert len(hi) <= LakeTable._STAT_STR_TRUNC
+        assert lo <= long_prefix + "a" and hi >= long_prefix + "b"
+    key = long_prefix + "b"
+    got = _pdf(tbl.read(where={"conv_id": (key, key)}))
+    want = _pdf(tbl.read().filter(F.col("conv_id") == key))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert len(got) == 1
+
+
+def test_trunc_upper_properties():
+    t = LakeTable._STAT_STR_TRUNC
+    # the contract: _trunc_upper(s) >= s, always (valid upper bound)
+    cases = [
+        "x" * 100, "abc", "",
+        "y" * (t - 1) + chr(0x10FFFF) + "zz",   # bump moves left one slot
+        "s" * (t - 1) + "퟿" + "zz",         # increment skips surrogates
+        chr(0x10FFFF) * (t + 5),                  # unincrementable: full value
+    ]
+    for s in cases:
+        assert LakeTable._trunc_upper(s) >= s, repr(s)
+    assert LakeTable._trunc_upper(chr(0x10FFFF) * (t + 5)) == chr(0x10FFFF) * (t + 5)
+    up = LakeTable._trunc_upper("a" * 100)
+    assert up == "a" * (t - 1) + "b" and len(up) == t
+    # lower bound: a prefix sorts <= the full string
+    assert LakeTable._trunc_lower("a" * 100) == "a" * t <= "a" * 100
