@@ -53,6 +53,12 @@ class DatasetConfig:
     # Fail the pipeline on breaking schema changes (reference fail-fast,
     # /root/reference/spark/src/main/scala/com/example/core/SchemaEvolution.scala:114-137).
     fail_on_breaking_schema: bool = True
+    # Which NON-breaking changes auto-evolve: "full" (additions +
+    # widenings, reference inferred-schema behavior), "additive" (new
+    # nullable columns only), "frozen" (none - pinned serving contract).
+    # Policy-blocked changes land in the ledger as BLOCKED and obey
+    # fail_on_breaking_schema.
+    evolution_policy: str = "full"
     # Upsert write strategy: "cow" (copy-on-write rewrite of touched
     # buckets, Hudi-COW/reference parity) or "mor" (merge-on-read delta
     # files + read-time LWW + compaction; O(batch) write amplification

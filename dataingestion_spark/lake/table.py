@@ -1258,12 +1258,30 @@ class LakeTable:
         os.replace(tmp, self._ledger_path)
 
     def _resolve_schema(
-        self, snap: Snapshot, batch_schema: T.StructType, fail_on_breaking: bool
+        self, snap: Snapshot, batch_schema: T.StructType,
+        fail_on_breaking: bool, evolution_policy: str = "full",
     ) -> tuple[T.StructType, int, str | None]:
         """The schema gate run before every merge/append: classify the
         incoming batch schema against the table schema and either continue,
         evolve, or fail fast (reference control flow
         /root/reference/spark/src/main/scala/com/example/Phase2Job.scala:85-97).
+
+        ``evolution_policy`` constrains which NON-BREAKING changes may
+        auto-apply (the controlled-evolution knob the reference's
+        versioned metastore implies - a PENDING proposal gate per dataset,
+        artifacts/lld/LLD.md:89-110 - expressed as a per-apply policy):
+
+          * ``"full"``     additions AND type widenings evolve (default,
+                           the reference's inferred-schema behavior)
+          * ``"additive"`` new nullable columns evolve; widenings are
+                           BLOCKED (frozen types: downstream readers keep
+                           their column types forever)
+          * ``"frozen"``   any schema change is BLOCKED (serving tables
+                           with a pinned contract)
+
+        A policy-blocked change lands in the schema ledger as BLOCKED
+        exactly like a breaking one, and obeys ``fail_on_breaking`` the
+        same way (raise, or skip evolution and conform the batch).
 
         A batch field that is NARROWER than the table's (e.g. int arriving
         after the table widened to long) is not a schema change - it
@@ -1305,8 +1323,33 @@ class LakeTable:
                     f"batch uses pre-rename column names: {detail}"
                 )
             return snap.schema, snap.schema_version, None
+        if evolution_policy not in ("full", "additive", "frozen"):
+            raise ValueError(
+                f"unknown evolution_policy {evolution_policy!r}; "
+                "known: full, additive, frozen"
+            )
         cmp = compare_schemas(snap.schema, batch_schema)
         if cmp.change_type == ChangeType.NO_CHANGE:
+            return snap.schema, snap.schema_version, None
+        if cmp.change_type == ChangeType.NON_BREAKING and (
+            evolution_policy == "frozen"
+            or (evolution_policy == "additive" and cmp.modified)
+        ):
+            detail = (
+                f"evolution_policy={evolution_policy} rejects non-breaking "
+                f"change: {cmp.describe()}"
+            )
+            self._ledger_append(
+                {
+                    "schema_version": snap.schema_version,
+                    "status": SchemaStatus.BLOCKED.value,
+                    "change_type": cmp.change_type.value,
+                    "detail": detail,
+                    "schema_json": json.loads(batch_schema.json()),
+                }
+            )
+            if fail_on_breaking:
+                raise SchemaEvolutionError(detail)
             return snap.schema, snap.schema_version, None
         if cmp.change_type == ChangeType.BREAKING:
             self._ledger_append(
@@ -1757,6 +1800,7 @@ class LakeTable:
         pipeline_id: str | None = None,
         epoch_id: int | None = None,
         fail_on_breaking: bool = True,
+        evolution_policy: str = "full",
         lineage: dict | None = None,
     ) -> Snapshot | None:
         """Insert-only write (the reference's Parquet append mode,
@@ -1777,7 +1821,7 @@ class LakeTable:
             ]
         )
         schema, schema_version, evo = self._resolve_schema(
-            snap, batch_schema, fail_on_breaking
+            snap, batch_schema, fail_on_breaking, evolution_policy
         )
         data = self._conform(df, schema)
         key = snap.pk_fields[0]
@@ -2239,6 +2283,7 @@ class LakeTable:
         epoch_id: int | None = None,
         op_col: str = "op",
         fail_on_breaking: bool = True,
+        evolution_policy: str = "full",
         hot_key_threshold: float = 0.05,
         salt_buckets: int = 8,
         lineage: dict | None = None,
@@ -2375,9 +2420,10 @@ class LakeTable:
         try:
             return self._merge_impl(
                 changes, snap, pk, order_fields, lsn_src, pipeline_id,
-                epoch_id, op_col, fail_on_breaking, hot_key_threshold,
-                salt_buckets, lineage, write_mode, update_mode,
-                collect_file_stats, file_col, _tick, _restore, _tune_write,
+                epoch_id, op_col, fail_on_breaking, evolution_policy,
+                hot_key_threshold, salt_buckets, lineage, write_mode,
+                update_mode, collect_file_stats, file_col, _tick, _restore,
+                _tune_write,
             )
         finally:
             _restore()
@@ -2393,6 +2439,7 @@ class LakeTable:
         epoch_id: int | None,
         op_col: str,
         fail_on_breaking: bool,
+        evolution_policy: str,
         hot_key_threshold: float,
         salt_buckets: int,
         lineage: dict | None,
@@ -2420,7 +2467,7 @@ class LakeTable:
             ]
         )
         schema, schema_version, evo = self._resolve_schema(
-            snap, batch_payload_schema, fail_on_breaking
+            snap, batch_payload_schema, fail_on_breaking, evolution_policy
         )
         # A pk TYPE widening (int->long) changes every row's xxhash64, so
         # the stored _bucket values of pre-widening rows no longer match

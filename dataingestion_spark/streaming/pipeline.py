@@ -272,6 +272,7 @@ def apply_changes(
                 pipeline_id=pipeline_id,
                 epoch_id=epoch_id,
                 fail_on_breaking=config.fail_on_breaking_schema,
+                evolution_policy=getattr(config, "evolution_policy", "full"),
                 hot_key_threshold=config.hot_key_threshold,
                 salt_buckets=config.salt_buckets,
                 write_mode=getattr(config, "write_mode", "cow"),
@@ -300,6 +301,7 @@ def apply_changes(
                 pipeline_id=pipeline_id,
                 epoch_id=epoch_id,
                 fail_on_breaking=config.fail_on_breaking_schema,
+                evolution_policy=getattr(config, "evolution_policy", "full"),
             )
         duration_ms = int((time.time() - t0) * 1000)
         if lineage is not None:

@@ -251,3 +251,104 @@ class TestPendingLifecycle:
         with pytest.raises(SchemaEvolutionError):
             tbl.propose_schema(dropped)
         assert tbl.schema_ledger()[-1]["status"] == "BLOCKED"
+
+
+class TestEvolutionPolicy:
+    """evolution_policy gate (round 4): constrain which NON-breaking
+    changes auto-apply - 'full' (default) = additions + widenings,
+    'additive' = additions only, 'frozen' = none. Policy-blocked changes
+    ledger as BLOCKED and obey fail_on_breaking like breaking ones."""
+
+    def _mk(self, spark, path):
+        return LakeTable.create(
+            spark, path, TRANSCRIPT_SCHEMA,
+            pk_fields=["conv_id", "turn_idx"], order_fields=["lsn", "ts"],
+            num_buckets=4,
+        )
+
+    def test_frozen_blocks_added_column(self, spark, tmp_table_dir):
+        tbl = self._mk(spark, tmp_table_dir)
+        tbl.merge(gen_changes(spark, n_events=200, n_convs=5, seed=8),
+                  pipeline_id="t", epoch_id=0, evolution_policy="frozen")
+        v2 = gen_changes(spark, n_events=200, n_convs=5, seed=8,
+                         schema_version=2, lsn_offset=1_000)
+        with pytest.raises(SchemaEvolutionError, match="evolution_policy=frozen"):
+            tbl.merge(v2, pipeline_id="t", epoch_id=1,
+                      evolution_policy="frozen")
+        assert tbl.schema_ledger()[-1]["status"] == "BLOCKED"
+        assert [f.name for f in tbl.snapshot().schema.fields] == [
+            "conv_id", "turn_idx", "role", "text", "tool", "ts",
+        ]
+
+    def test_frozen_skip_mode_conforms_batch(self, spark, tmp_table_dir):
+        """fail_on_breaking=False + frozen: evolution skipped, the batch
+        conforms to the pinned schema (extra columns dropped), rows land."""
+        tbl = self._mk(spark, tmp_table_dir)
+        tbl.merge(gen_changes(spark, n_events=200, n_convs=5, seed=9),
+                  pipeline_id="t", epoch_id=0)
+        v2 = gen_changes(spark, n_events=200, n_convs=5, seed=9,
+                         schema_version=2, lsn_offset=1_000)
+        snap = tbl.merge(v2, pipeline_id="t", epoch_id=1,
+                         evolution_policy="frozen", fail_on_breaking=False)
+        assert snap is not None
+        assert "tool_meta" not in [f.name for f in tbl.snapshot().schema.fields]
+        assert tbl.schema_ledger()[-1]["status"] == "BLOCKED"
+
+    def test_additive_allows_add_blocks_widening(self, spark, tmp_table_dir):
+        schema = T.StructType([
+            T.StructField("conv_id", T.StringType()),
+            T.StructField("turn_idx", T.IntegerType()),
+            T.StructField("n", T.IntegerType()),
+            T.StructField("ts", T.TimestampType()),
+        ])
+        tbl = LakeTable.create(
+            spark, tmp_table_dir, schema,
+            pk_fields=["conv_id", "turn_idx"], order_fields=["lsn", "ts"],
+            num_buckets=2,
+        )
+        add = spark.createDataFrame(
+            [("INSERT", "c1", 0, 1, "x", 100, 1)],
+            "op string, conv_id string, turn_idx int, n int, extra string,"
+            " ts long, lsn long",
+        ).withColumn("ts", F.timestamp_seconds("ts"))
+        snap = tbl.merge(add, pipeline_id="t", epoch_id=0,
+                         evolution_policy="additive")
+        assert snap is not None
+        assert "extra" in [f.name for f in tbl.snapshot().schema.fields]
+        widen = spark.createDataFrame(
+            [("INSERT", "c2", 0, 2**40, "y", 101, 2)],
+            "op string, conv_id string, turn_idx int, n long, extra string,"
+            " ts long, lsn long",
+        ).withColumn("ts", F.timestamp_seconds("ts"))
+        with pytest.raises(SchemaEvolutionError, match="evolution_policy=additive"):
+            tbl.merge(widen, pipeline_id="t", epoch_id=1,
+                      evolution_policy="additive")
+        # under the default full policy the same widening evolves
+        snap2 = tbl.merge(widen, pipeline_id="t", epoch_id=1)
+        assert snap2 is not None
+        assert dict(
+            (f.name, f.dataType.typeName()) for f in tbl.snapshot().schema.fields
+        )["n"] == "long"
+
+    def test_unknown_policy_rejected(self, spark, tmp_table_dir):
+        tbl = self._mk(spark, tmp_table_dir)
+        with pytest.raises(ValueError, match="unknown evolution_policy"):
+            tbl.merge(gen_changes(spark, n_events=50, n_convs=5, seed=10),
+                      pipeline_id="t", epoch_id=0, evolution_policy="strict")
+
+    def test_policy_ignores_no_change_and_breaking_paths(self, spark, tmp_table_dir):
+        """frozen must not affect a same-schema batch, and a BREAKING
+        change still reports as breaking (not policy-blocked)."""
+        tbl = self._mk(spark, tmp_table_dir)
+        a = gen_changes(spark, n_events=200, n_convs=5, seed=11)
+        tbl.merge(a, pipeline_id="t", epoch_id=0, evolution_policy="frozen")
+        snap = tbl.merge(
+            gen_changes(spark, n_events=200, n_convs=5, seed=12,
+                        lsn_offset=1_000),
+            pipeline_id="t", epoch_id=1, evolution_policy="frozen",
+        )
+        assert snap is not None
+        bad = gen_changes(spark, n_events=50, n_convs=5, seed=13).drop("text")
+        with pytest.raises(SchemaEvolutionError, match="breaking"):
+            tbl.merge(bad, pipeline_id="t", epoch_id=2,
+                      evolution_policy="frozen")
