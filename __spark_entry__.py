@@ -974,6 +974,40 @@ def q_cdc_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tbl.read().orderBy("conv_id", "turn_idx")
 
 
+def q_cdc_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-audit-publish (Iceberg branch / spark.wap analog): replay
+    epoch 0 straight to main, stage epoch 1 on a BRANCH
+    (LakeTable.create_branch - metadata-only fork sharing every
+    manifest), audit the branch head while main still serves epoch 0,
+    then publish_branch atomically exposes the audited state (one
+    squash commit, manifests shared, epoch markers carried - the
+    resumed stream stays exactly-once against main). Oracle: the full
+    portable replay - publish must be state-invariant vs applying both
+    epochs directly."""
+    from dataingestion_spark.sources.datagen import gen_changes
+
+    tbl = _flagship_table(spark, "cdc_wap_", merge=False)
+    changes = gen_changes(
+        spark, n_events=10_000, n_convs=80, max_turns=40, seed=42,
+        hash_mode="md5",
+    )
+    e0 = changes.filter(F.col("lsn") < 14_000)
+    e1 = changes.filter(F.col("lsn") >= 14_000)
+    tbl.merge(e0, pipeline_id="entry", epoch_id=0)
+    main_v = tbl.current_version()
+    br = tbl.create_branch("audit")
+    br.merge(e1, pipeline_id="entry", epoch_id=1)
+    # the audit: staged state is non-empty, pk-unique, and invisible to
+    # main readers until published
+    staged = br.read()
+    n = staged.count()
+    assert n > 0 and staged.select("conv_id", "turn_idx").distinct().count() == n
+    assert tbl.current_version() == main_v
+    tbl.publish_branch("audit")
+    tbl.drop_branch("audit")
+    return tbl.read().orderBy("conv_id", "turn_idx")
+
+
 def q_transcript_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-sample assembly (round 4): CDC-replay the flagship binlog,
     then collapse the per-turn state into ONE row per conversation - the
@@ -1736,6 +1770,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_frame_sample": q_media_frame_sample,
         "cdc_dataset_release": q_cdc_dataset_release,
         "cdc_rollback": q_cdc_rollback,
+        "cdc_wap_publish": q_cdc_wap_publish,
         "simhash_fingerprints": q_simhash_fingerprints,
         "media_features": q_media_features,
         "transcript_assembly": q_transcript_assembly,
@@ -2624,6 +2659,11 @@ def oracle_sql() -> dict[str, str]:
         # the wire is value-transparent: the subscriber's state must equal
         # the plain replay
         "cdc_feed_chain": _replay_sql(
+            n_events=10_000, n_convs=80, max_turns=40, seed=42
+        ),
+        # publish is state-invariant: branch-staged epochs, once
+        # published, must equal applying every epoch directly to main
+        "cdc_wap_publish": _replay_sql(
             n_events=10_000, n_convs=80, max_turns=40, seed=42
         ),
         # a rename changes no values: the oracle is the plain replay with

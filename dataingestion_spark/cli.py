@@ -127,6 +127,22 @@ def main(argv: list[str] | None = None) -> int:
         help="dead-letter dir: unmergeable rows (null pk/lsn, unknown op) "
         "are rejected there instead of reaching the merge",
     )
+    p.add_argument(
+        "--branch", default="main",
+        help="stage commits on a WAP branch (create it first with "
+        "'branch --create'); publish after auditing",
+    )
+
+    p = sub.add_parser("branch")
+    _add_common(p)
+    p.add_argument("--config", required=True)
+    p.add_argument("--create", default=None, help="branch name to fork")
+    p.add_argument(
+        "--at", default=None,
+        help="fork point: version number or tag (default: current head)",
+    )
+    p.add_argument("--publish", default=None, help="branch name to publish")
+    p.add_argument("--drop", default=None, help="branch name to drop")
 
     p = sub.add_parser("datagen")
     _add_common(p)
@@ -349,6 +365,8 @@ def main(argv: list[str] | None = None) -> int:
         cfg = DatasetConfig.load(a.config)
         chain = build_chain(cfg.transformers) if cfg.transformers else None
         tbl = bootstrap_table(spark, cfg, TRANSCRIPT_SCHEMA)
+        if a.branch != "main":
+            tbl = tbl.branch(a.branch)
         q = apply_changes(
             spark, cfg, a.source, a.checkpoint,
             lineage_path=a.lineage, transformers=chain,
@@ -356,9 +374,33 @@ def main(argv: list[str] | None = None) -> int:
             max_bytes_per_trigger=a.max_bytes_per_trigger,
             trigger=a.trigger,
             quarantine_dir=a.quarantine,
+            branch=a.branch,
         )
         q.awaitTermination()
-        print(json.dumps({"version": tbl.current_version()}))
+        print(
+            json.dumps(
+                {"version": tbl.current_version(), "branch": a.branch}
+            )
+        )
+    elif a.cmd == "branch":
+        cfg = DatasetConfig.load(a.config)
+        tbl = LakeTable(spark, cfg.table_path)
+        out: dict = {}
+        if a.create:
+            at = (
+                int(a.at) if a.at and a.at.isdigit() else a.at
+            )
+            bh = tbl.create_branch(a.create, at_version=at)
+            out["created"] = a.create
+            out["at_version"] = bh.current_version()
+        if a.publish:
+            snap = tbl.publish_branch(a.publish)
+            out["published"] = a.publish
+            out["version"] = None if snap is None else snap.version
+        if a.drop:
+            out["dropped_snapshots"] = tbl.drop_branch(a.drop)
+        out["branches"] = tbl.branches()
+        print(json.dumps(out))
     elif a.cmd == "datagen":
         df = gen_changes(
             spark, n_events=a.events, n_convs=a.convs, n_files=a.files,

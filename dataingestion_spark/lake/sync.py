@@ -109,7 +109,7 @@ def sync_incremental(
         )
         from_v = None
     else:
-        retained = sorted(int(p.stem[1:]) for p in src._snap_dir.glob("v*.json"))
+        retained = src.retained_versions()
         if last not in retained:
             raise ValueError(
                 f"sync cursor v{last} expired from source history "
@@ -261,7 +261,7 @@ def sync_aggregate(
         )
         return _merge_totals(totals)
 
-    retained = sorted(int(p.stem[1:]) for p in src._snap_dir.glob("v*.json"))
+    retained = src.retained_versions()
     if last not in retained:
         raise ValueError(
             f"aggregate-sync cursor v{last} expired from source history "
@@ -433,7 +433,7 @@ def sync_band_index(
         bands = band_relation(state, id_col, text_col, n, num_hashes, num_bands)
         return _merge(_envelope(bands, "INSERT"))
 
-    retained = sorted(int(p.stem[1:]) for p in src._snap_dir.glob("v*.json"))
+    retained = src.retained_versions()
     if last not in retained:
         raise ValueError(
             f"band-index cursor v{last} expired from source history "
@@ -498,7 +498,7 @@ def emit_feed(
     if os.path.exists(cursor_path):
         with open(cursor_path) as fh:
             last = int(_json.load(fh)["last_version"])
-        retained = sorted(int(p.stem[1:]) for p in src._snap_dir.glob("v*.json"))
+        retained = src.retained_versions()
         if last not in retained:
             raise ValueError(
                 f"feed cursor v{last} expired from source history "

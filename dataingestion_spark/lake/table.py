@@ -52,6 +52,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 import threading
 import time
@@ -103,6 +104,10 @@ class CommitConflictError(RuntimeError):
 # isolation should use one SparkSession per pipeline.
 _TUNE_LOCK = threading.Lock()
 
+# Branch names: no dashes (the snapshot filename grammar B-<name>-v<N>.json
+# must parse unambiguously), no path separators.
+_BRANCH_NAME_RE = re.compile(r"^[A-Za-z0-9_.]+$")
+
 
 @dataclass
 class Snapshot:
@@ -130,6 +135,9 @@ class Snapshot:
     deltas: dict[str, list[str]] = field(default_factory=dict)
     # bucket (as str) -> table-relative manifest path (persisted form)
     manifest_refs: dict[str, str] = field(default_factory=dict)
+    # chain this snapshot belongs to ("main" or a WAP branch name); legacy
+    # snapshot jsons lack the field and load as main
+    branch: str = "main"
 
     @property
     def schema(self) -> T.StructType:
@@ -188,9 +196,24 @@ class LakeTable:
     # disk, which is what they cost on a fresh handle anyway.
     SNAP_CACHE_SIZE = 8
 
-    def __init__(self, spark: SparkSession, root: str | Path):
+    def __init__(
+        self, spark: SparkSession, root: str | Path, branch: str = "main"
+    ):
         self.spark = spark
         self.root = Path(root)
+        # Which snapshot CHAIN this handle reads and commits to. "main" is
+        # the published table; any other name is a WAP branch created by
+        # create_branch() - same root, same manifests/data files, its own
+        # version files (B-<name>-v*.json). Every read/write entry point
+        # resolves heads through _snapshot_path/current_version, so the
+        # whole API (merge/append/DML/compact/rollback/time travel/
+        # changelog/epoch markers) is branch-scoped for free.
+        if branch != "main" and not _BRANCH_NAME_RE.match(branch):
+            raise ValueError(
+                f"invalid branch name {branch!r}: use [A-Za-z0-9_.]+ "
+                "(no dashes)"
+            )
+        self.branch_name = branch
         # snapshots are immutable once committed - LRU-cache internalized
         # (manifest-resolved) snapshots per version for this handle
         self._snap_cache: OrderedDict[int, Snapshot] = OrderedDict()
@@ -205,15 +228,44 @@ class LakeTable:
         return self.root / "_meta" / "snapshots"
 
     def _snapshot_path(self, version: int) -> Path:
-        return self._snap_dir / f"v{version:012d}.json"
+        if self.branch_name == "main":
+            return self._snap_dir / f"v{version:012d}.json"
+        return self._snap_dir / f"B-{self.branch_name}-v{version:012d}.json"
+
+    @property
+    def _snap_pattern(self) -> str:
+        """Glob for THIS handle's chain: branch files start with "B-" so
+        the main pattern ("v*.json") never matches them and vice versa."""
+        if self.branch_name == "main":
+            return "v*.json"
+        return f"B-{self.branch_name}-v*.json"
+
+    @staticmethod
+    def _snap_version(p: Path) -> int:
+        """Version number from a snapshot filename of either chain."""
+        return int(p.stem.rsplit("v", 1)[1])
+
+    def retained_versions(self) -> list[int]:
+        """Sorted versions still retained on this handle's chain."""
+        return sorted(
+            self._snap_version(p)
+            for p in self._snap_dir.glob(self._snap_pattern)
+        )
 
     def exists(self) -> bool:
-        return self._snap_dir.is_dir() and any(self._snap_dir.glob("v*.json"))
+        return self._snap_dir.is_dir() and any(
+            self._snap_dir.glob(self._snap_pattern)
+        )
 
     def current_version(self) -> int:
-        versions = [int(p.stem[1:]) for p in self._snap_dir.glob("v*.json")]
+        versions = [
+            self._snap_version(p)
+            for p in self._snap_dir.glob(self._snap_pattern)
+        ]
         if not versions:
-            raise FileNotFoundError(f"no snapshots under {self.root}")
+            raise FileNotFoundError(
+                f"no snapshots under {self.root} (branch {self.branch_name!r})"
+            )
         return max(versions)
 
     def _cache_put(self, version: int, snap: Snapshot) -> None:
@@ -283,10 +335,7 @@ class LakeTable:
         return best.version
 
     def history(self) -> list[Snapshot]:
-        return [
-            self.snapshot(int(p.stem[1:]))
-            for p in sorted(self._snap_dir.glob("v*.json"))
-        ]
+        return [self.snapshot(v) for v in self.retained_versions()]
 
     # ------------------------------------------------------------------
     # snapshot tags (Iceberg tag analog): named, expiry-protected versions
@@ -335,6 +384,168 @@ class LakeTable:
         tags = self.tags()
         tags.pop(name, None)
         self._write_tags(tags)
+
+    # ------------------------------------------------------------------
+    # branches (Iceberg branch / write-audit-publish analog)
+    # ------------------------------------------------------------------
+    # The WAP pattern a production CDC pipeline runs before exposing data
+    # to consumers: stage one or more commits on a BRANCH (same table
+    # root, its own snapshot chain), run audits against the branch head
+    # (row counts, constraint scans, oracle diffs), then PUBLISH the
+    # audited state to main as one atomic metadata-only commit - or drop
+    # the branch and let vacuum reclaim its files. Iceberg spells this
+    # spark.wap.branch + fast_forward; the mechanics here are the same:
+    # branch snapshots live beside main's in _meta/snapshots as
+    # B-<name>-v<N>.json, share ALL manifests/data files structurally,
+    # and every LakeTable entry point works on a branch handle because
+    # head resolution goes through _snapshot_path/current_version.
+    #
+    # Fork and publish are both O(buckets) metadata ops - no data file is
+    # read, rewritten, or moved at ANY table size. Publish is guarded:
+    # it refuses when main advanced past the fork point (the audit
+    # validated a state that no longer exists; re-fork and re-audit).
+    # Epoch markers ride along deliberately - a stream that staged epochs
+    # on the branch is, after publish, exactly-once against main too.
+
+    def branches(self) -> dict[str, int]:
+        """Map of branch name -> head version (retained chains only)."""
+        heads: dict[str, int] = {}
+        for p in self._snap_dir.glob("B-*-v*.json"):
+            name, _, vs = p.stem[2:].rpartition("-v")
+            v = int(vs)
+            if heads.get(name, -1) < v:
+                heads[name] = v
+        return heads
+
+    def branch(self, name: str) -> "LakeTable":
+        """Handle for an existing branch's chain."""
+        bh = LakeTable(self.spark, self.root, branch=name)
+        if not bh.exists():
+            raise KeyError(
+                f"unknown branch {name!r} "
+                f"(have: {sorted(self.branches()) or 'none'})"
+            )
+        return bh
+
+    def create_branch(
+        self, name: str, at_version: int | str | None = None
+    ) -> "LakeTable":
+        """Fork a branch off this chain at ``at_version`` (default: head)
+        and return its handle. Metadata-only: the fork snapshot SHARES the
+        source's manifest refs, so no manifest, chunk, or data file is
+        written. The fork base is recorded in snapshot properties
+        (surviving branch-side expiry) for publish's guard."""
+        if name == "main":
+            raise ValueError("'main' is the published chain, not a branch")
+        if not _BRANCH_NAME_RE.match(name):
+            raise ValueError(
+                f"invalid branch name {name!r}: use [A-Za-z0-9_.]+ (no dashes)"
+            )
+        if any(self._snap_dir.glob(f"B-{name}-v*.json")):
+            raise ValueError(f"branch {name!r} already exists")
+        src = self.snapshot(
+            self.resolve_tag(at_version)
+            if isinstance(at_version, str)
+            else at_version
+        )
+        props = json.loads(json.dumps(src.properties))
+        props["branch_base"] = {"chain": self.branch_name, "version": src.version}
+        fork = Snapshot(
+            version=src.version,
+            parent=src.parent,
+            schema_json=json.loads(json.dumps(src.schema_json)),
+            schema_version=src.schema_version,
+            num_buckets=src.num_buckets,
+            pk_fields=list(src.pk_fields),
+            order_fields=list(src.order_fields),
+            files={k: list(v) for k, v in src.files.items()},
+            properties=props,
+            operation="fork",
+            summary={"forked_from": f"{self.branch_name}@{src.version}"},
+            deltas={k: list(v) for k, v in src.deltas.items()},
+            manifest_refs=dict(src.manifest_refs),
+            committed_at=time.time(),
+            branch=name,
+        )
+        bh = LakeTable(self.spark, self.root, branch=name)
+        path = bh._snapshot_path(fork.version)
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError as e:  # raced create_branch(same name)
+            raise ValueError(f"branch {name!r} already exists") from e
+        with os.fdopen(fd, "w") as f:
+            f.write(fork.to_json())
+        bh._cache_put(fork.version, fork)
+        return bh
+
+    def publish_branch(self, name: str) -> Snapshot | None:
+        """Atomically publish branch ``name``'s audited head onto THIS
+        chain as one squash commit (operation ``publish``) - the
+        Iceberg fast-forward/cherry-pick step of WAP. Metadata-only: the
+        commit shares every manifest the branch head references. The
+        branch's pipeline epoch markers come along, so a stream that
+        staged epochs on the branch stays exactly-once after publish.
+
+        Returns None (no-op) when nothing was staged. Raises
+        CommitConflictError when this chain advanced past the fork point:
+        the audit blessed a state built on a stale base - splicing it in
+        could silently drop or duplicate rows, so the caller must re-fork
+        from the new head and re-audit. The branch itself is left intact
+        either way (drop_branch when done)."""
+        staged = self.branch(name).snapshot()
+        base = staged.properties.get("branch_base") or {}
+        base_chain = base.get("chain", "main")
+        if base_chain != self.branch_name:
+            raise ValueError(
+                f"branch {name!r} forked from {base_chain!r}; publish it "
+                f"there, not onto {self.branch_name!r}"
+            )
+        base_v = int(base.get("version", staged.version))
+        if staged.version == base_v and staged.operation == "fork":
+            return None  # nothing staged since the fork
+        head = self.snapshot()
+        if head.version != base_v:
+            raise CommitConflictError(
+                f"cannot publish branch {name!r}: {self.branch_name} advanced "
+                f"from v{base_v} to v{head.version} since the fork; "
+                "re-create the branch from the new head and re-audit"
+            )
+        props = json.loads(json.dumps(staged.properties))
+        props.pop("branch_base", None)
+        snap = Snapshot(
+            version=head.version + 1,
+            parent=head.version,
+            schema_json=json.loads(json.dumps(staged.schema_json)),
+            schema_version=staged.schema_version,
+            num_buckets=staged.num_buckets,
+            pk_fields=list(staged.pk_fields),
+            order_fields=list(staged.order_fields),
+            files={k: list(v) for k, v in staged.files.items()},
+            properties=props,
+            operation="publish",
+            summary={
+                "published_branch": name,
+                "branch_head": staged.version,
+                "staged_commits": staged.version - base_v,
+            },
+            deltas={k: list(v) for k, v in staged.deltas.items()},
+            branch=self.branch_name,
+        )
+        # parent=staged shares ALL manifest refs; a concurrent main commit
+        # loses the O_EXCL race -> CommitConflictError (no retry: any main
+        # advance invalidates the audited base by definition)
+        return self._commit(snap, parent=staged)
+
+    def drop_branch(self, name: str) -> int:
+        """Delete a branch's snapshot files (the chain's data/manifest
+        files become orphans reclaimed by vacuum). Returns the number of
+        snapshots dropped."""
+        files = sorted(self._snap_dir.glob(f"B-{name}-v*.json"))
+        if not files:
+            raise KeyError(f"unknown branch {name!r}")
+        for p in files:
+            p.unlink()
+        return len(files)
 
     @property
     def _manifest_dir(self) -> Path:
@@ -3170,7 +3381,7 @@ class LakeTable:
                 p: int(v.get("last_epoch", -1))
                 for p, v in snap.properties.get("pipelines", {}).items()
             },
-            "snapshots_retained": len(list(self._snap_dir.glob("v*.json"))),
+            "snapshots_retained": len(self.retained_versions()),
         }
         if with_sizes:
             total = 0
@@ -3454,9 +3665,7 @@ class LakeTable:
         O(versions), no Spark job."""
         if keep_last < 1:
             raise ValueError("keep_last must be >= 1")
-        versions = sorted(
-            int(p.stem[1:]) for p in self._snap_dir.glob("v*.json")
-        )
+        versions = self.retained_versions()
         tagged = set(self.tags().values())
         expired = [v for v in versions[:-keep_last] if v not in tagged]
         if not dry_run:
@@ -3477,7 +3686,10 @@ class LakeTable:
         contract). Driver-side file ops, O(total files) - a maintenance
         pass scheduled off the ingest path, exactly like compaction."""
         referenced: set[str] = set()
-        for p in sorted(self._snap_dir.glob("v*.json")):
+        # every chain's snapshots are live roots: main (v*.json) AND every
+        # WAP branch (B-*-v*.json) - a staged branch's data files must
+        # survive vacuum until the branch is dropped
+        for p in sorted(self._snap_dir.glob("*.json")):
             d = json.loads(p.read_text())
             for ref in (d.get("manifest_refs") or {}).values():
                 referenced.add(ref)

@@ -219,6 +219,7 @@ def apply_changes(
     quarantine_dir: str | None = None,
     source_format: str = "parquet",
     reader_options: dict | None = None,
+    branch: str = "main",
 ) -> StreamingQuery:
     """Phase-2: staged change log -> exactly-once keyed MERGE into the lake.
 
@@ -236,9 +237,15 @@ def apply_changes(
     rewrites the identical dead-letter set - idempotent alongside the
     merge's epoch markers), and counted in a QUARANTINE lineage row.
     Without it the merge sees whatever the adapters produced, nulls and
-    all - fine for trusted streams, fatal at 10^10 events of real CDC."""
+    all - fine for trusted streams, fatal at 10^10 events of real CDC.
+
+    ``branch`` targets a WAP branch (LakeTable.create_branch) instead of
+    main: commits and epoch markers land on the branch chain, audits run
+    against the branch head, and publish_branch atomically exposes the
+    audited state to main readers - epoch markers ride along, so the
+    resumed stream stays exactly-once against main after publish."""
     _validate_trigger(trigger)
-    table = LakeTable(spark, config.table_path)
+    table = LakeTable(spark, config.table_path, branch=branch)
     lineage = LineageLog(spark, lineage_path) if lineage_path else None
     # Epoch ids are only meaningful relative to ONE checkpoint lineage -
     # foreachBatch restarts numbering at 0 for a fresh checkpoint dir. The
