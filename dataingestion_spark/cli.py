@@ -283,6 +283,23 @@ def main(argv: list[str] | None = None) -> int:
         "(use NULL to clear a column)",
     )
 
+    p = sub.add_parser("requeue")
+    _add_common(p)
+    p.add_argument("--config", required=True)
+    p.add_argument(
+        "--quarantine", required=True, help="dead-letter dir to replay"
+    )
+    p.add_argument(
+        "--set", default=None, action="append", metavar="COL=SQL_EXPR",
+        help="fix applied to dead-letter rows before re-validation, "
+        "repeatable (e.g. --set \"op='INSERT'\")",
+    )
+    p.add_argument(
+        "--reasons", default=None,
+        help="comma-separated _invalid_reason tags to requeue "
+        "(default: all)",
+    )
+
     p = sub.add_parser("feed")
     _add_common(p)
     p.add_argument("--src-table", required=True, help="source lake table path")
@@ -588,6 +605,37 @@ def main(argv: list[str] | None = None) -> int:
                 }
             )
         )
+    elif a.cmd == "requeue":
+        from pyspark.sql import functions as F
+
+        from dataingestion_spark.sources.quarantine import requeue_quarantine
+
+        cfg = DatasetConfig.load(a.config)
+        tbl = LakeTable(spark, cfg.table_path)
+        fix = None
+        if a.set:
+            fixes = {}
+            for item in a.set:
+                col, _, expr = item.partition("=")
+                if not _:
+                    raise SystemExit(f"--set needs COL=SQL_EXPR, got {item!r}")
+                fixes[col.strip()] = F.expr(expr)
+
+            def fix(df, _fixes=fixes):
+                return df.withColumns(_fixes)
+
+        result = requeue_quarantine(
+            tbl, a.quarantine, fix=fix,
+            reasons=(
+                [r.strip() for r in a.reasons.split(",") if r.strip()]
+                if a.reasons
+                else None
+            ),
+            constraints=list(getattr(cfg, "constraints", []) or []),
+            write_mode=getattr(cfg, "write_mode", "cow"),
+        )
+        result["version"] = tbl.current_version()
+        print(json.dumps(result))
     elif a.cmd == "sync":
         from dataingestion_spark.lake import sync_incremental
 

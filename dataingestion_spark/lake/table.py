@@ -2801,6 +2801,12 @@ class LakeTable:
             ]
         _tick("hot-key detect")
 
+        # batch_events (pre-LWW submitted rows) rides into every commit
+        # summary alongside applied_events: the pair is the per-epoch
+        # submitted-vs-won lineage a DLQ requeue or an ops dashboard needs,
+        # and it is free - the pre-scan already counted it.
+        lineage = {**(lineage or {}), "batch_events": int(batch_events)}
+
         # (3) the conformed source relation: op -> tombstone flag, lsn
         # column, cast to the (possibly evolved) table schema, bucketed.
         src = (

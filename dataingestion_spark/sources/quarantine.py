@@ -115,3 +115,84 @@ def split_invalid(
     )
     bad = ann.filter(F.col(REASON_COL).isNotNull())
     return valid, bad
+
+
+def requeue_quarantine(
+    table,
+    quarantine_dir: str,
+    fix=None,
+    pipeline_id: str | None = None,
+    reasons: list[str] | None = None,
+    constraints: list[str] | None = None,
+    **merge_kwargs,
+) -> dict:
+    """Replay corrected dead-letter rows back through the gate - the
+    recovery half of the DLQ contract (Kafka Connect's
+    dead-letter-reprocessing pattern): a quarantined row is not lost,
+    it waits for a fix.
+
+    Per dead-letter epoch (ascending): read ``<dir>/epoch=<n>``, keep
+    rows whose ``_invalid_reason`` is in ``reasons`` (default: all),
+    strip the quarantine bookkeeping columns, apply the caller's ``fix``
+    transform (backfill the null pk, re-parse the lsn, correct the op -
+    whatever the upstream bug was), then RE-RUN the SAME validity gate:
+    rows the fix didn't actually cure are counted and left out (the
+    gate's contract - the merge never sees an unmergeable row - holds
+    for requeued rows too). Cured rows MERGE into the table under this
+    requeue's own pipeline id with the DLQ epoch as the epoch id, so a
+    crashed or re-run requeue skips already-applied epochs through the
+    standard exactly-once markers - the DLQ files themselves are never
+    mutated (they stay the audit record of what was rejected and why).
+
+    pk/order fields come from the table snapshot; CHECK ``constraints``
+    must be passed again if the dataset uses them (they live in config,
+    not in the table). Scale shape: driver-side epoch listing is
+    O(epochs); each epoch costs one scan of its (normally tiny)
+    dead-letter file plus an ordinary merge of the cured subset.
+
+    Returns {"epochs": applied, "requeued": rows merged,
+    "still_invalid": {reason: count}, "skipped_epochs": marker-skipped}.
+    """
+    import hashlib
+    import re as _re
+    from pathlib import Path
+
+    qdir = Path(quarantine_dir)
+    epochs = sorted(
+        int(m.group(1))
+        for p in qdir.glob("epoch=*")
+        if (m := _re.fullmatch(r"epoch=(\d+)", p.name)) and p.is_dir()
+    )
+    if pipeline_id is None:
+        tag = hashlib.md5(str(qdir.resolve()).encode()).hexdigest()[:8]
+        pipeline_id = f"requeue::{tag}"
+    snap = table.snapshot()
+    pk = list(snap.pk_fields)
+    lsn_col = snap.order_fields[0] if snap.order_fields else "lsn"
+    out = {"epochs": 0, "requeued": 0, "still_invalid": {}, "skipped_epochs": 0}
+    last = table.last_applied_epoch(pipeline_id)
+    for e in epochs:
+        if e <= last:
+            out["skipped_epochs"] += 1
+            continue
+        df = table.spark.read.parquet(str(qdir / f"epoch={e}"))
+        if reasons:
+            df = df.filter(F.col(REASON_COL).isin(list(reasons)))
+        df = df.drop(REASON_COL, "_q_pipeline")
+        if fix is not None:
+            df = fix(df)
+        valid, bad = split_invalid(df, pk, lsn_col=lsn_col, constraints=constraints)
+        for r in bad.groupBy(REASON_COL).count().collect():
+            k = r[REASON_COL]
+            out["still_invalid"][k] = out["still_invalid"].get(k, 0) + r["count"]
+        snap2 = table.merge(
+            valid, pipeline_id=pipeline_id, epoch_id=e, **merge_kwargs
+        )
+        if snap2 is not None:
+            out["epochs"] += 1
+            # batch_events = rows submitted through the re-run gate; a
+            # cured row whose lsn lost the LWW race to an already-applied
+            # later event still counts as requeued (it reached the merge;
+            # the lsn guard, correctly, decided it was stale).
+            out["requeued"] += int(snap2.summary.get("batch_events", 0) or 0)
+    return out
