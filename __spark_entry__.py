@@ -900,6 +900,23 @@ def q_cdc_rebucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tbl.read().orderBy("conv_id", "turn_idx")
 
 
+def q_cdc_zorder_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustered serving read (Delta OPTIMIZE ZORDER / Iceberg
+    sort-order analog, lake/zorder.py): replay the flagship binlog,
+    declare a persistent (turn_idx, ts) Morton order with
+    LakeTable.set_sort_order, compact into bounded files
+    (max_records_per_file), then answer a range read - the file-stats
+    sidecars now prune whole files on BOTH z columns while the exact
+    residual filter keeps answers exact at any clustering quality.
+    Oracle: the portable replay under the same range predicate."""
+    tbl = _flagship_table(spark, "cdc_zord_")
+    tbl.set_sort_order(["turn_idx", "ts"], mode="zorder")
+    tbl.compact(max_records_per_file=2000)
+    return tbl.read(where={"turn_idx": (5, 20)}).orderBy(
+        "conv_id", "turn_idx"
+    )
+
+
 def q_cdc_agg_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental view maintenance: replay the flagship binlog in two
     epochs, syncing a per-conversation COUNT/SUM view off the changelog
@@ -1765,6 +1782,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_point_lookup": q_cdc_point_lookup,
         "cdc_point_lookup_bloom": q_cdc_point_lookup_bloom,
         "cdc_rebucket": q_cdc_rebucket,
+        "cdc_zorder_prune": q_cdc_zorder_prune,
         "cdc_agg_view": q_cdc_agg_view,
         "doc_redact_pii": q_doc_redact_pii,
         "media_frame_sample": q_media_frame_sample,
@@ -2742,6 +2760,11 @@ def oracle_sql() -> dict[str, str]:
         ),
         "cdc_rebucket": _replay_sql(
             n_events=10_000, n_convs=80, max_turns=40, seed=42
+        ),
+        "cdc_zorder_prune": (
+            "SELECT * FROM ("
+            + _replay_sql(n_events=10_000, n_convs=80, max_turns=40, seed=42)
+            + ") WHERE turn_idx BETWEEN 5 AND 20"
         ),
         "cdc_dataset_release": _replay_sql(
             n_events=10_000, n_convs=80, max_turns=40, seed=42,

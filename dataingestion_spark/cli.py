@@ -159,9 +159,29 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--purge-tombstones-below-lsn", type=int, default=None)
     p.add_argument(
         "--cluster-by", default=None,
-        help="comma-separated in-file sort columns (default: the pk); "
-        "cluster by your dominant read predicate, e.g. ts",
+        help="comma-separated in-file sort columns (default: the pk, or "
+        "the table's persistent sort order); cluster by your dominant "
+        "read predicate, e.g. ts",
     )
+    p.add_argument(
+        "--cluster-mode", default=None, choices=["linear", "zorder"],
+        help="zorder interleaves the cluster columns (Morton code) so "
+        "one layout serves predicates on all of them",
+    )
+    p.add_argument(
+        "--max-records-per-file", type=int, default=None,
+        help="split each bucket's sorted rewrite into bounded files so "
+        "file-level stats prune whole files on the cluster columns",
+    )
+
+    p = sub.add_parser("sortorder")
+    _add_common(p)
+    p.add_argument("--config", required=True)
+    p.add_argument(
+        "--cols", default=None,
+        help="comma-separated sort columns; omit to CLEAR the order",
+    )
+    p.add_argument("--mode", default="zorder", choices=["linear", "zorder"])
 
     p = sub.add_parser("vacuum")
     _add_common(p)
@@ -435,8 +455,24 @@ def main(argv: list[str] | None = None) -> int:
                 if a.cluster_by
                 else None
             ),
+            cluster_mode=a.cluster_mode,
+            max_records_per_file=a.max_records_per_file,
         )
         print(json.dumps({"version": snap.version}))
+    elif a.cmd == "sortorder":
+        cfg = DatasetConfig.load(a.config)
+        tbl = LakeTable(spark, cfg.table_path)
+        cols = (
+            [c.strip() for c in a.cols.split(",") if c.strip()]
+            if a.cols
+            else None
+        )
+        snap = tbl.set_sort_order(cols, mode=a.mode)
+        print(
+            json.dumps(
+                {"version": snap.version, "sort_order": tbl.sort_order()}
+            )
+        )
     elif a.cmd == "rollback":
         cfg = DatasetConfig.load(a.config)
         tbl = LakeTable(spark, cfg.table_path)

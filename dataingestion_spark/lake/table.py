@@ -1715,8 +1715,9 @@ class LakeTable:
         df: DataFrame,
         target_partitions: int,
         pre_partitioned: bool = False,
-        cluster_by: list[str] | None = None,
+        cluster_by: list | None = None,
         bloom_cols: list[str] | None = None,
+        max_records_per_file: int | None = None,
     ) -> dict[str, list[str]]:
         """Write rows (must carry BUCKET_COL, and SALT_COL if salted) as
         immutable files under a fresh commit dir; returns bucket->files.
@@ -1751,15 +1752,25 @@ class LakeTable:
         if SALT_COL in df.columns:
             out = out.drop(SALT_COL)
         if cluster_by:
-            # Cluster rows inside each written file (compaction's Z-order-
-            # lite): sort by (_pb, keys) so parquet row groups carry tight
-            # key/ts ranges for row-group pruning. The partition column
-            # leads the sort so the file writer's required ordering is a
-            # prefix of ours and it inserts NO second sort of its own.
+            # Cluster rows inside each written file: sort by (_pb, keys)
+            # so parquet row groups carry tight key/ts ranges for
+            # row-group pruning. Entries may be column NAMES or arbitrary
+            # Column EXPRESSIONS (the z-order Morton code rides here as a
+            # pure sort expression - never materialized as a column, so
+            # file schemas stay clean). The partition column leads the
+            # sort so the file writer's required ordering is a prefix of
+            # ours and it inserts NO second sort of its own.
             out = out.sortWithinPartitions(
-                _PARTITION_DIR_COL, *[F.col(c) for c in cluster_by]
+                _PARTITION_DIR_COL,
+                *[F.col(c) if isinstance(c, str) else c for c in cluster_by],
             )
         writer = out.write
+        if max_records_per_file:
+            # Split each bucket's sorted run into bounded files: with a
+            # z-order/cluster sort upstream, every split file carries a
+            # TIGHT min/max sidecar range on the cluster columns, turning
+            # in-file row-group pruning into whole-file skipping.
+            writer = writer.option("maxRecordsPerFile", int(max_records_per_file))
         if bloom_cols:
             for c in bloom_cols:
                 writer = writer.option(
@@ -2270,6 +2281,161 @@ class LakeTable:
         writers by design - maintenance runs off the hot path); see
         :meth:`_compact_once`."""
         return self._retry_commit(lambda: self._compact_once(**kwargs))
+
+    # ------------------------------------------------------------------
+    # table sort order (Iceberg sort-order / Delta OPTIMIZE ZORDER analog)
+    # ------------------------------------------------------------------
+    def sort_order(self) -> dict | None:
+        """The persistent sort order, ``{"cols": [...], "mode":
+        "linear"|"zorder"}``, or None when the table keeps the default
+        pk clustering."""
+        so = self.snapshot().properties.get("sort_order")
+        return dict(so) if so else None
+
+    def _validate_cluster_spec(
+        self, snap: Snapshot, cols: list[str], mode: str
+    ) -> None:
+        from dataingestion_spark.lake.zorder import (
+            MAX_ZORDER_COLS, is_zorderable,
+        )
+
+        if mode not in ("linear", "zorder"):
+            raise ValueError(f"unknown cluster mode {mode!r}")
+        by_name = {f.name: f.dataType for f in snap.schema.fields}
+        unknown = [c for c in cols if c not in by_name]
+        if unknown:
+            raise ValueError(f"cluster columns not in schema: {unknown}")
+        if mode == "zorder":
+            if not 1 <= len(cols) <= MAX_ZORDER_COLS:
+                raise ValueError(
+                    f"zorder takes 1..{MAX_ZORDER_COLS} columns, "
+                    f"got {len(cols)}"
+                )
+            bad = [c for c in cols if not is_zorderable(by_name[c])]
+            if bad:
+                raise ValueError(
+                    "zorder needs numeric/timestamp/date/boolean columns; "
+                    f"unsupported: {bad}"
+                )
+
+    def _resolve_cluster_spec(
+        self,
+        snap: Snapshot,
+        cluster_cols: list[str] | None,
+        cluster_mode: str | None,
+    ) -> tuple[list[str] | None, str | None]:
+        """Effective (cols, mode) for a rewrite: explicit arguments win,
+        then the table's persistent sort order, then (None, None) -
+        caller falls back to pk clustering."""
+        if cluster_cols:
+            mode = cluster_mode or "linear"
+            self._validate_cluster_spec(snap, list(cluster_cols), mode)
+            return list(cluster_cols), mode
+        so = snap.properties.get("sort_order")
+        if so:
+            cols, mode = list(so["cols"]), cluster_mode or so["mode"]
+            self._validate_cluster_spec(snap, cols, mode)
+            return cols, mode
+        if cluster_mode:
+            raise ValueError(
+                "cluster_mode given without cluster_cols and the table "
+                "has no persistent sort order (set_sort_order)"
+            )
+        return None, None
+
+    def set_sort_order(
+        self, cols: list[str] | None, mode: str = "zorder"
+    ) -> Snapshot:
+        """Declare the table's persistent sort order (Iceberg
+        ``ALTER TABLE ... WRITE ORDERED BY`` analog) - METADATA-ONLY:
+        no rewrite happens here. Every subsequent compaction without an
+        explicit ``cluster_cols`` applies it (including the
+        ``maybe_compact`` maintenance policy), so the declared layout is
+        restored continuously as ingest dirties buckets, instead of by
+        remembering the right flags on every ops invocation.
+        ``cols=None`` clears the order (back to pk clustering). The
+        rewrite itself stays off the ingest hot path - merges never
+        sort; only compaction pays."""
+
+        def _once() -> Snapshot:
+            snap = self.snapshot()
+            props = json.loads(json.dumps(snap.properties))
+            if cols:
+                self._validate_cluster_spec(snap, list(cols), mode)
+                props["sort_order"] = {"cols": list(cols), "mode": mode}
+            else:
+                props.pop("sort_order", None)
+            out = Snapshot(
+                version=snap.version + 1,
+                parent=snap.version,
+                schema_json=json.loads(snap.schema.json()),
+                schema_version=snap.schema_version,
+                num_buckets=snap.num_buckets,
+                pk_fields=list(snap.pk_fields),
+                order_fields=list(snap.order_fields),
+                files={k: list(v) for k, v in snap.files.items()},
+                properties=props,
+                operation="set-sort-order",
+                summary={"sort_order": props.get("sort_order")},
+                deltas={k: list(v) for k, v in snap.deltas.items()},
+            )
+            return self._commit(out, parent=snap)
+
+        return self._retry_commit(_once)
+
+    def _zorder_bounds(
+        self,
+        snap: Snapshot,
+        cols: list[str],
+        target: list[int],
+        df: DataFrame,
+    ) -> dict[str, tuple]:
+        """Quantization bounds for the z columns, in stat units. Primary
+        source: the file-stats sidecars of every referenced file in the
+        target buckets (driver-side, zero Spark jobs). Columns some file
+        doesn't cover (legacy commits, all-null files) fall back to ONE
+        min/max aggregate over the rewrite input - a single extra scan of
+        exactly the buckets being rewritten, worst case."""
+        rels = [
+            f
+            for b in target
+            for f in (
+                snap.files.get(str(b), []) + snap.deltas.get(str(b), [])
+            )
+        ]
+        stats = self._stats_for(rels)
+        bounds: dict[str, tuple] = {}
+        missing: list[str] = []
+        for c in cols:
+            lo = hi = None
+            covered = bool(rels)
+            for rel in rels:
+                s = stats.get(rel, {}).get(c)
+                if not s or not isinstance(s[0], (int, float)):
+                    covered = False
+                    break
+                lo = s[0] if lo is None else min(lo, s[0])
+                hi = s[1] if hi is None else max(hi, s[1])
+            if covered and lo is not None:
+                bounds[c] = (lo, hi)
+            else:
+                missing.append(c)
+        if missing:
+            row = df.select(
+                *[F.min(c).alias(f"lo_{c}") for c in missing],
+                *[F.max(c).alias(f"hi_{c}") for c in missing],
+            ).collect()[0]
+            for c in missing:
+                lo, hi = row[f"lo_{c}"], row[f"hi_{c}"]
+                # booleans quantize on their 0/1 embedding (the sidecars
+                # skip them, so they always take this path)
+                lo = int(lo) if isinstance(lo, bool) else self._stat_value(lo)
+                hi = int(hi) if isinstance(hi, bool) else self._stat_value(hi)
+                bounds[c] = (
+                    lo if isinstance(lo, (int, float)) else None,
+                    hi if isinstance(hi, (int, float)) else None,
+                )
+        return bounds
 
     def rollback(self, version: int | str) -> Snapshot:
         """Roll the table back to an earlier snapshot's state (Iceberg
@@ -3383,6 +3549,7 @@ class LakeTable:
             "partial_delta_buckets": list(
                 snap.properties.get("partial_delta_buckets", [])
             ),
+            "sort_order": snap.properties.get("sort_order"),
             "pipelines": {
                 p: int(v.get("last_epoch", -1))
                 for p, v in snap.properties.get("pipelines", {}).items()
@@ -3573,6 +3740,8 @@ class LakeTable:
         buckets: list[int] | None = None,
         cluster: bool = True,
         cluster_cols: list[str] | None = None,
+        cluster_mode: str | None = None,
+        max_records_per_file: int | None = None,
     ) -> Snapshot:
         """Rewrite buckets to merge small files and fold outstanding
         merge-on-read deltas into the base; optionally purge tombstones
@@ -3593,7 +3762,21 @@ class LakeTable:
         Delta's OPTIMIZE ZORDER makes. Compaction is exactly where
         clustering belongs: the ingest path stays sort-free and the
         background rewrite pays the sort once per file, off the hot
-        path."""
+        path.
+
+        ``cluster_mode="zorder"`` interleaves the cluster columns into a
+        Morton code (Delta ``OPTIMIZE ZORDER BY`` analog, lake/zorder.py)
+        so ONE layout serves range/point predicates on ALL of them;
+        combined with ``max_records_per_file`` the sorted run splits into
+        bounded files whose stats sidecars carry tight per-dimension
+        ranges - multi-column predicates then skip whole files, not just
+        row groups. Quantization bounds come from the existing sidecars
+        (driver-side, zero jobs) with a one-row aggregate fallback for
+        uncovered columns; bound quality affects clustering only, never
+        answers. When neither ``cluster_cols`` nor ``cluster_mode`` is
+        given, the table's persistent sort order (:meth:`set_sort_order`,
+        the Iceberg table-sort-order analog) applies, so routine
+        ``maybe_compact`` maintenance keeps the declared layout."""
         snap = self.snapshot()
         if buckets is not None:
             target = buckets
@@ -3623,21 +3806,28 @@ class LakeTable:
                     & (F.col(LSN_COL) < purge_tombstones_below_lsn)
                 )
             )
-        if cluster_cols:
-            unknown = [c for c in cluster_cols if c not in {
-                f.name for f in snap.schema.fields
-            }]
-            if unknown:
-                raise ValueError(f"cluster_cols not in schema: {unknown}")
+        sort_cols, sort_mode = self._resolve_cluster_spec(
+            snap, cluster_cols, cluster_mode
+        )
+        if sort_cols and sort_mode == "zorder":
+            from dataingestion_spark.lake.zorder import zorder_expr
+
+            bounds = self._zorder_bounds(snap, sort_cols, target, df)
+            # pk tiebreak after the Morton code keeps point lookups on
+            # row-group dictionary/min-max as sharp as linear clustering
+            cluster_by = [zorder_expr(sort_cols, bounds, snap.schema)] + [
+                F.col(c) for c in snap.pk_fields
+            ]
+        elif sort_cols:
+            cluster_by = list(sort_cols)
+        else:
+            cluster_by = list(snap.pk_fields) if cluster else None
         new_files = self._write_data_files(
             df,
             target_partitions=max(len(target), 1),
-            cluster_by=(
-                list(cluster_cols)
-                if cluster_cols
-                else (list(snap.pk_fields) if cluster else None)
-            ),
+            cluster_by=cluster_by,
             bloom_cols=list(snap.pk_fields),
+            max_records_per_file=max_records_per_file,
         )
         files = {k: list(v) for k, v in snap.files.items()}
         deltas = {k: list(v) for k, v in snap.deltas.items()}
@@ -3651,6 +3841,11 @@ class LakeTable:
                 # rebase guard: a purging compaction is NOT state-preserving,
                 # so concurrent commits must recompute rather than splice
                 "purged_below_lsn": purge_tombstones_below_lsn,
+                **(
+                    {"cluster_cols": list(sort_cols), "cluster_mode": sort_mode}
+                    if sort_cols
+                    else {}
+                ),
             },
             deltas=deltas,
         )
