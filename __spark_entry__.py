@@ -900,6 +900,66 @@ def q_cdc_rebucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tbl.read().orderBy("conv_id", "turn_idx")
 
 
+def q_cdc_route_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table CDC router (streaming/pipeline.py route_changes, the
+    Debezium-server topic-routing analog): the flagship binlog tagged
+    with a per-row `table` discriminator (conversation-id parity) streams
+    ONCE through a single pipeline that fans out into TWO lake tables,
+    each under its own exactly-once route cursor. Returns the union of
+    both final states tagged by route. Oracle: the portable replay split
+    by the same parity predicate - routing a change stream commutes with
+    per-key replay."""
+    import atexit
+    import shutil
+
+    from dataingestion_spark.lake import LakeTable
+    from dataingestion_spark.config import DatasetConfig
+    from dataingestion_spark.sources.datagen import gen_changes, write_change_files
+    from dataingestion_spark.streaming.pipeline import (
+        bootstrap_table, route_changes,
+    )
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("conv_id", T.StringType()),
+            T.StructField("turn_idx", T.IntegerType()),
+            T.StructField("role", T.StringType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("tool", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    tmp = tempfile.mkdtemp(prefix="cdc_route_")
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    changes = gen_changes(
+        spark, n_events=10_000, n_convs=80, max_turns=40, seed=42,
+        n_files=3, hash_mode="md5",
+    )
+    route = F.when(
+        F.substring("conv_id", -1, 1).cast("int") % 2 == 0, F.lit("even")
+    ).otherwise(F.lit("odd"))
+    write_change_files(changes.withColumn("table", route), f"{tmp}/landing")
+    routes = {
+        name: DatasetConfig(
+            name=name, table_path=f"{tmp}/{name}", num_buckets=4,
+            salt_buckets=4,
+        )
+        for name in ("even", "odd")
+    }
+    for cfg in routes.values():
+        bootstrap_table(spark, cfg, schema)
+    q = route_changes(spark, routes, f"{tmp}/landing", f"{tmp}/ckpt")
+    q.awaitTermination(240)
+    parts = [
+        LakeTable(spark, routes[name].table_path)
+        .read()
+        .select(F.lit(name).alias("route"), *[f.name for f in schema.fields])
+        for name in ("even", "odd")
+    ]
+    return parts[0].unionAll(parts[1]).orderBy("conv_id", "turn_idx")
+
+
 def q_cdc_zorder_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order clustered serving read (Delta OPTIMIZE ZORDER / Iceberg
     sort-order analog, lake/zorder.py): replay the flagship binlog,
@@ -1783,6 +1843,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_point_lookup_bloom": q_cdc_point_lookup_bloom,
         "cdc_rebucket": q_cdc_rebucket,
         "cdc_zorder_prune": q_cdc_zorder_prune,
+        "cdc_route_fanout": q_cdc_route_fanout,
         "cdc_agg_view": q_cdc_agg_view,
         "doc_redact_pii": q_doc_redact_pii,
         "media_frame_sample": q_media_frame_sample,
@@ -2765,6 +2826,13 @@ def oracle_sql() -> dict[str, str]:
             "SELECT * FROM ("
             + _replay_sql(n_events=10_000, n_convs=80, max_turns=40, seed=42)
             + ") WHERE turn_idx BETWEEN 5 AND 20"
+        ),
+        "cdc_route_fanout": (
+            "SELECT CASE WHEN CAST(substr(conv_id, length(conv_id), 1)"
+            "                  AS INTEGER) % 2 = 0"
+            "            THEN 'even' ELSE 'odd' END AS route, * FROM ("
+            + _replay_sql(n_events=10_000, n_convs=80, max_turns=40, seed=42)
+            + ")"
         ),
         "cdc_dataset_release": _replay_sql(
             n_events=10_000, n_convs=80, max_turns=40, seed=42,

@@ -320,6 +320,22 @@ def main(argv: list[str] | None = None) -> int:
         "(default: all)",
     )
 
+    p = sub.add_parser("route")
+    _add_common(p)
+    p.add_argument(
+        "--configs", required=True,
+        help="comma-separated dataset config paths; each config's `name` "
+        "is its route key (the value of --table-col selecting it)",
+    )
+    p.add_argument("--source", required=True, help="staged change-log dir")
+    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--table-col", default="table")
+    p.add_argument(
+        "--on-unrouted", default="fail", choices=["fail", "ignore"]
+    )
+    p.add_argument("--lineage", default=None)
+    p.add_argument("--trigger", default=None)
+
     p = sub.add_parser("feed")
     _add_common(p)
     p.add_argument("--src-table", required=True, help="source lake table path")
@@ -733,6 +749,28 @@ def main(argv: list[str] | None = None) -> int:
         else:
             q.awaitTermination()
         print(json.dumps({"version": tbl.current_version()}))
+    elif a.cmd == "route":
+        from dataingestion_spark.streaming.pipeline import route_changes
+
+        routes = {}
+        for path in (p.strip() for p in a.configs.split(",") if p.strip()):
+            cfg = DatasetConfig.load(path)
+            routes[cfg.name] = cfg
+            bootstrap_table(spark, cfg, TRANSCRIPT_SCHEMA)
+        q = route_changes(
+            spark, routes, a.source, a.checkpoint,
+            table_col=a.table_col, on_unrouted=a.on_unrouted,
+            lineage_path=a.lineage, trigger=a.trigger,
+        )
+        q.awaitTermination()
+        print(
+            json.dumps(
+                {
+                    name: LakeTable(spark, cfg.table_path).current_version()
+                    for name, cfg in routes.items()
+                }
+            )
+        )
     elif a.cmd == "feed":
         from dataingestion_spark.lake.sync import emit_feed
 

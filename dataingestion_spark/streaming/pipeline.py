@@ -431,6 +431,155 @@ def subscribe_feed(
     )
 
 
+def route_changes(
+    spark: SparkSession,
+    routes: dict[str, DatasetConfig],
+    source_dir: str,
+    checkpoint_dir: str,
+    schema: T.StructType | None = None,
+    table_col: str = "table",
+    on_unrouted: str = "fail",
+    lineage_path: str | None = None,
+    transformers: dict[str, Callable[[DataFrame], DataFrame]] | None = None,
+    max_files_per_trigger: int | None = None,
+    max_bytes_per_trigger: int | str | None = None,
+    available_now: bool = True,
+    trigger: str | None = None,
+    source_format: str = "parquet",
+    reader_options: dict | None = None,
+) -> StreamingQuery:
+    """Multi-table CDC router (Debezium-server topic-routing analog): ONE
+    change stream whose rows carry a ``table_col`` discriminator fans out
+    into N lake tables, each with its own per-table exactly-once cursor.
+    This is the server-side shape of real CDC at scale - a single binlog/
+    WAL connector emits every table's changes interleaved; running one
+    pipeline per table re-reads the wire N times, the router reads it
+    once.
+
+    Per micro-batch: pin the batch (one read feeds every route), list the
+    DISTINCT table names present (one O(#tables)-row job - bounded by the
+    route count, never by batch size), then for each matching route
+    project to that table's CURRENT schema (wire schema is the UNION of
+    all routed tables; columns a table doesn't declare are dropped for
+    it - per-table schema evolution still works by evolving the TABLE,
+    after which the projection passes the new column through) and run the
+    standard exactly-once MERGE under pipeline id
+    ``route::<name>::<ckpt_tag>``. A crash mid-fan-out replays the whole
+    micro-batch; routes that already committed skip via their epoch
+    markers, so each table is exactly-once independently (markers need
+    not be contiguous - an epoch with no rows for a table is simply
+    absent from its history).
+
+    ``on_unrouted``: ``"fail"`` (default) aborts the batch when the
+    stream carries a table name with no route - the fail-fast contract
+    for a misconfigured connector; ``"ignore"`` drops those rows (counted
+    in lineage when enabled). ``transformers`` maps route name to a
+    per-route transform applied before the gate."""
+    if on_unrouted not in ("fail", "ignore"):
+        raise ValueError(f"on_unrouted must be fail|ignore, got {on_unrouted!r}")
+    _validate_trigger(trigger)
+    tables = {name: LakeTable(spark, cfg.table_path) for name, cfg in routes.items()}
+    lineage = LineageLog(spark, lineage_path) if lineage_path else None
+    ckpt_tag = hashlib.md5(
+        str(Path(checkpoint_dir).resolve()).encode()
+    ).hexdigest()[:8]
+
+    def process_batch(batch: DataFrame, epoch_id: int) -> None:
+        if table_col not in batch.columns:
+            raise ValueError(
+                f"route_changes needs discriminator column {table_col!r} "
+                f"in the stream; got {batch.columns}"
+            )
+        batch = batch.persist()
+        try:
+            present = sorted(
+                r[0]
+                for r in batch.select(table_col).distinct().collect()
+                if r[0] is not None
+            )
+            unrouted = [n for n in present if n not in routes]
+            if unrouted and on_unrouted == "fail":
+                raise ValueError(
+                    f"no route for table(s) {unrouted}; routes know "
+                    f"{sorted(routes)} (on_unrouted='ignore' to drop)"
+                )
+            for name in present:
+                if name not in routes:
+                    continue
+                cfg, tbl = routes[name], tables[name]
+                t0 = time.time()
+                df = batch.filter(F.col(table_col) == name).drop(table_col)
+                fn = (transformers or {}).get(name)
+                if fn is not None:
+                    df = fn(df)
+                declared = {f.name for f in tbl.snapshot().schema.fields}
+                keep = [
+                    c
+                    for c in df.columns
+                    if c in declared
+                    or c in ("op", "source_file")
+                    or c in cfg.order_fields
+                ]
+                df = df.select(*keep)
+                pipeline_id = f"route::{name}::{ckpt_tag}"
+                snap = tbl.merge(
+                    df,
+                    pipeline_id=pipeline_id,
+                    epoch_id=epoch_id,
+                    fail_on_breaking=cfg.fail_on_breaking_schema,
+                    evolution_policy=getattr(cfg, "evolution_policy", "full"),
+                    hot_key_threshold=cfg.hot_key_threshold,
+                    salt_buckets=cfg.salt_buckets,
+                    write_mode=getattr(cfg, "write_mode", "cow"),
+                    update_mode=getattr(cfg, "update_mode", "full"),
+                    collect_file_stats=lineage is not None,
+                )
+                if lineage is not None:
+                    lineage.record_epoch(
+                        pipeline_id=pipeline_id,
+                        epoch_id=epoch_id,
+                        batch=df if snap is not None else None,
+                        applied_events=(
+                            snap.summary.get("applied_events") if snap else 0
+                        ),
+                        snapshot_version=(snap.version if snap else None),
+                        duration_ms=int((time.time() - t0) * 1000),
+                        status=(
+                            "SUCCESS"
+                            if snap is not None
+                            else "SKIPPED_DUPLICATE_EPOCH"
+                        ),
+                        file_stats=(
+                            snap.summary.get("file_stats") if snap else None
+                        ),
+                    )
+        finally:
+            batch.unpersist()
+
+    if schema is None:
+        if source_format != "parquet":
+            raise ValueError(
+                f"schema inference is parquet-only; pass an explicit "
+                f"schema for source_format={source_format!r}"
+            )
+        schema = spark.read.parquet(source_dir).schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    if max_bytes_per_trigger:
+        reader = reader.option("maxBytesPerTrigger", max_bytes_per_trigger)
+    for k, v in (reader_options or {}).items():
+        reader = reader.option(k, v)
+    stream = reader.format(source_format).load(source_dir)
+    writer = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    writer = _with_trigger(writer, trigger, available_now)
+    return writer.start()
+
+
 def bootstrap_table(
     spark: SparkSession, config: DatasetConfig, schema: T.StructType
 ) -> LakeTable:
