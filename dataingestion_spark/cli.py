@@ -275,6 +275,16 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--config", required=True)
     p.add_argument("--with-sizes", action="store_true")
 
+    p = sub.add_parser("meta")
+    _add_common(p)
+    p.add_argument("--config", required=True)
+    p.add_argument(
+        "--kind", required=True,
+        choices=["snapshots", "files", "partitions", "manifests"],
+    )
+    p.add_argument("--version", type=int, default=None)
+    p.add_argument("--limit", type=int, default=1000)
+
     p = sub.add_parser("history")
     _add_common(p)
     p.add_argument("--config", required=True)
@@ -607,6 +617,11 @@ def main(argv: list[str] | None = None) -> int:
         cfg = DatasetConfig.load(a.config)
         tbl = LakeTable(spark, cfg.table_path)
         print(json.dumps(tbl.describe(with_sizes=a.with_sizes)))
+    elif a.cmd == "meta":
+        cfg = DatasetConfig.load(a.config)
+        tbl = LakeTable(spark, cfg.table_path)
+        for line in tbl.meta(a.kind, version=a.version).toJSON().take(a.limit):
+            print(line)
     elif a.cmd == "history":
         cfg = DatasetConfig.load(a.config)
         tbl = LakeTable(spark, cfg.table_path)

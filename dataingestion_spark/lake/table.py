@@ -50,6 +50,7 @@ Scale design points (10^10-event replay, SURVEY.md §4/§7):
 
 from __future__ import annotations
 
+import datetime
 import json
 import os
 import re
@@ -3520,6 +3521,108 @@ class LakeTable:
         if not due:
             return None
         return self.compact(buckets=sorted(due))
+
+    def meta(self, kind: str, version: int | None = None) -> DataFrame:
+        """Queryable METADATA TABLES (Iceberg ``table$files`` /
+        ``$snapshots`` / ``$partitions`` / ``$manifests`` analog): the
+        table's own bookkeeping as DataFrames, so ops questions ("which
+        commit grew the table?", "how skewed are the buckets?", "what
+        does epoch 17 reference?") are ordinary Spark queries instead of
+        bespoke scripts.
+
+        Kinds:
+          - ``snapshots``: one row per RETAINED snapshot - version,
+            parent, operation, committed_at, schema_version, num_buckets,
+            file/delta counts, tags, summary (JSON string).
+          - ``files``: one row per file referenced by the target snapshot
+            (base AND delta) - bucket, path, kind, size_bytes, row_count.
+          - ``partitions``: per-bucket rollup of ``files``.
+          - ``manifests``: bucket -> manifest ref of the target snapshot.
+
+        Cost model matches Iceberg's metadata scans: driver-side over the
+        manifests, O(retained snapshots) or O(referenced files) - file
+        rows read each parquet FOOTER (row counts/sizes), never data.
+        The result is a normal DataFrame; at realistic file counts
+        (thousands per table) this is a single small partition."""
+        snap = self.snapshot(version)
+        if kind == "snapshots":
+            by_version: dict[int, list[str]] = {}
+            for t, v in self.tags().items():
+                by_version.setdefault(int(v), []).append(t)
+            rows = [
+                (
+                    s.version,
+                    s.parent,
+                    s.operation,
+                    datetime.datetime.fromtimestamp(
+                        s.committed_at, datetime.timezone.utc
+                    ),
+                    s.schema_version,
+                    s.num_buckets,
+                    sum(len(f) for f in s.files.values()),
+                    sum(len(f) for f in s.deltas.values()),
+                    sorted(by_version.get(s.version, [])),
+                    json.dumps(s.summary, sort_keys=True),
+                )
+                for s in self.history()
+            ]
+            schema = (
+                "version long, parent long, operation string, "
+                "committed_at timestamp, schema_version long, "
+                "num_buckets long, data_files long, delta_files long, "
+                "tags array<string>, summary string"
+            )
+            return self.spark.createDataFrame(rows, schema)
+        if kind == "files":
+            import pyarrow.parquet as pq
+
+            rows = []
+            for fkind, fmap in (("base", snap.files), ("delta", snap.deltas)):
+                for b, rels in fmap.items():
+                    for rel in rels:
+                        p = self.root / rel
+                        md = pq.ParquetFile(str(p)).metadata
+                        rows.append(
+                            (
+                                int(b), rel, fkind,
+                                p.stat().st_size, md.num_rows,
+                                md.num_row_groups,
+                            )
+                        )
+            schema = (
+                "bucket int, path string, kind string, size_bytes long, "
+                "row_count long, row_groups long"
+            )
+            return self.spark.createDataFrame(rows, schema)
+        if kind == "partitions":
+            files = self.meta("files", version)
+            return (
+                files.groupBy("bucket")
+                .agg(
+                    F.sum(F.when(F.col("kind") == "base", 1).otherwise(0))
+                    .cast("long").alias("data_files"),
+                    F.sum(F.when(F.col("kind") == "delta", 1).otherwise(0))
+                    .cast("long").alias("delta_files"),
+                    F.sum("size_bytes").alias("size_bytes"),
+                    F.sum("row_count").alias("row_count"),
+                )
+                .orderBy("bucket")
+            )
+        if kind == "manifests":
+            rows = [
+                (int(b), ref, len(snap.files.get(b, [])), len(snap.deltas.get(b, [])))
+                for b, ref in sorted(
+                    snap.manifest_refs.items(), key=lambda kv: int(kv[0])
+                )
+            ]
+            return self.spark.createDataFrame(
+                rows,
+                "bucket int, manifest string, data_files long, delta_files long",
+            )
+        raise ValueError(
+            f"unknown metadata table {kind!r} "
+            "(snapshots|files|partitions|manifests)"
+        )
 
     def describe(self, version: int | None = None, with_sizes: bool = False) -> dict:
         """Table-health report for operators and maintenance schedulers,
