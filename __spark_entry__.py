@@ -900,6 +900,46 @@ def q_cdc_rebucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tbl.read().orderBy("conv_id", "turn_idx")
 
 
+def q_cdc_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative batch MERGE INTO (LakeTable.merge_into, the Delta/
+    Iceberg MERGE user API compiled onto the canonical LWW op merge):
+    replay the flagship binlog, then apply ONE declarative merge - WHEN
+    MATCHED AND role='tool' THEN DELETE, WHEN MATCHED THEN UPDATE SET
+    text='[backfill]', WHEN NOT MATCHED THEN INSERT - whose source is
+    the '%3' conversations plus five brand-new rows. The batch is
+    stamped at next_lsn() so the LWW guard ranks it newer than all
+    applied history. Oracle: the portable replay with the same CASE /
+    anti-filter / UNION applied in SQL."""
+    import datetime as _dt
+
+    tbl = _flagship_table(spark, "cdc_mrgi_")
+    from pyspark.sql import types as T
+
+    schema = tbl.snapshot().schema
+    ins = spark.createDataFrame(
+        [
+            (f"conv_new_{i}", 0, "user", f"hello {i}", None,
+             _dt.datetime(2024, 1, 1))
+            for i in range(5)
+        ],
+        schema,
+    )
+    src = (
+        tbl.read()
+        .filter("conv_id LIKE '%3'")
+        .select(*[f.name for f in schema.fields])
+        .unionAll(ins)
+    )
+    tbl.merge_into(
+        src,
+        when_matched_update=True,
+        when_matched_delete="role = 'tool'",
+        when_not_matched_insert=True,
+        update_assignments={"text": "[backfill]"},
+    )
+    return tbl.read().orderBy("conv_id", "turn_idx")
+
+
 def q_cdc_route_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-table CDC router (streaming/pipeline.py route_changes, the
     Debezium-server topic-routing analog): the flagship binlog tagged
@@ -1844,6 +1884,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_rebucket": q_cdc_rebucket,
         "cdc_zorder_prune": q_cdc_zorder_prune,
         "cdc_route_fanout": q_cdc_route_fanout,
+        "cdc_merge_into": q_cdc_merge_into,
         "cdc_agg_view": q_cdc_agg_view,
         "doc_redact_pii": q_doc_redact_pii,
         "media_frame_sample": q_media_frame_sample,
@@ -2833,6 +2874,20 @@ def oracle_sql() -> dict[str, str]:
             "            THEN 'even' ELSE 'odd' END AS route, * FROM ("
             + _replay_sql(n_events=10_000, n_convs=80, max_turns=40, seed=42)
             + ")"
+        ),
+        "cdc_merge_into": (
+            "SELECT conv_id, turn_idx, role,"
+            " CASE WHEN conv_id LIKE '%3' THEN '[backfill]' ELSE text END"
+            "   AS text, tool, ts"
+            " FROM ("
+            + _replay_sql(n_events=10_000, n_convs=80, max_turns=40, seed=42)
+            + ") WHERE NOT (conv_id LIKE '%3' AND role = 'tool')"
+            " UNION ALL"
+            " SELECT 'conv_new_' || CAST(range AS VARCHAR) AS conv_id,"
+            " CAST(0 AS INTEGER) AS turn_idx, 'user' AS role,"
+            " 'hello ' || CAST(range AS VARCHAR) AS text,"
+            " CAST(NULL AS VARCHAR) AS tool,"
+            " TIMESTAMP '2024-01-01' AS ts FROM range(5)"
         ),
         "cdc_dataset_release": _replay_sql(
             n_events=10_000, n_convs=80, max_turns=40, seed=42,

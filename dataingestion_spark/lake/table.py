@@ -2654,6 +2654,159 @@ class LakeTable:
             lambda: self._dml_once(condition, assignments, **kwargs)
         )
 
+    def next_lsn(self) -> int:
+        """Smallest lsn strictly greater than every stored ``_lsn`` -
+        the change-timeline position a batch DML/MERGE INTO stamps so the
+        LWW guard ranks it newer than all applied history. Driver-side
+        from the file-stats sidecars when they cover ``_lsn`` in every
+        referenced file (zero jobs); one max aggregate over the resolved
+        table otherwise."""
+        snap = self.snapshot()
+        rels = [
+            f
+            for fl in list(snap.files.values()) + list(snap.deltas.values())
+            for f in fl
+        ]
+        if not rels:
+            return 1
+        stats = self._stats_for(rels)
+        hi, covered = 0, True
+        for rel in rels:
+            s = stats.get(rel, {}).get(LSN_COL)
+            if not s or not isinstance(s[1], (int, float)):
+                covered = False
+                break
+            hi = max(hi, int(s[1]))
+        if not covered:
+            buckets = sorted(
+                {int(b) for b in snap.files} | {int(b) for b in snap.deltas}
+            )
+            row = (
+                self._resolved(snap, buckets).agg(F.max(LSN_COL)).collect()[0]
+            )
+            hi = int(row[0] or 0)
+        return hi + 1
+
+    def merge_into(
+        self,
+        source: DataFrame,
+        when_matched_update=None,
+        when_matched_delete=None,
+        when_not_matched_insert=True,
+        update_assignments: dict | None = None,
+        pipeline_id: str | None = None,
+        epoch_id: int | None = None,
+        **merge_kwargs,
+    ) -> Snapshot | None:
+        """Declarative batch MERGE (the Delta/Iceberg ``MERGE INTO t
+        USING s ON pk WHEN MATCHED [AND cond] THEN UPDATE/DELETE WHEN NOT
+        MATCHED [AND cond] THEN INSERT`` user API) for sources that are
+        plain row batches, not op-labeled change streams - backfills,
+        dimension refreshes, corrections landing beside the CDC feed.
+
+        Each ``when_*`` argument is that clause's condition: ``None`` =
+        clause absent, ``True`` = unconditional, a SQL string / Column =
+        evaluated over the SOURCE row. Rows matching no applicable clause
+        are no-ops. When both matched clauses apply to a row, DELETE wins
+        (destructive intent must be explicit, so it is never shadowed).
+        ``update_assignments`` optionally maps column -> value for the
+        UPDATE arm (``SET col = expr``; RHS sees the SOURCE row,
+        evaluated in one projection so assignments never observe each
+        other); without it UPDATE is a full-row replace by the source
+        row. The source must be pk-unique (fail-fast otherwise: MERGE
+        semantics are undefined for multiple source matches - the same
+        error Delta raises) and carry the table's payload columns.
+
+        Compilation, all on existing machinery: label source rows
+        matched/not-matched with one bucket-pruned point-lookup join
+        (:meth:`read_keys` - priced by the SOURCE's buckets, never the
+        table; a tombstoned key is NOT matched, so re-insert works),
+        compile the clauses into the canonical op column, stamp the
+        batch at :meth:`next_lsn` (newer than all applied history, so
+        the LWW guard lets it win; a later CDC event with a higher lsn
+        still supersedes it - the stream stays the source of truth), and
+        run the standard exactly-once :meth:`merge`."""
+
+        def _cond(c):
+            if c is None or c is False:
+                return None
+            if c is True:
+                return F.lit(True)
+            return F.expr(c) if isinstance(c, str) else c
+
+        upd, dele, ins = (
+            _cond(when_matched_update),
+            _cond(when_matched_delete),
+            _cond(when_not_matched_insert),
+        )
+        if upd is None and dele is None and ins is None:
+            raise ValueError("merge_into needs at least one WHEN clause")
+        snap = self.snapshot()
+        pk = list(snap.pk_fields)
+        reserved = {"op", "_matched"} & set(source.columns)
+        if reserved:
+            raise ValueError(
+                f"source must not carry reserved column(s) {sorted(reserved)}"
+            )
+        dup = (
+            source.groupBy(*pk).count().filter(F.col("count") > 1).take(1)
+        )
+        if dup:
+            raise ValueError(
+                f"source is not pk-unique on {pk} (e.g. "
+                f"{ {c: dup[0][c] for c in pk} }); MERGE INTO semantics "
+                "are undefined for multiple source matches"
+            )
+        live_keys = self.read_keys(source.select(*pk)).select(
+            *pk, F.lit(True).alias("_matched")
+        )
+        labeled = source.join(live_keys, on=pk, how="left")
+        matched = F.coalesce(F.col("_matched"), F.lit(False))
+        op = F.lit(None).cast("string")
+        if ins is not None:
+            op = F.when(~matched & ins, F.lit("INSERT")).otherwise(op)
+        if upd is not None:
+            op = F.when(matched & upd, F.lit("UPDATE")).otherwise(op)
+        if dele is not None:  # last WHEN wins in a when-chain: DELETE first
+            op = F.when(matched & dele, F.lit("DELETE")).otherwise(op)
+        # materialize op BEFORE assignments so an assignment to a column
+        # a clause condition references can never re-resolve the clause
+        df = (
+            labeled.select(*source.columns, op.alias("op"))
+            .filter(F.col("op").isNotNull())
+        )
+        if update_assignments:
+            schema_cols = {f.name: f.dataType for f in snap.schema.fields}
+            bad = [
+                c
+                for c in update_assignments
+                if c not in schema_cols or c in pk
+            ]
+            if bad:
+                raise ValueError(
+                    f"merge_into cannot assign {bad}: pk or unknown column"
+                )
+            proj = []
+            for c in df.columns:
+                if c in update_assignments:
+                    v = update_assignments[c]
+                    val = v if isinstance(v, Column) else F.lit(v)
+                    proj.append(
+                        F.when(
+                            F.col("op") == "UPDATE", val.cast(schema_cols[c])
+                        )
+                        .otherwise(F.col(c))
+                        .alias(c)
+                    )
+                else:
+                    proj.append(F.col(c))
+            df = df.select(*proj)
+        lsn_col = snap.order_fields[0] if snap.order_fields else "lsn"
+        df = df.withColumn(lsn_col, F.lit(self.next_lsn()).cast("long"))
+        return self.merge(
+            df, pipeline_id=pipeline_id, epoch_id=epoch_id, **merge_kwargs
+        )
+
     def _merge_once(
         self,
         changes: DataFrame,
