@@ -343,6 +343,11 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument(
         "--on-unrouted", default="fail", choices=["fail", "ignore"]
     )
+    p.add_argument(
+        "--quarantine", default=None,
+        help="dead-letter root; each route's rejects land under "
+        "<dir>/<route>/epoch=N",
+    )
     p.add_argument("--lineage", default=None)
     p.add_argument("--trigger", default=None)
 
@@ -775,6 +780,7 @@ def main(argv: list[str] | None = None) -> int:
         q = route_changes(
             spark, routes, a.source, a.checkpoint,
             table_col=a.table_col, on_unrouted=a.on_unrouted,
+            quarantine_dir=a.quarantine,
             lineage_path=a.lineage, trigger=a.trigger,
         )
         q.awaitTermination()

@@ -439,6 +439,7 @@ def route_changes(
     schema: T.StructType | None = None,
     table_col: str = "table",
     on_unrouted: str = "fail",
+    quarantine_dir: str | None = None,
     lineage_path: str | None = None,
     transformers: dict[str, Callable[[DataFrame], DataFrame]] | None = None,
     max_files_per_trigger: int | None = None,
@@ -474,7 +475,13 @@ def route_changes(
     stream carries a table name with no route - the fail-fast contract
     for a misconfigured connector; ``"ignore"`` drops those rows (counted
     in lineage when enabled). ``transformers`` maps route name to a
-    per-route transform applied before the gate."""
+    per-route transform applied before the gate.
+
+    ``quarantine_dir`` enables the per-route dead-letter gate: each
+    route's unmergeable rows (null pk/lsn, unknown op, that route's
+    CHECK-constraint violations) land under ``<dir>/<route>/epoch=<n>``
+    (overwrite per epoch - idempotent beside the markers), replayable
+    per table with ``requeue_quarantine``."""
     if on_unrouted not in ("fail", "ignore"):
         raise ValueError(f"on_unrouted must be fail|ignore, got {on_unrouted!r}")
     _validate_trigger(trigger)
@@ -512,6 +519,27 @@ def route_changes(
                 fn = (transformers or {}).get(name)
                 if fn is not None:
                     df = fn(df)
+                n_quarantined = None
+                pipeline_id = f"route::{name}::{ckpt_tag}"
+                if quarantine_dir is not None:
+                    from dataingestion_spark.sources.quarantine import (
+                        split_invalid,
+                    )
+
+                    df, bad = split_invalid(
+                        df, list(cfg.pk_fields),
+                        lsn_col=cfg.order_fields[0],
+                        constraints=list(
+                            getattr(cfg, "constraints", []) or []
+                        ),
+                    )
+                    n_quarantined = bad.count()
+                    if n_quarantined:
+                        bad.withColumn(
+                            "_q_pipeline", F.lit(pipeline_id)
+                        ).write.mode("overwrite").parquet(
+                            f"{quarantine_dir}/{name}/epoch={epoch_id}"
+                        )
                 declared = {f.name for f in tbl.snapshot().schema.fields}
                 keep = [
                     c
@@ -521,7 +549,6 @@ def route_changes(
                     or c in cfg.order_fields
                 ]
                 df = df.select(*keep)
-                pipeline_id = f"route::{name}::{ckpt_tag}"
                 snap = tbl.merge(
                     df,
                     pipeline_id=pipeline_id,
@@ -552,6 +579,7 @@ def route_changes(
                         file_stats=(
                             snap.summary.get("file_stats") if snap else None
                         ),
+                        quarantined_events=n_quarantined,
                     )
         finally:
             batch.unpersist()

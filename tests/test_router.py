@@ -119,6 +119,63 @@ def test_router_projects_to_each_tables_schema(spark, tmp_path):
     )
 
 
+def test_router_per_route_quarantine_and_requeue(spark, tmp_path):
+    """The DLQ gate composes with the router: each route's unmergeable
+    rows land under <dir>/<route>/epoch=N, the clean subset merges, and
+    requeue_quarantine recovers each table independently."""
+    from dataingestion_spark.sources.quarantine import requeue_quarantine
+
+    d = {k: str(tmp_path / k) for k in ("landing", "ckpt", "ta", "tb")}
+    changes = gen_changes(
+        spark, n_events=4_000, n_convs=60, n_files=3, seed=13
+    ).persist()
+    # poison: every INSERT with lsn%11==0 loses its op (curable by a fix)
+    poisoned = changes.withColumn(
+        "op",
+        F.when(
+            (F.col("lsn") % 11 == 0) & (F.col("op") == "INSERT"), F.lit("??")
+        ).otherwise(F.col("op")),
+    ).withColumn("table", _route_expr())
+    write_change_files(poisoned, d["landing"])
+    pdf = changes.toPandas()
+    changes.unpersist()
+    pdf["route"] = (pdf["conv_id"].str[-1].astype(int) % 2).map(
+        {0: "even", 1: "odd"}
+    )
+    routes = _configs(d)
+    for cfg in routes.values():
+        bootstrap_table(spark, cfg, TRANSCRIPT_SCHEMA)
+    dlq = str(tmp_path / "dlq")
+    q = route_changes(
+        spark, routes, d["landing"], d["ckpt"], quarantine_dir=dlq
+    )
+    q.awaitTermination(240)
+
+    bad = (pdf["lsn"] % 11 == 0) & (pdf["op"] == "INSERT")
+    assert_table_equals_oracle(
+        LakeTable(spark, d["ta"]).read(),
+        oracle.replay(pdf[(pdf.route == "even") & ~bad]),
+    )
+    # per-route DLQ dirs hold exactly that route's rejects
+    for name, path_key in (("even", "ta"), ("odd", "tb")):
+        n_dlq = spark.read.parquet(f"{dlq}/{name}").count()
+        assert n_dlq == int((bad & (pdf.route == name)).sum())
+        out = requeue_quarantine(
+            LakeTable(spark, d[path_key]), f"{dlq}/{name}",
+            fix=lambda df: df.withColumn(
+                "op",
+                F.when(F.col("op") == "??", F.lit("INSERT")).otherwise(
+                    F.col("op")
+                ),
+            ),
+        )
+        assert out["requeued"] == n_dlq
+        assert_table_equals_oracle(
+            LakeTable(spark, d[path_key]).read(),
+            oracle.replay(pdf[pdf.route == name]),
+        )
+
+
 def test_router_bad_args_fail_fast(spark, tmp_path):
     with pytest.raises(ValueError, match="fail|ignore"):
         route_changes(
