@@ -275,6 +275,15 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--config", required=True)
     p.add_argument("--with-sizes", action="store_true")
 
+    p = sub.add_parser("ndv")
+    _add_common(p)
+    p.add_argument("--config", required=True)
+    p.add_argument(
+        "--cols", required=True, help="comma-separated columns to sketch"
+    )
+    p.add_argument("--lg-k", type=int, default=None)
+    p.add_argument("--rebuild", action="store_true")
+
     p = sub.add_parser("meta")
     _add_common(p)
     p.add_argument("--config", required=True)
@@ -622,6 +631,13 @@ def main(argv: list[str] | None = None) -> int:
         cfg = DatasetConfig.load(a.config)
         tbl = LakeTable(spark, cfg.table_path)
         print(json.dumps(tbl.describe(with_sizes=a.with_sizes)))
+    elif a.cmd == "ndv":
+        cfg = DatasetConfig.load(a.config)
+        tbl = LakeTable(spark, cfg.table_path)
+        cols = [c.strip() for c in a.cols.split(",") if c.strip()]
+        out = tbl.update_ndv_sketch(cols, lg_k=a.lg_k, rebuild=a.rebuild)
+        out["ndv"] = {c: tbl.approx_ndv(c, refresh=False) for c in cols}
+        print(json.dumps(out))
     elif a.cmd == "meta":
         cfg = DatasetConfig.load(a.config)
         tbl = LakeTable(spark, cfg.table_path)

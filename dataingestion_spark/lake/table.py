@@ -1302,6 +1302,133 @@ class LakeTable:
     # ------------------------------------------------------------------
     BLOOM_SPEC_HASH = "pandas-siphash-v1"
 
+    def update_ndv_sketch(
+        self,
+        cols: list[str],
+        lg_k: int = None,
+        rebuild: bool = False,
+    ) -> dict:
+        """Incrementally maintain per-bucket HLL NDV sketches under
+        ``_meta/ndv/`` (lake/ndv.py - the Iceberg puffin-blob / Delta
+        computeStats analog): ONE ``hll_sketch_agg`` job over only the
+        buckets whose file sets changed since the last call, grouped by
+        bucket, over LIVE rows (MOR resolved, tombstones out). Unchanged
+        buckets keep their sketch untouched - maintenance cost scales
+        with churn, never table size. Idempotent: a second call on the
+        same snapshot returns ``applied: False`` and runs no job.
+
+        One index, one precision: a call whose ``lg_k`` disagrees with
+        the recorded spec fails fast unless ``rebuild=True``. Adding NEW
+        columns to an existing index recomputes every bucket for those
+        columns (their sketches don't exist yet) but leaves existing
+        columns' fresh buckets alone."""
+        from dataingestion_spark.lake import ndv as N
+
+        snap = self.snapshot()
+        by_name = {f.name: f.dataType for f in snap.schema.fields}
+        unknown = [c for c in cols if c not in by_name]
+        if unknown:
+            raise ValueError(f"ndv columns not in schema: {unknown}")
+        bad = [c for c in cols if not N.sketchable(by_name[c])]
+        if bad:
+            raise ValueError(
+                f"ndv needs numeric/string/binary/timestamp/date columns; "
+                f"unsupported: {bad}"
+            )
+        store = N.NdvStore(self.root)
+        lg_k = int(lg_k or N.DEFAULT_LG_K)
+        spec = store.spec()
+        if spec is not None and not rebuild and spec["lg_k"] != lg_k:
+            raise ValueError(
+                f"ndv index already built with lg_k={spec['lg_k']}; one "
+                "index, one precision - pass rebuild=True to re-create"
+            )
+        if spec is None or rebuild:
+            if rebuild:
+                for b in store.buckets():
+                    store.drop_bucket(b)
+            spec = {"lg_k": lg_k, "cols": []}
+        all_cols = sorted(set(spec["cols"]) | set(cols))
+        live_buckets = sorted(set(snap.files) | set(snap.deltas), key=int)
+        stale: list[int] = []
+        prints: dict[int, str] = {}
+        for b in live_buckets:
+            fp = N.fingerprint(
+                list(snap.files.get(b, [])) + list(snap.deltas.get(b, []))
+            )
+            prints[int(b)] = fp
+            entry = store.load_bucket(b)
+            if entry.get("fingerprint") != fp or any(
+                c not in entry.get("sketches", {}) for c in all_cols
+            ):
+                stale.append(int(b))
+        for b in store.buckets():  # buckets no longer live (rebucket)
+            if str(b) not in set(snap.files) | set(snap.deltas):
+                store.drop_bucket(b)
+        if not stale:
+            if sorted(spec["cols"]) != all_cols:
+                store.write_spec({"lg_k": lg_k, "cols": all_cols})
+            return {"applied": False, "buckets_refreshed": 0}
+        df = self._resolved(snap, stale).filter(
+            ~F.coalesce(F.col(DELETED_COL), F.lit(False))
+        )
+        aggs = [
+            F.hll_sketch_agg(N.sketch_input(c, by_name[c]), F.lit(lg_k))
+            .alias(c)
+            for c in all_cols
+        ]
+        rows = {
+            int(r["_b"]): r
+            for r in df.groupBy(F.col(BUCKET_COL).alias("_b")).agg(*aggs).collect()
+        }
+        for b in stale:
+            r = rows.get(b)
+            store.write_bucket(
+                b,
+                {
+                    "fingerprint": prints[b],
+                    "sketches": {
+                        c: (N.NdvStore.encode(r[c]) if r and r[c] else None)
+                        for c in all_cols
+                    },
+                },
+            )
+        store.write_spec({"lg_k": lg_k, "cols": all_cols})
+        return {"applied": True, "buckets_refreshed": len(stale)}
+
+    def approx_ndv(self, col: str, refresh: bool = True) -> int:
+        """Approximate COUNT(DISTINCT col) over live rows from the
+        per-bucket HLL sketches: refresh stale buckets (one job over only
+        the churned buckets; ``refresh=False`` serves the possibly-stale
+        stored estimate for zero jobs), then union the bucket sketches -
+        an O(buckets)-row job over ~1 KiB binaries, never a data scan.
+        HLL union is lossless, so sharding costs no accuracy
+        (~2.5% relative std error at the default lg_k=12)."""
+        from dataingestion_spark.lake import ndv as N
+
+        store = N.NdvStore(self.root)
+        spec = store.spec()
+        if refresh or spec is None or col not in (spec or {}).get("cols", []):
+            self.update_ndv_sketch(
+                [col], lg_k=(spec or {}).get("lg_k")
+            )
+        sketches = [
+            N.NdvStore.decode(s)
+            for b in store.buckets()
+            if (s := store.load_bucket(b).get("sketches", {}).get(col))
+        ]
+        if not sketches:
+            return 0
+        df = self.spark.createDataFrame(
+            [(s,) for s in sketches],
+            T.StructType([T.StructField("sk", T.BinaryType())]),
+        )
+        return int(
+            df.agg(
+                F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("ndv")
+            ).collect()[0]["ndv"]
+        )
+
     def update_bloom_index(
         self,
         bits_per_key: int = 10,
