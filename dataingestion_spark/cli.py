@@ -275,6 +275,14 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--config", required=True)
     p.add_argument("--with-sizes", action="store_true")
 
+    p = sub.add_parser("optimize")
+    _add_common(p)
+    p.add_argument("--config", required=True)
+    p.add_argument("--max-delta-files", type=int, default=8)
+    p.add_argument("--max-base-files", type=int, default=16)
+    p.add_argument("--keep-snapshots", type=int, default=10)
+    p.add_argument("--vacuum-grace-s", type=float, default=3600.0)
+
     p = sub.add_parser("ndv")
     _add_common(p)
     p.add_argument("--config", required=True)
@@ -631,6 +639,19 @@ def main(argv: list[str] | None = None) -> int:
         cfg = DatasetConfig.load(a.config)
         tbl = LakeTable(spark, cfg.table_path)
         print(json.dumps(tbl.describe(with_sizes=a.with_sizes)))
+    elif a.cmd == "optimize":
+        cfg = DatasetConfig.load(a.config)
+        tbl = LakeTable(spark, cfg.table_path)
+        print(
+            json.dumps(
+                tbl.optimize(
+                    max_delta_files_per_bucket=a.max_delta_files,
+                    max_base_files_per_bucket=a.max_base_files,
+                    keep_snapshots=a.keep_snapshots,
+                    vacuum_older_than_s=a.vacuum_grace_s,
+                )
+            )
+        )
     elif a.cmd == "ndv":
         cfg = DatasetConfig.load(a.config)
         tbl = LakeTable(spark, cfg.table_path)

@@ -3802,6 +3802,65 @@ class LakeTable:
             return None
         return self.compact(buckets=sorted(due))
 
+    def optimize(
+        self,
+        max_delta_files_per_bucket: int = 8,
+        max_base_files_per_bucket: int | None = 16,
+        keep_snapshots: int = 10,
+        vacuum_older_than_s: float = 3600.0,
+        refresh_indexes: bool = True,
+    ) -> dict:
+        """ONE maintenance pass (the ``OPTIMIZE`` ops entry point): run
+        every upkeep the table needs, in dependency order, each priced by
+        what actually changed - the scheduled job a production deployment
+        points at a table instead of remembering five commands.
+
+          1. policy compaction (:meth:`maybe_compact` - due buckets only;
+             a persistent sort order set via :meth:`set_sort_order` is
+             restored automatically by the rewrite),
+          2. retire rename mappings the rewrite made obsolete
+             (restores predicate pushdown on renamed columns),
+          3. refresh the bloom / NDV indexes IF PRESENT (never creates
+             them - opting into an index is a separate decision; refresh
+             touches only churned buckets),
+          4. expire snapshots beyond ``keep_snapshots`` (tags shielded),
+          5. vacuum orphans older than the grace window.
+
+        Every step is idempotent and crash-safe on its own (the same
+        commit/marker machinery as ingest), so optimize needs no
+        transaction around the sequence - a crash mid-pass leaves a
+        table a later pass finishes. Returns a step-by-step report."""
+        report: dict = {}
+        snap = self.maybe_compact(
+            max_delta_files_per_bucket=max_delta_files_per_bucket,
+            max_base_files_per_bucket=max_base_files_per_bucket,
+        )
+        report["compacted"] = (
+            snap.summary.get("compacted_buckets") if snap else []
+        )
+        report["retired_renames"] = self.retire_renames()
+        report["indexes"] = {}
+        if refresh_indexes:
+            from dataingestion_spark.lake import bloom as B
+            from dataingestion_spark.lake import ndv as N
+
+            if B.BloomIndexStore(self.root).spec() is not None:
+                spec = B.BloomIndexStore(self.root).spec()
+                report["indexes"]["bloom"] = self.update_bloom_index(
+                    bits_per_key=spec["bits_per_key"], k=spec["k"]
+                )
+            nspec = N.NdvStore(self.root).spec()
+            if nspec is not None and nspec.get("cols"):
+                report["indexes"]["ndv"] = self.update_ndv_sketch(
+                    list(nspec["cols"]), lg_k=nspec["lg_k"]
+                )
+        report["expired_snapshots"] = self.expire_snapshots(
+            keep_last=keep_snapshots
+        )
+        removed = self.vacuum(older_than_s=vacuum_older_than_s)
+        report["vacuumed"] = {k: len(v) for k, v in removed.items()}
+        return report
+
     def meta(self, kind: str, version: int | None = None) -> DataFrame:
         """Queryable METADATA TABLES (Iceberg ``table$files`` /
         ``$snapshots`` / ``$partitions`` / ``$manifests`` analog): the
