@@ -900,6 +900,24 @@ def q_cdc_rebucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tbl.read().orderBy("conv_id", "turn_idx")
 
 
+def q_cdc_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row TTL (LakeTable.apply_retention - the retention-delete pattern):
+    replay the flagship binlog, z-order the layout on (ts, turn_idx) so
+    time has file-level locality, then age out every row with
+    ts < 2023-11-14T23:20:00Z. The cutoff doubles as a file-stats prune
+    bound, so discovery touches only the aging boundary - on a 100 TB
+    time-clustered table the rewrite is the boundary region, never the
+    table. Oracle: the portable replay under the complementary
+    predicate."""
+    import datetime as _dt
+
+    tbl = _flagship_table(spark, "cdc_retn_")
+    tbl.set_sort_order(["ts", "turn_idx"], mode="zorder")
+    tbl.compact(max_records_per_file=2000)
+    tbl.apply_retention("ts", _dt.datetime(2023, 11, 14, 23, 20, 0))
+    return tbl.read().orderBy("conv_id", "turn_idx")
+
+
 def q_cdc_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declarative batch MERGE INTO (LakeTable.merge_into, the Delta/
     Iceberg MERGE user API compiled onto the canonical LWW op merge):
@@ -1885,6 +1903,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_zorder_prune": q_cdc_zorder_prune,
         "cdc_route_fanout": q_cdc_route_fanout,
         "cdc_merge_into": q_cdc_merge_into,
+        "cdc_retention": q_cdc_retention,
         "cdc_agg_view": q_cdc_agg_view,
         "doc_redact_pii": q_doc_redact_pii,
         "media_frame_sample": q_media_frame_sample,
@@ -2874,6 +2893,11 @@ def oracle_sql() -> dict[str, str]:
             "            THEN 'even' ELSE 'odd' END AS route, * FROM ("
             + _replay_sql(n_events=10_000, n_convs=80, max_turns=40, seed=42)
             + ")"
+        ),
+        "cdc_retention": (
+            "SELECT * FROM ("
+            + _replay_sql(n_events=10_000, n_convs=80, max_turns=40, seed=42)
+            + ") WHERE ts >= TIMESTAMP '2023-11-14 23:20:00'"
         ),
         "cdc_merge_into": (
             "SELECT conv_id, turn_idx, role,"

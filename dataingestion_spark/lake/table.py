@@ -2781,6 +2781,21 @@ class LakeTable:
             lambda: self._dml_once(condition, assignments, **kwargs)
         )
 
+    def apply_retention(self, col: str, cutoff) -> Snapshot | None:
+        """Row TTL (Iceberg/Delta retention-delete pattern): tombstone
+        every live row with ``col < cutoff`` - the age-out pass a
+        transcript lake runs for compliance windows and storage budgets.
+        A thin, correctly-priced composition: :meth:`delete_where` with
+        the cutoff ALSO passed as a file-stats prune bound, so discovery
+        skips every file whose min(col) is already past the cutoff - on
+        a time-clustered (or ts-z-ordered) table the rewrite touches
+        only the aging boundary region, never the table. Physical
+        erasure then completes through the normal chain:
+        ``compact(purge_tombstones_below_lsn=...)`` + expiry + vacuum."""
+        return self.delete_where(
+            F.col(col) < F.lit(cutoff), prune={col: (None, cutoff)}
+        )
+
     def next_lsn(self) -> int:
         """Smallest lsn strictly greater than every stored ``_lsn`` -
         the change-timeline position a batch DML/MERGE INTO stamps so the
