@@ -275,6 +275,14 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--config", required=True)
     p.add_argument("--with-sizes", action="store_true")
 
+    p = sub.add_parser("fsck")
+    _add_common(p)
+    p.add_argument("--config", required=True)
+    p.add_argument(
+        "--no-data", action="store_true",
+        help="skip the pk-uniqueness data job (metadata checks only)",
+    )
+
     p = sub.add_parser("optimize")
     _add_common(p)
     p.add_argument("--config", required=True)
@@ -639,6 +647,12 @@ def main(argv: list[str] | None = None) -> int:
         cfg = DatasetConfig.load(a.config)
         tbl = LakeTable(spark, cfg.table_path)
         print(json.dumps(tbl.describe(with_sizes=a.with_sizes)))
+    elif a.cmd == "fsck":
+        cfg = DatasetConfig.load(a.config)
+        tbl = LakeTable(spark, cfg.table_path)
+        report = tbl.verify_integrity(check_data=not a.no_data)
+        print(json.dumps(report))
+        return 0 if report["ok"] else 1
     elif a.cmd == "optimize":
         cfg = DatasetConfig.load(a.config)
         tbl = LakeTable(spark, cfg.table_path)

@@ -3817,6 +3817,98 @@ class LakeTable:
             return None
         return self.compact(buckets=sorted(due))
 
+    def verify_integrity(self, check_data: bool = True) -> dict:
+        """Table fsck - the invariant audit an operator runs after an
+        incident (disk loss, manual surgery, suspected bug) before
+        trusting the table again. Metadata checks are driver-side over
+        the manifests; ``check_data=True`` adds ONE Spark job asserting
+        the live-row pk-uniqueness invariant (the A2 contract every
+        merge preserves).
+
+        Checks:
+          * every file referenced by the current snapshot exists on disk
+            (base, delta, manifests);
+          * snapshot chain parents resolve within retained history
+            (older parents may be legitimately expired);
+          * bucket keys in files/deltas are within ``num_buckets``;
+          * index specs (bloom/NDV) agree with the current schema;
+          * live rows are pk-unique (data job, optional);
+          * orphan count (vacuum dry-run) - informational, not an error.
+
+        Returns ``{"ok": bool, "errors": [...], "warnings": [...],
+        "checked_files": n, "orphans": n}``. Never mutates anything."""
+        snap = self.snapshot()
+        errors: list[str] = []
+        warnings: list[str] = []
+        refs = [
+            ("base", rel)
+            for rels in snap.files.values()
+            for rel in rels
+        ] + [
+            ("delta", rel)
+            for rels in snap.deltas.values()
+            for rel in rels
+        ] + [("manifest", ref) for ref in snap.manifest_refs.values()]
+        for kind, rel in refs:
+            if not (self.root / rel).is_file():
+                errors.append(f"missing {kind} file: {rel}")
+        retained = set(self.retained_versions())
+        for v in retained:
+            s = self.snapshot(v)
+            if s.parent is not None and s.parent not in retained:
+                warnings.append(
+                    f"v{v} parent v{s.parent} expired (history truncated)"
+                )
+        for fmap, label in ((snap.files, "files"), (snap.deltas, "deltas")):
+            bad = [b for b in fmap if not 0 <= int(b) < snap.num_buckets]
+            if bad:
+                errors.append(
+                    f"{label} carry out-of-range bucket ids {bad} "
+                    f"(num_buckets={snap.num_buckets})"
+                )
+        from dataingestion_spark.lake import bloom as B
+        from dataingestion_spark.lake import ndv as N
+
+        bspec = B.BloomIndexStore(self.root).spec()
+        if bspec is not None and bspec.get("pk_fields") != list(snap.pk_fields):
+            errors.append(
+                f"bloom index built for pk {bspec.get('pk_fields')} but "
+                f"table pk is {list(snap.pk_fields)}"
+            )
+        nspec = N.NdvStore(self.root).spec()
+        if nspec is not None:
+            gone = [
+                c
+                for c in nspec.get("cols", [])
+                if c not in {f.name for f in snap.schema.fields}
+            ]
+            if gone:
+                warnings.append(f"ndv sketches track dropped column(s) {gone}")
+        if check_data and not errors:
+            pk = list(snap.pk_fields)
+            dup = (
+                self.read()
+                .groupBy(*pk)
+                .count()
+                .filter(F.col("count") > 1)
+                .take(1)
+            )
+            if dup:
+                errors.append(
+                    f"live rows are NOT pk-unique (e.g. "
+                    f"{ {c: dup[0][c] for c in pk} })"
+                )
+        orphans = sum(
+            len(v) for v in self.vacuum(dry_run=True, older_than_s=0).values()
+        )
+        return {
+            "ok": not errors,
+            "errors": errors,
+            "warnings": warnings,
+            "checked_files": len(refs),
+            "orphans": orphans,
+        }
+
     def optimize(
         self,
         max_delta_files_per_bucket: int = 8,

@@ -1,0 +1,83 @@
+"""Integrity audit (LakeTable.verify_integrity / `cli fsck`): the
+post-incident invariant check - referenced files exist, snapshot chain
+sane, bucket ids in range, index specs coherent, live rows pk-unique.
+Read-only by construction."""
+
+import json
+
+from pyspark.sql import functions as F
+
+from dataingestion_spark.config import DatasetConfig
+from dataingestion_spark.lake import LakeTable
+from dataingestion_spark.sources.datagen import gen_changes
+from tests.util import TRANSCRIPT_SCHEMA
+
+
+def _table(spark, tmp_path, name="t"):
+    tbl = LakeTable.create(
+        spark, str(tmp_path / name), TRANSCRIPT_SCHEMA,
+        pk_fields=["conv_id", "turn_idx"], order_fields=["lsn", "ts"],
+        num_buckets=4,
+    )
+    ch = gen_changes(spark, n_events=2_000, n_convs=30, seed=3)
+    tbl.merge(ch.filter(F.col("lsn") < 2_000), pipeline_id="p", epoch_id=0)
+    tbl.merge(ch.filter(F.col("lsn") >= 2_000), pipeline_id="p", epoch_id=1)
+    return tbl
+
+
+def test_fsck_healthy_and_orphan_count(spark, tmp_path):
+    tbl = _table(spark, tmp_path)
+    tbl.update_bloom_index()
+    tbl.update_ndv_sketch(["conv_id"])
+    report = tbl.verify_integrity()
+    assert report["ok"] and report["errors"] == []
+    assert report["checked_files"] > 0
+    # the epoch-1 COW rewrite replaced epoch-0 files still referenced by
+    # the retained v2 snapshot -> zero orphans yet; expiring history
+    # converts them to orphans, which fsck reports (informational)
+    tbl.expire_snapshots(keep_last=1)
+    after = tbl.verify_integrity(check_data=False)
+    assert after["ok"]
+    assert after["orphans"] > 0
+
+
+def test_fsck_detects_missing_file_and_cli_exit(spark, tmp_path):
+    tbl = _table(spark, tmp_path, name="bad")
+    victim = next(
+        rel for rels in tbl.snapshot().files.values() for rel in rels
+    )
+    (tbl.root / victim).unlink()
+    report = tbl.verify_integrity(check_data=False)
+    assert not report["ok"]
+    assert any("missing base file" in e for e in report["errors"])
+
+    from dataingestion_spark.cli import main
+
+    cfg = DatasetConfig(
+        name="bad", table_path=str(tbl.root), num_buckets=4, salt_buckets=4
+    )
+    cfg_path = tmp_path / "bad.json"
+    cfg.save(cfg_path)
+    rc = main(["fsck", "--config", str(cfg_path), "--no-data"])
+    assert rc == 1
+
+
+def test_fsck_flags_stale_index_specs(spark, tmp_path, capsys):
+    tbl = _table(spark, tmp_path, name="idx")
+    tbl.update_ndv_sketch(["tool"])
+    # drop 'tool' via rename (metadata-only) -> ndv tracks a gone name
+    tbl.rename_column("tool", "tool2")
+    report = tbl.verify_integrity(check_data=False)
+    assert report["ok"]  # warning, not an error
+    assert any("ndv sketches track dropped" in w for w in report["warnings"])
+
+    from dataingestion_spark.cli import main
+
+    cfg = DatasetConfig(
+        name="idx", table_path=str(tbl.root), num_buckets=4, salt_buckets=4
+    )
+    cfg_path = tmp_path / "idx.json"
+    cfg.save(cfg_path)
+    rc = main(["fsck", "--config", str(cfg_path)])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and out["ok"]
