@@ -354,6 +354,12 @@ def main(argv: list[str] | None = None) -> int:
         help="comma-separated _invalid_reason tags to requeue "
         "(default: all)",
     )
+    p.add_argument(
+        "--pipeline-id", default=None,
+        help="exactly-once cursor namespace; pass a FRESH id to replay "
+        "epochs a previous requeue ran with a wrong fix (safe: cured "
+        "rows re-merge as LWW no-ops)",
+    )
 
     p = sub.add_parser("route")
     _add_common(p)
@@ -749,6 +755,7 @@ def main(argv: list[str] | None = None) -> int:
 
         result = requeue_quarantine(
             tbl, a.quarantine, fix=fix,
+            pipeline_id=a.pipeline_id,
             reasons=(
                 [r.strip() for r in a.reasons.split(",") if r.strip()]
                 if a.reasons

@@ -46,13 +46,13 @@ probes driver-side - microseconds against the file opens it saves.
 from __future__ import annotations
 
 import base64
-import json
-import os
 import zlib
 from pathlib import Path
 
 import numpy as np
 import pandas as pd
+
+from dataingestion_spark.lake.shardstore import ShardStore
 
 # pinned hash key: pd.util.hash_pandas_object is SipHash-keyed and
 # PYTHONHASHSEED-independent - deterministic across processes given the key
@@ -181,41 +181,10 @@ def indexable_pk(schema, pk_fields: list[str]) -> bool:
 # ---------------------------------------------------------------------------
 
 
-class BloomIndexStore:
-    """``_meta/bloom/`` layout: ``spec.json`` head + ``bucket-<b>.json``
-    shards, every write tmp/rename (crash-safe, idempotent re-runs)."""
+class BloomIndexStore(ShardStore):
+    """``_meta/bloom/`` instance of the shared shard-store layout
+    (lake/shardstore.py): ``spec.json`` head + ``bucket-<b>.json``
+    shards, every write tmp/rename."""
 
     def __init__(self, table_root: Path):
-        self.dir = Path(table_root) / "_meta" / "bloom"
-
-    @property
-    def spec_path(self) -> Path:
-        return self.dir / "spec.json"
-
-    def spec(self) -> dict | None:
-        if not self.spec_path.is_file():
-            return None
-        return json.loads(self.spec_path.read_text())
-
-    def write_spec(self, spec: dict) -> None:
-        self.dir.mkdir(parents=True, exist_ok=True)
-        self._atomic(self.spec_path, json.dumps(spec, indent=1))
-
-    def bucket_path(self, bucket: int | str) -> Path:
-        return self.dir / f"bucket-{int(bucket)}.json"
-
-    def load_bucket(self, bucket: int | str) -> dict:
-        p = self.bucket_path(bucket)
-        if not p.is_file():
-            return {}
-        return json.loads(p.read_text())
-
-    def write_bucket(self, bucket: int | str, entries: dict) -> None:
-        self.dir.mkdir(parents=True, exist_ok=True)
-        self._atomic(self.bucket_path(bucket), json.dumps(entries))
-
-    @staticmethod
-    def _atomic(path: Path, text: str) -> None:
-        tmp = path.with_suffix(path.suffix + ".tmp")
-        tmp.write_text(text)
-        os.replace(tmp, path)
+        super().__init__(table_root, "bloom")

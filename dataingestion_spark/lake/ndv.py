@@ -32,11 +32,10 @@ from __future__ import annotations
 
 import base64
 import hashlib
-import json
-import os
-from pathlib import Path
 
 from pyspark.sql import types as T
+
+from dataingestion_spark.lake.shardstore import ShardStore
 
 DEFAULT_LG_K = 12  # datasketches default; ~2.5% relative std error
 
@@ -70,50 +69,12 @@ def fingerprint(files: list[str]) -> str:
     return hashlib.md5("\n".join(sorted(files)).encode()).hexdigest()
 
 
-class NdvStore:
-    """Sharded sketch storage under ``<table>/_meta/ndv/``."""
+class NdvStore(ShardStore):
+    """``_meta/ndv/`` instance of the shared shard-store layout
+    (lake/shardstore.py), plus the sketch binary codec."""
 
     def __init__(self, table_root: Path):
-        self.dir = Path(table_root) / "_meta" / "ndv"
-
-    @property
-    def spec_path(self) -> Path:
-        return self.dir / "spec.json"
-
-    def spec(self) -> dict | None:
-        p = self.spec_path
-        return json.loads(p.read_text()) if p.is_file() else None
-
-    def write_spec(self, spec: dict) -> None:
-        self.dir.mkdir(parents=True, exist_ok=True)
-        self._atomic(self.spec_path, json.dumps(spec, sort_keys=True))
-
-    def bucket_path(self, bucket: int | str) -> Path:
-        return self.dir / f"bucket-{int(bucket)}.json"
-
-    def load_bucket(self, bucket: int | str) -> dict:
-        p = self.bucket_path(bucket)
-        return json.loads(p.read_text()) if p.is_file() else {}
-
-    def write_bucket(self, bucket: int | str, entry: dict) -> None:
-        self.dir.mkdir(parents=True, exist_ok=True)
-        self._atomic(self.bucket_path(bucket), json.dumps(entry))
-
-    def drop_bucket(self, bucket: int | str) -> None:
-        p = self.bucket_path(bucket)
-        if p.is_file():
-            p.unlink()
-
-    def buckets(self) -> list[int]:
-        return sorted(
-            int(p.stem.split("-", 1)[1]) for p in self.dir.glob("bucket-*.json")
-        )
-
-    @staticmethod
-    def _atomic(path: Path, text: str) -> None:
-        tmp = path.with_suffix(".tmp")
-        tmp.write_text(text)
-        os.replace(tmp, path)
+        super().__init__(table_root, "ndv")
 
     @staticmethod
     def encode(sk: bytes) -> str:

@@ -2683,6 +2683,12 @@ class LakeTable:
             )
             props = json.loads(json.dumps(snap.properties))
             props["renames"] = renames
+            # the persistent sort order follows the rename atomically in
+            # the same commit, or the next compaction would fail on a
+            # column that still exists under its new name
+            so = props.get("sort_order")
+            if so:
+                so["cols"] = [new if c == old else c for c in so["cols"]]
             out = Snapshot(
                 version=snap.version + 1,
                 parent=snap.version,
@@ -2699,7 +2705,42 @@ class LakeTable:
             )
             return self._commit(out, parent=snap)
 
-        return self._retry_commit(_once)
+        committed = self._retry_commit(_once)
+        # name-keyed index metadata follows the rename right after the
+        # commit (idempotent - the old name simply stops matching on a
+        # re-run; a crash in between leaves a stale spec that
+        # verify_integrity reports and optimize tolerates)
+        self._remap_index_specs(old, new)
+        return committed
+
+    def _remap_index_specs(self, old: str, new: str) -> None:
+        """Rewrite bloom/NDV index metadata for a column rename. Both
+        indexes key by VALUE (bloom hashes pk values; HLL sketches hash
+        cell values), so a rename only has to move the NAME - no sketch
+        or bitmap is rebuilt."""
+        from dataingestion_spark.lake import bloom as B
+        from dataingestion_spark.lake import ndv as N
+
+        bstore = B.BloomIndexStore(self.root)
+        bspec = bstore.spec()
+        if bspec and old in bspec.get("pk_fields", []):
+            bspec["pk_fields"] = [
+                new if c == old else c for c in bspec["pk_fields"]
+            ]
+            bstore.write_spec(bspec)
+        nstore = N.NdvStore(self.root)
+        nspec = nstore.spec()
+        if nspec and old in nspec.get("cols", []):
+            nspec["cols"] = sorted(
+                new if c == old else c for c in nspec["cols"]
+            )
+            nstore.write_spec(nspec)
+            for b in nstore.buckets():
+                entry = nstore.load_bucket(b)
+                sk = entry.get("sketches", {})
+                if old in sk:
+                    sk[new] = sk.pop(old)
+                    nstore.write_bucket(b, entry)
 
     def retire_renames(self) -> list[str]:
         """Drop prior-name mappings whose old physical name no longer
@@ -2795,6 +2836,39 @@ class LakeTable:
         return self.delete_where(
             F.col(col) < F.lit(cutoff), prune={col: (None, cutoff)}
         )
+
+    @staticmethod
+    def _assign_projection(
+        df: DataFrame, assignments: dict, hit: Column, schema_cols: dict
+    ) -> DataFrame:
+        """All SET assignments land in ONE projection (shared by
+        update_where's DML arm and merge_into's UPDATE arm): the hit
+        mask and every RHS resolve against the PRE-update row, matching
+        SQL UPDATE semantics (``SET a=b, b=a`` swaps). Sequential
+        withColumn calls would re-resolve ``hit`` after an assignment
+        mutates a column it references, silently skipping later SETs.
+        An assigned column ABSENT from ``df`` is materialized (hit ->
+        value, else the NULL the conform step would have filled) -
+        skipping it would null the column on every hit row, the opposite
+        of the request."""
+
+        def _set(c):
+            v = assignments[c]
+            val = v if isinstance(v, Column) else F.lit(v)
+            return F.when(hit, val.cast(schema_cols[c]))
+
+        proj = [
+            _set(c).otherwise(F.col(c)).alias(c)
+            if c in assignments
+            else F.col(c)
+            for c in df.columns
+        ]
+        proj += [
+            _set(c).otherwise(F.lit(None).cast(schema_cols[c])).alias(c)
+            for c in assignments
+            if c not in df.columns
+        ]
+        return df.select(*proj)
 
     def next_lsn(self) -> int:
         """Smallest lsn strictly greater than every stored ``_lsn`` -
@@ -2928,21 +3002,9 @@ class LakeTable:
                 raise ValueError(
                     f"merge_into cannot assign {bad}: pk or unknown column"
                 )
-            proj = []
-            for c in df.columns:
-                if c in update_assignments:
-                    v = update_assignments[c]
-                    val = v if isinstance(v, Column) else F.lit(v)
-                    proj.append(
-                        F.when(
-                            F.col("op") == "UPDATE", val.cast(schema_cols[c])
-                        )
-                        .otherwise(F.col(c))
-                        .alias(c)
-                    )
-                else:
-                    proj.append(F.col(c))
-            df = df.select(*proj)
+            df = self._assign_projection(
+                df, update_assignments, F.col("op") == "UPDATE", schema_cols
+            )
         lsn_col = snap.order_fields[0] if snap.order_fields else "lsn"
         df = df.withColumn(lsn_col, F.lit(self.next_lsn()).cast("long"))
         return self.merge(
@@ -3951,16 +4013,26 @@ class LakeTable:
             from dataingestion_spark.lake import bloom as B
             from dataingestion_spark.lake import ndv as N
 
-            if B.BloomIndexStore(self.root).spec() is not None:
-                spec = B.BloomIndexStore(self.root).spec()
-                report["indexes"]["bloom"] = self.update_bloom_index(
-                    bits_per_key=spec["bits_per_key"], k=spec["k"]
-                )
+            # a broken index spec (e.g. stale after a crash mid-rename)
+            # must not starve the downstream steps - expiry and vacuum
+            # are what keep the table bounded; the error is reported for
+            # the operator to repair (fsck names the mismatch)
+            bspec = B.BloomIndexStore(self.root).spec()
+            if bspec is not None:
+                try:
+                    report["indexes"]["bloom"] = self.update_bloom_index(
+                        bits_per_key=bspec["bits_per_key"], k=bspec["k"]
+                    )
+                except ValueError as e:
+                    report["indexes"]["bloom"] = {"error": str(e)}
             nspec = N.NdvStore(self.root).spec()
             if nspec is not None and nspec.get("cols"):
-                report["indexes"]["ndv"] = self.update_ndv_sketch(
-                    list(nspec["cols"]), lg_k=nspec["lg_k"]
-                )
+                try:
+                    report["indexes"]["ndv"] = self.update_ndv_sketch(
+                        list(nspec["cols"]), lg_k=nspec["lg_k"]
+                    )
+                except ValueError as e:
+                    report["indexes"]["ndv"] = {"error": str(e)}
         report["expired_snapshots"] = self.expire_snapshots(
             keep_last=keep_snapshots
         )
@@ -4247,24 +4319,7 @@ class LakeTable:
                 DELETED_COL, F.when(hit, F.lit(True)).otherwise(F.col(DELETED_COL))
             )
         else:
-            # All assignments land in ONE projection: the hit mask and every
-            # RHS resolve against the PRE-update row, matching SQL UPDATE
-            # semantics (SET a=b, b=a swaps). Sequential withColumn calls
-            # would re-resolve `hit` after an assignment mutates a column
-            # the predicate references, silently skipping later SETs.
-            proj = []
-            for c in df.columns:
-                if c in assignments:
-                    v = assignments[c]
-                    val = v if isinstance(v, Column) else F.lit(v)
-                    proj.append(
-                        F.when(hit, val.cast(schema_cols[c]))
-                        .otherwise(F.col(c))
-                        .alias(c)
-                    )
-                else:
-                    proj.append(F.col(c))
-            df = df.select(*proj)
+            df = self._assign_projection(df, assignments, hit, schema_cols)
         new_files = self._write_data_files(
             df,
             target_partitions=max(len(target), 1),

@@ -150,8 +150,19 @@ def requeue_quarantine(
     O(epochs); each epoch costs one scan of its (normally tiny)
     dead-letter file plus an ordinary merge of the cured subset.
 
-    Returns {"epochs": applied, "requeued": rows merged,
-    "still_invalid": {reason: count}, "skipped_epochs": marker-skipped}.
+    CURSOR SCOPE: the exactly-once marker records "this (dir, reasons
+    slice) was replayed under this pipeline id" - it cannot know whether
+    the FIX was right. Rows a run left behind (outside its ``reasons``
+    filter, or uncured by a bad fix) stay recoverable two ways, both
+    safe because the DLQ files are immutable and the merge is
+    LWW-idempotent: a different ``reasons`` slice gets its own default
+    cursor automatically, and a corrected fix is replayed by passing a
+    fresh ``pipeline_id`` (CLI ``--pipeline-id``) - already-cured rows
+    re-merge as no-ops. The report echoes the id used.
+
+    Returns {"pipeline_id": id, "epochs": applied, "requeued": rows
+    merged, "still_invalid": {reason: count}, "skipped_epochs":
+    marker-skipped}.
     """
     import hashlib
     import re as _re
@@ -164,12 +175,19 @@ def requeue_quarantine(
         if (m := _re.fullmatch(r"epoch=(\d+)", p.name)) and p.is_dir()
     )
     if pipeline_id is None:
-        tag = hashlib.md5(str(qdir.resolve()).encode()).hexdigest()[:8]
+        scope = str(qdir.resolve()) + "::" + ",".join(sorted(reasons or []))
+        tag = hashlib.md5(scope.encode()).hexdigest()[:8]
         pipeline_id = f"requeue::{tag}"
     snap = table.snapshot()
     pk = list(snap.pk_fields)
     lsn_col = snap.order_fields[0] if snap.order_fields else "lsn"
-    out = {"epochs": 0, "requeued": 0, "still_invalid": {}, "skipped_epochs": 0}
+    out = {
+        "pipeline_id": pipeline_id,
+        "epochs": 0,
+        "requeued": 0,
+        "still_invalid": {},
+        "skipped_epochs": 0,
+    }
     last = table.last_applied_epoch(pipeline_id)
     for e in epochs:
         if e <= last:

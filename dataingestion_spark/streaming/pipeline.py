@@ -472,10 +472,12 @@ def route_changes(
     absent from its history).
 
     ``on_unrouted``: ``"fail"`` (default) aborts the batch when the
-    stream carries a table name with no route - the fail-fast contract
-    for a misconfigured connector; ``"ignore"`` drops those rows (counted
-    in lineage when enabled). ``transformers`` maps route name to a
-    per-route transform applied before the gate.
+    stream carries a table name with no route OR a NULL discriminator -
+    the fail-fast contract for a misconfigured connector; ``"ignore"``
+    drops those rows, recorded when lineage is enabled as a
+    ``DROPPED_UNROUTED`` epoch row carrying the dropped count.
+    ``transformers`` maps route name to a per-route transform applied
+    before the gate.
 
     ``quarantine_dir`` enables the per-route dead-letter gate: each
     route's unmergeable rows (null pk/lsn, unknown op, that route's
@@ -499,16 +501,34 @@ def route_changes(
             )
         batch = batch.persist()
         try:
-            present = sorted(
-                r[0]
-                for r in batch.select(table_col).distinct().collect()
-                if r[0] is not None
+            names = [
+                r[0] for r in batch.select(table_col).distinct().collect()
+            ]
+            present = sorted(n for n in names if n is not None)
+            # a NULL discriminator is unrouted too - the malformed-stream
+            # case the fail-fast contract exists for
+            unrouted = [n for n in present if n not in routes] + (
+                ["<NULL>"] if any(n is None for n in names) else []
             )
-            unrouted = [n for n in present if n not in routes]
             if unrouted and on_unrouted == "fail":
                 raise ValueError(
                     f"no route for table(s) {unrouted}; routes know "
                     f"{sorted(routes)} (on_unrouted='ignore' to drop)"
+                )
+            if unrouted and lineage is not None:
+                dropped = batch.filter(
+                    F.col(table_col).isNull()
+                    | ~F.col(table_col).isin(list(routes))
+                ).count()
+                lineage.record_epoch(
+                    pipeline_id=f"route::<unrouted>::{ckpt_tag}",
+                    epoch_id=epoch_id,
+                    batch=None,
+                    applied_events=0,
+                    snapshot_version=None,
+                    duration_ms=0,
+                    status="DROPPED_UNROUTED",
+                    quarantined_events=dropped,
                 )
             for name in present:
                 if name not in routes:

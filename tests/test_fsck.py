@@ -65,8 +65,14 @@ def test_fsck_detects_missing_file_and_cli_exit(spark, tmp_path):
 def test_fsck_flags_stale_index_specs(spark, tmp_path, capsys):
     tbl = _table(spark, tmp_path, name="idx")
     tbl.update_ndv_sketch(["tool"])
-    # drop 'tool' via rename (metadata-only) -> ndv tracks a gone name
-    tbl.rename_column("tool", "tool2")
+    # rename_column remaps the spec atomically (test_round4_review_fixes);
+    # simulate the crash-between-commit-and-remap window instead
+    from dataingestion_spark.lake.ndv import NdvStore
+
+    store = NdvStore(tbl.root)
+    spec = store.spec()
+    spec["cols"] = ["gone_column"]
+    store.write_spec(spec)
     report = tbl.verify_integrity(check_data=False)
     assert report["ok"]  # warning, not an error
     assert any("ndv sketches track dropped" in w for w in report["warnings"])
