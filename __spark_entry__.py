@@ -900,6 +900,21 @@ def q_cdc_rebucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tbl.read().orderBy("conv_id", "turn_idx")
 
 
+def q_cdc_secondary_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Secondary-column lookup through the value index (Hudi 1.0
+    secondary-index analog, lake/table.py update_secondary_index /
+    read_in): replay the flagship binlog, index the non-pk `tool`
+    column, fetch two tool tags - bucket-granular bloom pruning keeps
+    the lookup priced by the values' buckets while staying exact under
+    MOR/LWW resolution. Oracle: the portable replay filtered by the
+    same IN list."""
+    tbl = _flagship_table(spark, "cdc_sec_")
+    tbl.update_secondary_index("tool")
+    return tbl.read_in("tool", ["tool_07", "tool_11"]).orderBy(
+        "conv_id", "turn_idx"
+    )
+
+
 def q_cdc_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row TTL (LakeTable.apply_retention - the retention-delete pattern):
     replay the flagship binlog, z-order the layout on (ts, turn_idx) so
@@ -1904,6 +1919,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_route_fanout": q_cdc_route_fanout,
         "cdc_merge_into": q_cdc_merge_into,
         "cdc_retention": q_cdc_retention,
+        "cdc_secondary_lookup": q_cdc_secondary_lookup,
         "cdc_agg_view": q_cdc_agg_view,
         "doc_redact_pii": q_doc_redact_pii,
         "media_frame_sample": q_media_frame_sample,
@@ -2898,6 +2914,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT * FROM ("
             + _replay_sql(n_events=10_000, n_convs=80, max_turns=40, seed=42)
             + ") WHERE ts >= TIMESTAMP '2023-11-14 23:20:00'"
+        ),
+        "cdc_secondary_lookup": (
+            "SELECT * FROM ("
+            + _replay_sql(n_events=10_000, n_convs=80, max_turns=40, seed=42)
+            + ") WHERE tool IN ('tool_07', 'tool_11')"
         ),
         "cdc_merge_into": (
             "SELECT conv_id, turn_idx, role,"

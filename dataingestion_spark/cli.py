@@ -275,6 +275,14 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--config", required=True)
     p.add_argument("--with-sizes", action="store_true")
 
+    p = sub.add_parser("secindex")
+    _add_common(p)
+    p.add_argument("--config", required=True)
+    p.add_argument("--col", required=True, help="non-pk column to index")
+    p.add_argument("--bits-per-key", type=int, default=10)
+    p.add_argument("--k", type=int, default=7)
+    p.add_argument("--rebuild", action="store_true")
+
     p = sub.add_parser("fsck")
     _add_common(p)
     p.add_argument("--config", required=True)
@@ -653,6 +661,17 @@ def main(argv: list[str] | None = None) -> int:
         cfg = DatasetConfig.load(a.config)
         tbl = LakeTable(spark, cfg.table_path)
         print(json.dumps(tbl.describe(with_sizes=a.with_sizes)))
+    elif a.cmd == "secindex":
+        cfg = DatasetConfig.load(a.config)
+        tbl = LakeTable(spark, cfg.table_path)
+        print(
+            json.dumps(
+                tbl.update_secondary_index(
+                    a.col, bits_per_key=a.bits_per_key, k=a.k,
+                    rebuild=a.rebuild,
+                )
+            )
+        )
     elif a.cmd == "fsck":
         cfg = DatasetConfig.load(a.config)
         tbl = LakeTable(spark, cfg.table_path)
