@@ -250,6 +250,73 @@ def q_cdc_mongo_change(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_maxwell(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5: Maxwell's-daemon JSON envelope (public Zendesk Maxwell MySQL
+    CDC format) -> canonical change relation: full post-image in `data`,
+    binlog position folded into one monotone lsn (file ordinal * 2^40 +
+    offset, the wal2json recipe)."""
+    from dataingestion_spark.sources.cdc_formats import parse_maxwell
+
+    ev = _read(spark, sf_dir, "events")
+    env = ev.select(
+        F.lit("shop").alias("database"),
+        F.lit("events").alias("table"),
+        _event_op(ev, ("insert", "update", "delete")).alias("type"),
+        F.unix_seconds(ev.ts.cast("timestamp")).alias("ts"),
+        ev.event_id.cast("long").alias("xid"),
+        F.format_string(
+            "mysql-bin.%06d:%d",
+            F.pmod(ev.event_id, F.lit(4)).cast("int"),
+            (ev.event_id.cast("long") * 16),
+        ).alias("position"),
+        F.format_string(
+            '{"id": %d, "k": %s}',
+            ev.user_id.cast("long"),
+            F.get_json_object(F.col("props"), "$.k"),
+        ).alias("data"),
+        F.lit(None).cast("string").alias("old"),
+    )
+    return parse_maxwell(
+        env, payload_fields=[("k", "int")], key_field="id", key_type="long"
+    ).select("op", "id", "k", "ts_ms", "lsn", "source_file")
+
+
+def q_cdc_dynamodb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5: DynamoDB Streams record (public AWS shape, typed attribute
+    encoding {"col": {"N": "42"}}) -> canonical change relation: key
+    from Keys (present on REMOVE too), payload from NewImage through the
+    N/S arms, lsn = SequenceNumber (the per-shard change ordinal)."""
+    from dataingestion_spark.sources.cdc_formats import parse_dynamodb_stream
+
+    ev = _read(spark, sf_dir, "events")
+    with_image = F.format_string(
+        '{"Keys": {"uid": {"N": "%d"}}, '
+        '"NewImage": {"uid": {"N": "%d"}, "k": {"N": "%s"}}, '
+        '"SequenceNumber": "%d", "ApproximateCreationDateTime": %d}',
+        ev.user_id.cast("long"),
+        ev.user_id.cast("long"),
+        F.get_json_object(F.col("props"), "$.k"),
+        ev.event_id.cast("long"),
+        F.unix_seconds(ev.ts.cast("timestamp")),
+    )
+    without_image = F.format_string(
+        '{"Keys": {"uid": {"N": "%d"}}, '
+        '"SequenceNumber": "%d", "ApproximateCreationDateTime": %d}',
+        ev.user_id.cast("long"),
+        ev.event_id.cast("long"),
+        F.unix_seconds(ev.ts.cast("timestamp")),
+    )
+    env = ev.select(
+        _event_op(ev, ("INSERT", "MODIFY", "REMOVE")).alias("eventName"),
+        F.when(ev.event_type == "error", without_image)
+        .otherwise(with_image)
+        .alias("dynamodb"),
+    )
+    return parse_dynamodb_stream(
+        env, payload_fields=[("k", "int")], key_field="uid", key_type="long"
+    ).select("op", "uid", "k", "ts_ms", "lsn", "source_file")
+
+
 def q_cdc_aerospike(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P5: Aerospike record CDC (WRITE upserts, generation ordinal) ->
     canonical (MultiSourceCDCTest.scala:132-140, :150-160)."""
@@ -1880,6 +1947,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_per_day": q_events_per_day,
         "arith_discounted_revenue": q_arith_discounted_revenue,
         "cdc_mysql_binlog": q_cdc_mysql_binlog,
+        "cdc_maxwell": q_cdc_maxwell,
+        "cdc_dynamodb": q_cdc_dynamodb,
         "cdc_mongo_change": q_cdc_mongo_change,
         "cdc_aerospike": q_cdc_aerospike,
         "cdc_clickstream": q_cdc_clickstream,
@@ -2375,6 +2444,32 @@ def oracle_sql() -> dict[str, str]:
                    epoch_ms(ts) AS ts_ms,
                    CAST(event_id AS BIGINT) AS lsn,
                    printf('mysql-bin.%06d', CAST(event_id % 4 AS INTEGER)) AS source_file
+            FROM events
+        """,
+        "cdc_maxwell": """
+            SELECT CASE WHEN event_type = 'signup' THEN 'INSERT'
+                        WHEN event_type = 'error' THEN 'DELETE'
+                        ELSE 'UPDATE' END AS op,
+                   CAST(user_id AS BIGINT) AS id,
+                   CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+                   epoch_ms(date_trunc('second', ts)) AS ts_ms,
+                   CAST(event_id % 4 AS BIGINT) * 1099511627776
+                     + CAST(event_id AS BIGINT) * 16 AS lsn,
+                   printf('mysql-bin.%06d', CAST(event_id % 4 AS INTEGER))
+                     AS source_file
+            FROM events
+        """,
+        "cdc_dynamodb": """
+            SELECT CASE WHEN event_type = 'signup' THEN 'INSERT'
+                        WHEN event_type = 'error' THEN 'DELETE'
+                        ELSE 'UPDATE' END AS op,
+                   CAST(user_id AS BIGINT) AS uid,
+                   CASE WHEN event_type = 'error' THEN NULL
+                        ELSE CAST(json_extract_string(props, '$.k') AS INTEGER)
+                   END AS k,
+                   epoch_ms(date_trunc('second', ts)) AS ts_ms,
+                   CAST(event_id AS BIGINT) AS lsn,
+                   'dynamodb' AS source_file
             FROM events
         """,
         "cdc_mongo_change": """

@@ -380,6 +380,125 @@ def parse_wal2json(
     )
 
 
+def parse_maxwell(
+    df: DataFrame,
+    payload_fields: PayloadFields,
+    key_field: str = "id",
+    key_type: str = "long",
+) -> DataFrame:
+    """Maxwell's-daemon JSON envelope (the public Zendesk Maxwell MySQL
+    CDC format) -> canonical change relation.
+
+    Envelope per record: ``database``, ``table``, ``type``
+    (insert / update / delete / bootstrap-insert), ``ts`` (epoch
+    seconds), ``xid``, ``position`` ("mysql-bin.000006:800"), ``data``
+    (full row JSON - Maxwell always ships the complete post-image),
+    ``old`` (changed columns' prior values - not needed for LWW replay).
+
+    * op map: insert/bootstrap-insert -> INSERT (a bootstrap re-snapshot
+      replays as plain inserts, which the LWW guard already handles),
+      update -> UPDATE, delete -> DELETE; unknown types null out and
+      land in the quarantine gate.
+    * key: ``key_field`` extracted from ``data`` (Maxwell's delete
+      events keep the full row in ``data``, so one path serves all ops).
+    * lsn: the binlog POSITION, not xid (xids interleave across
+      databases): file ordinal * 2^40 + offset - a single monotone long
+      over file rollovers, same recipe as the wal2json LSN fold.
+    """
+    op = (
+        F.when(
+            F.col("type").isin("insert", "bootstrap-insert"), "INSERT"
+        )
+        .when(F.col("type") == "update", "UPDATE")
+        .when(F.col("type") == "delete", "DELETE")
+    )
+    file_no = F.regexp_extract(
+        F.col("position"), r"\.(\d+):", 1
+    ).try_cast("long")
+    offset = F.regexp_extract(F.col("position"), r":(\d+)$", 1).try_cast(
+        "long"
+    )
+    return df.select(
+        op.alias("op"),
+        F.get_json_object(F.col("data"), f"$.{key_field}")
+        .try_cast(key_type)
+        .alias(key_field),
+        *_extract(F.col("data"), payload_fields),
+        (F.col("ts").try_cast("long") * 1000).alias("ts_ms"),
+        (file_no * F.lit(1 << 40).cast("long") + offset).alias("lsn"),
+        F.regexp_extract(F.col("position"), r"^([^:]+):", 1).alias(
+            "source_file"
+        ),
+    )
+
+
+_DDB_NUMERIC = {
+    "tinyint", "smallint", "int", "integer", "bigint", "long",
+    "float", "double", "decimal",
+}
+
+
+def parse_dynamodb_stream(
+    df: DataFrame,
+    payload_fields: PayloadFields,
+    key_field: str,
+    key_type: str = "string",
+) -> DataFrame:
+    """DynamoDB Streams record (the public AWS stream-record shape) ->
+    canonical change relation.
+
+    Envelope per record: ``eventName`` (INSERT / MODIFY / REMOVE) and a
+    ``dynamodb`` JSON blob carrying ``Keys`` / ``NewImage`` /
+    ``OldImage`` in DynamoDB's TYPED attribute encoding
+    (``{"col": {"S": "text"}}`` / ``{"col": {"N": "42"}}`` - numbers
+    arrive as decimal STRINGS), ``SequenceNumber`` (monotone per shard)
+    and ``ApproximateCreationDateTime`` (epoch seconds).
+
+    * op map: INSERT -> INSERT, MODIFY -> UPDATE, REMOVE -> DELETE.
+    * key from ``Keys`` (present on every record incl. REMOVE); payload
+      columns from ``NewImage`` through the typed encoding - numeric
+      SQL types read the ``.N`` arm, everything else ``.S``; a REMOVE
+      has no NewImage and null-fills naturally.
+    * lsn: ``SequenceNumber`` - DynamoDB's own per-shard change
+      ordinal (the reference's per-key in-order delivery assumption
+      maps to DynamoDB's per-item ordering guarantee within a shard).
+    """
+
+    def _attr(image: str, name: str, sql_type: str) -> Column:
+        arm = "N" if sql_type.lower() in _DDB_NUMERIC else "S"
+        return F.get_json_object(
+            F.col("dynamodb"), f"$.{image}.{name}.{arm}"
+        ).try_cast(sql_type)
+
+    op = (
+        F.when(F.col("eventName") == "INSERT", "INSERT")
+        .when(F.col("eventName") == "MODIFY", "UPDATE")
+        .when(F.col("eventName") == "REMOVE", "DELETE")
+    )
+    return df.select(
+        op.alias("op"),
+        _attr("Keys", key_field, key_type).alias(key_field),
+        *[
+            _attr("NewImage", name, sql_type).alias(name)
+            for name, sql_type in payload_fields
+        ],
+        (
+            F.get_json_object(
+                F.col("dynamodb"), "$.ApproximateCreationDateTime"
+            ).try_cast("long")
+            * 1000
+        ).alias("ts_ms"),
+        F.get_json_object(F.col("dynamodb"), "$.SequenceNumber")
+        .try_cast("long")
+        .alias("lsn"),
+        F.coalesce(F.col("eventSourceARN"), F.lit("dynamodb")).alias(
+            "source_file"
+        )
+        if "eventSourceARN" in df.columns
+        else F.lit("dynamodb").alias("source_file"),
+    )
+
+
 CDC_PARSERS = {
     "mysql-binlog": parse_mysql_binlog,
     "mongo-change-stream": parse_mongo_change_stream,
@@ -387,6 +506,8 @@ CDC_PARSERS = {
     "clickstream": parse_clickstream,
     "debezium": parse_debezium,
     "wal2json": parse_wal2json,
+    "maxwell": parse_maxwell,
+    "dynamodb-stream": parse_dynamodb_stream,
 }
 
 

@@ -356,3 +356,116 @@ def test_wal2json_dispatch_and_bad_payload(spark):
     # try_cast degrades a malformed value to NULL instead of killing the
     # batch under ANSI mode; the quarantine gate rejects it row-wise.
     assert out["id"] is None and out["op"] == "INSERT" and out["lsn"] == 1
+
+
+def test_maxwell_parse(spark):
+    """Maxwell's-daemon JSON (public Zendesk format): full post-image in
+    `data`, binlog position folded into one monotone lsn over file
+    rollovers, bootstrap-insert replays as a plain INSERT."""
+    from dataingestion_spark.sources.cdc_formats import parse_maxwell
+
+    rows = [
+        ("shop", "users", "bootstrap-insert", 1719565200, 10,
+         "mysql-bin.000001:100", '{"id": 1, "name": "John"}', None),
+        ("shop", "users", "insert", 1719565201, 11,
+         "mysql-bin.000001:200", '{"id": 2, "name": "Ada"}', None),
+        ("shop", "users", "update", 1719565202, 12,
+         "mysql-bin.000002:50", '{"id": 1, "name": "John S"}',
+         '{"name": "John"}'),
+        ("shop", "users", "delete", 1719565203, 13,
+         "mysql-bin.000002:90", '{"id": 2, "name": "Ada"}', None),
+        ("shop", "users", "table-create", 1719565204, 14,
+         "mysql-bin.000002:99", "{}", None),  # DDL: unknown -> null op
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "database string, table string, type string, ts long, xid long, "
+        "position string, data string, old string",
+    )
+    out = parse_maxwell(
+        df, payload_fields=[("name", "string")], key_field="id",
+        key_type="long",
+    ).orderBy("lsn")
+    got = out.collect()
+    assert [r["op"] for r in got] == [
+        "INSERT", "INSERT", "UPDATE", "DELETE", None
+    ]
+    assert [r["id"] for r in got] == [1, 2, 1, 2, None]
+    assert got[2]["name"] == "John S"
+    # file rollover keeps lsn monotone: file 2 offsets sort after file 1
+    lsns = [r["lsn"] for r in got]
+    assert lsns == sorted(lsns)
+    assert got[0]["lsn"] == (1 << 40) + 100 and got[2]["lsn"] == (2 << 40) + 50
+    assert got[0]["source_file"] == "mysql-bin.000001"
+    assert got[0]["ts_ms"] == 1719565200000
+
+
+def test_dynamodb_stream_parse(spark):
+    """DynamoDB Streams (public AWS shape): typed attribute encoding,
+    key from Keys on every record (REMOVE has no NewImage), lsn =
+    SequenceNumber."""
+    from dataingestion_spark.sources.cdc_formats import parse_dynamodb_stream
+
+    rows = [
+        ("INSERT",
+         '{"Keys": {"uid": {"N": "1"}}, '
+         '"NewImage": {"uid": {"N": "1"}, "name": {"S": "John"}, '
+         '"score": {"N": "42"}}, '
+         '"SequenceNumber": "100", "ApproximateCreationDateTime": 1719565200}'),
+        ("MODIFY",
+         '{"Keys": {"uid": {"N": "1"}}, '
+         '"NewImage": {"uid": {"N": "1"}, "name": {"S": "John S"}, '
+         '"score": {"N": "43"}}, '
+         '"SequenceNumber": "101", "ApproximateCreationDateTime": 1719565201}'),
+        ("REMOVE",
+         '{"Keys": {"uid": {"N": "1"}}, '
+         '"SequenceNumber": "102", "ApproximateCreationDateTime": 1719565202}'),
+    ]
+    df = spark.createDataFrame(rows, "eventName string, dynamodb string")
+    out = parse_dynamodb_stream(
+        df, payload_fields=[("name", "string"), ("score", "int")],
+        key_field="uid", key_type="long",
+    ).orderBy("lsn")
+    got = out.collect()
+    assert [r["op"] for r in got] == ["INSERT", "UPDATE", "DELETE"]
+    assert [r["uid"] for r in got] == [1, 1, 1]  # key present on REMOVE too
+    assert got[1]["name"] == "John S" and got[1]["score"] == 43
+    assert got[2]["name"] is None and got[2]["score"] is None
+    assert [r["lsn"] for r in got] == [100, 101, 102]
+    assert got[0]["ts_ms"] == 1719565200000
+    assert got[0]["source_file"] == "dynamodb"
+
+
+def test_new_adapters_dispatch_and_merge(spark, tmp_path):
+    """parse_cdc knows the new names; a parsed Maxwell stream merges
+    into a lake table with the standard LWW semantics (delete wins by
+    position order, not arrival order)."""
+    from dataingestion_spark.sources.cdc_formats import parse_cdc
+
+    rows = [
+        ("t", "insert", 1, "mysql-bin.000001:100", '{"id": 1, "v": "a"}'),
+        ("t", "delete", 3, "mysql-bin.000001:300", '{"id": 1, "v": "b"}'),
+        ("t", "update", 2, "mysql-bin.000001:200", '{"id": 1, "v": "b"}'),
+        ("t", "insert", 4, "mysql-bin.000001:400", '{"id": 2, "v": "z"}'),
+    ]
+    df = spark.createDataFrame(
+        rows, "table string, type string, ts long, position string, data string"
+    ).withColumn("database", F.lit("d")).withColumn("xid", F.col("ts"))
+    parsed = parse_cdc(
+        df, "maxwell", payload_fields=[("v", "string")], key_field="id",
+        key_type="long",
+    )
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("v", T.StringType()),
+            T.StructField("ts_ms", T.LongType()),
+        ]
+    )
+    tbl = LakeTable.create(
+        spark, str(tmp_path / "mx"), schema, pk_fields=["id"],
+        order_fields=["lsn", "ts_ms"], num_buckets=2,
+    )
+    tbl.merge(parsed.withColumn("source_file", F.lit("f")))
+    got = {r.id: r.v for r in tbl.read().collect()}
+    assert got == {2: "z"}  # id 1 deleted at the highest position
