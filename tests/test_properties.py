@@ -279,3 +279,110 @@ def test_aggregate_view_equals_recompute_for_any_stream(
         pd.testing.assert_frame_equal(
             got[want.columns], want, check_dtype=False
         )
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    events_strategy,
+    st.integers(min_value=0, max_value=6),
+    st.integers(min_value=1, max_value=8),
+    st.booleans(),
+)
+def test_zorder_read_equals_pandas_filter_for_any_stream(
+    spark, tmp_path_factory, raw, lo, width, mor
+):
+    """For ANY stream and ANY (turn_idx, ts) range pair, a z-order
+    compacted table's pruned read equals the pandas filter of the replay
+    oracle - clustering and stats skipping are layout, never semantics."""
+    df = _to_df(spark, raw)
+    expected = oracle.replay(df.toPandas())
+
+    tmp = tmp_path_factory.mktemp("zprop")
+    tbl = LakeTable.create(
+        spark, tmp / "t", TRANSCRIPT_SCHEMA,
+        pk_fields=["conv_id", "turn_idx"], order_fields=["lsn", "ts"],
+        num_buckets=2,
+    )
+    tbl.merge(df, pipeline_id="p", epoch_id=0, write_mode="mor" if mor else "cow")
+    tbl.set_sort_order(["turn_idx", "ts"], mode="zorder")
+    tbl.compact(max_records_per_file=3)
+
+    hi = lo + width
+    t_lo = 1_700_000_000 + lo  # ts = base + lsn by construction
+    import datetime as _dt
+
+    bounds = {
+        "turn_idx": (lo, hi),
+        "ts": (
+            _dt.datetime.utcfromtimestamp(t_lo),
+            _dt.datetime.utcfromtimestamp(t_lo + 40),
+        ),
+    }
+    got = (
+        tbl.read(where=bounds)
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    exp = expected[
+        expected.turn_idx.between(lo, hi)
+        & (expected.ts >= bounds["ts"][0])
+        & (expected.ts <= bounds["ts"][1])
+    ]
+    assert len(got) == len(exp)
+    if len(exp):
+        import pandas as pd
+
+        cols = ["conv_id", "turn_idx", "role", "text", "ts"]
+        pd.testing.assert_frame_equal(
+            got[cols],
+            exp[cols].sort_values(["conv_id", "turn_idx"]).reset_index(drop=True),
+            check_dtype=False,
+        )
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(events_strategy, st.booleans())
+def test_read_in_equals_pandas_filter_for_any_stream(
+    spark, tmp_path_factory, raw, mor
+):
+    """For ANY stream, a secondary-indexed read_in equals the pandas
+    filter - including with UNINDEXED later epochs (their buckets stay
+    kept) and under MOR overlays (bucket-granular pruning soundness)."""
+    df = _to_df(spark, raw)
+    expected = oracle.replay(df.toPandas())
+
+    tmp = tmp_path_factory.mktemp("siprop")
+    tbl = LakeTable.create(
+        spark, tmp / "t", TRANSCRIPT_SCHEMA,
+        pk_fields=["conv_id", "turn_idx"], order_fields=["lsn", "ts"],
+        num_buckets=2,
+    )
+    mid = max(r[2] for r in raw) // 2
+    tbl.merge(
+        df.filter(F.col("lsn") <= mid), pipeline_id="p", epoch_id=0,
+        write_mode="mor" if mor else "cow",
+    )
+    tbl.update_secondary_index("text")
+    tbl.merge(  # unindexed epoch on top
+        df.filter(F.col("lsn") > mid), pipeline_id="p", epoch_id=1,
+        write_mode="mor" if mor else "cow",
+    )
+    texts = [t for t in expected.text.dropna().unique()[:3]]
+    values = texts + ["no-such-text"]
+    got = sorted(
+        (r.conv_id, r.turn_idx)
+        for r in tbl.read_in("text", values).collect()
+    )
+    want = sorted(
+        map(tuple, expected[expected.text.isin(values)][["conv_id", "turn_idx"]].values)
+    )
+    assert got == want
