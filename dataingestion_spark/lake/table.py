@@ -1305,7 +1305,7 @@ class LakeTable:
     def update_ndv_sketch(
         self,
         cols: list[str],
-        lg_k: int = None,
+        lg_k: int | None = None,
         rebuild: bool = False,
     ) -> dict:
         """Incrementally maintain per-bucket HLL NDV sketches under
