@@ -275,6 +275,26 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--config", required=True)
     p.add_argument("--with-sizes", action="store_true")
 
+    p = sub.add_parser("retention")
+    _add_common(p)
+    p.add_argument("--config", required=True)
+    p.add_argument("--col", required=True, help="age-out column, e.g. ts")
+    p.add_argument(
+        "--cutoff", required=True,
+        help="rows with col < cutoff are tombstoned; ISO timestamp or number",
+    )
+
+    p = sub.add_parser("lookup")
+    _add_common(p)
+    p.add_argument("--config", required=True)
+    p.add_argument("--col", required=True, help="non-pk column to match")
+    p.add_argument("--values", required=True, help="comma-separated values")
+    p.add_argument("--limit", type=int, default=1000)
+    p.add_argument(
+        "--no-index", action="store_true",
+        help="skip the secondary bloom index (full pushed-IN scan)",
+    )
+
     p = sub.add_parser("secindex")
     _add_common(p)
     p.add_argument("--config", required=True)
@@ -661,6 +681,34 @@ def main(argv: list[str] | None = None) -> int:
         cfg = DatasetConfig.load(a.config)
         tbl = LakeTable(spark, cfg.table_path)
         print(json.dumps(tbl.describe(with_sizes=a.with_sizes)))
+    elif a.cmd == "retention":
+        import datetime as _dt
+
+        cfg = DatasetConfig.load(a.config)
+        tbl = LakeTable(spark, cfg.table_path)
+        raw = a.cutoff
+        try:
+            cutoff = float(raw) if "." in raw else int(raw)
+        except ValueError:
+            cutoff = _dt.datetime.fromisoformat(raw)
+        snap = tbl.apply_retention(a.col, cutoff)
+        print(
+            json.dumps(
+                {
+                    "applied": snap is not None,
+                    "version": tbl.current_version(),
+                }
+            )
+        )
+    elif a.cmd == "lookup":
+        cfg = DatasetConfig.load(a.config)
+        tbl = LakeTable(spark, cfg.table_path)
+        values = [v for v in a.values.split(",") if v]
+        rows = tbl.read_in(
+            a.col, values, use_index=not a.no_index
+        ).toJSON().take(a.limit)
+        for line in rows:
+            print(line)
     elif a.cmd == "secindex":
         cfg = DatasetConfig.load(a.config)
         tbl = LakeTable(spark, cfg.table_path)
