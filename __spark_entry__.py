@@ -478,15 +478,18 @@ def q_cdc_wal2json(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_cdc_multi_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-source ingest end-to-end (the reference's MultiSourceE2ETest
     shape, e2e-tests/MultiSourceE2ETest.scala: several upstreams land in
-    ONE table and the final state is checked): two upstream shards - a
-    MySQL binlog carrying the even event ids and an Aerospike record CDC
-    carrying the odd ones - are each parsed by their format adapter to
-    the canonical change relation, normalized to the shared user-table
-    schema, UNIONED into one change batch, and LWW-merged into a single
-    lake table (lsn = event id orders across sources). The other two
-    adapters (Mongo, ClickStream) are oracle-verified individually;
-    the union path is source-count-agnostic. Oracle: SQL union replay
-    with the same per-source mappings + one window LWW."""
+    ONE table and the final state is checked): FOUR upstream shards by
+    event-id residue - a MySQL binlog, an Aerospike record CDC, a
+    Maxwell's-daemon feed and a DynamoDB stream - each parsed by its
+    format adapter to the canonical change relation, normalized to the
+    shared user-table schema, UNIONED into one change batch, and
+    LWW-merged into a single lake table. Cross-source ordering: every
+    shard's lsn is the shared event-id ordinal (Maxwell via a
+    file-000000 position so its file-fold contributes zero; DynamoDB via
+    SequenceNumber). The remaining adapters (Mongo, ClickStream,
+    Debezium, wal2json) are oracle-verified individually; the union path
+    is source-count-agnostic. Oracle: SQL union replay with the same
+    per-source mappings + one window LWW."""
     import atexit
     import shutil
 
@@ -495,11 +498,13 @@ def q_cdc_multi_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dataingestion_spark.lake import LakeTable
     from dataingestion_spark.sources.cdc_formats import (
         parse_aerospike_cdc,
+        parse_dynamodb_stream,
+        parse_maxwell,
         parse_mysql_binlog,
     )
 
     ev = _read(spark, sf_dir, "events")
-    my_env = ev.filter(ev.event_id % 2 == 0).select(
+    my_env = ev.filter(ev.event_id % 4 == 0).select(
         _event_op(ev).alias("operation"),
         F.lit("events").alias("table_name"),
         ev.user_id.cast("long").alias("primary_key"),
@@ -519,7 +524,7 @@ def q_cdc_multi_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lsn",
         "source_file",
     )
-    ae_env = ev.filter(ev.event_id % 2 == 1).select(
+    ae_env = ev.filter(ev.event_id % 4 == 1).select(
         F.when(ev.event_type == "error", F.lit("DELETE"))
         .otherwise(F.lit("WRITE"))
         .alias("operation"),
@@ -541,7 +546,70 @@ def q_cdc_multi_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lsn",
         "source_file",
     )
-    batch = my.unionByName(ae)
+    mx_env = ev.filter(ev.event_id % 4 == 2).select(
+        F.lit("shop").alias("database"),
+        F.lit("users").alias("table"),
+        _event_op(ev, ("insert", "update", "delete")).alias("type"),
+        F.unix_seconds(ev.ts.cast("timestamp")).alias("ts"),
+        ev.event_id.cast("long").alias("xid"),
+        F.format_string(
+            "mysql-bin.000000:%d", ev.event_id.cast("long")
+        ).alias("position"),
+        F.format_string(
+            '{"id": %d, "k": %s}',
+            ev.user_id.cast("long"),
+            F.get_json_object(F.col("props"), "$.k"),
+        ).alias("data"),
+        F.lit(None).cast("string").alias("old"),
+    )
+    mx = parse_maxwell(
+        mx_env, payload_fields=[("k", "int")], key_field="id",
+        key_type="long",
+    ).select(
+        "op",
+        F.col("id").alias("user_id"),
+        "k",
+        F.lit("maxwell").alias("src"),
+        "ts_ms",
+        "lsn",
+        "source_file",
+    )
+    dd_image = F.format_string(
+        '{"Keys": {"id": {"N": "%d"}}, '
+        '"NewImage": {"id": {"N": "%d"}, "k": {"N": "%s"}}, '
+        '"SequenceNumber": "%d", "ApproximateCreationDateTime": %d}',
+        ev.user_id.cast("long"),
+        ev.user_id.cast("long"),
+        F.get_json_object(F.col("props"), "$.k"),
+        ev.event_id.cast("long"),
+        F.unix_seconds(ev.ts.cast("timestamp")),
+    )
+    dd_keys_only = F.format_string(
+        '{"Keys": {"id": {"N": "%d"}}, '
+        '"SequenceNumber": "%d", "ApproximateCreationDateTime": %d}',
+        ev.user_id.cast("long"),
+        ev.event_id.cast("long"),
+        F.unix_seconds(ev.ts.cast("timestamp")),
+    )
+    dd_env = ev.filter(ev.event_id % 4 == 3).select(
+        _event_op(ev, ("INSERT", "MODIFY", "REMOVE")).alias("eventName"),
+        F.when(ev.event_type == "error", dd_keys_only)
+        .otherwise(dd_image)
+        .alias("dynamodb"),
+    )
+    dd = parse_dynamodb_stream(
+        dd_env, payload_fields=[("k", "int")], key_field="id",
+        key_type="long",
+    ).select(
+        "op",
+        F.col("id").alias("user_id"),
+        "k",
+        F.lit("dynamodb").alias("src"),
+        "ts_ms",
+        "lsn",
+        "source_file",
+    )
+    batch = my.unionByName(ae).unionByName(mx).unionByName(dd)
     tmp = tempfile.mkdtemp(prefix="cdc_multi_")
     atexit.register(shutil.rmtree, tmp, ignore_errors=True)
     schema = T.StructType(
@@ -2517,7 +2585,7 @@ def oracle_sql() -> dict[str, str]:
                      'mysql' AS src,
                      epoch_ms(ts) AS ts_ms,
                      CAST(event_id AS BIGINT) AS lsn
-              FROM events WHERE event_id % 2 = 0
+              FROM events WHERE event_id % 4 = 0
               UNION ALL
               SELECT CASE WHEN event_type = 'error' THEN 'DELETE'
                           ELSE 'UPSERT' END AS op,
@@ -2528,7 +2596,29 @@ def oracle_sql() -> dict[str, str]:
                      'aerospike' AS src,
                      epoch_ms(ts) AS ts_ms,
                      CAST(event_id AS BIGINT) AS lsn
-              FROM events WHERE event_id % 2 = 1
+              FROM events WHERE event_id % 4 = 1
+              UNION ALL
+              SELECT CASE WHEN event_type = 'signup' THEN 'INSERT'
+                          WHEN event_type = 'error' THEN 'DELETE'
+                          ELSE 'UPDATE' END AS op,
+                     CAST(user_id AS BIGINT) AS user_id,
+                     CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+                     'maxwell' AS src,
+                     epoch_ms(date_trunc('second', ts)) AS ts_ms,
+                     CAST(event_id AS BIGINT) AS lsn
+              FROM events WHERE event_id % 4 = 2
+              UNION ALL
+              SELECT CASE WHEN event_type = 'signup' THEN 'INSERT'
+                          WHEN event_type = 'error' THEN 'DELETE'
+                          ELSE 'UPDATE' END AS op,
+                     CAST(user_id AS BIGINT) AS user_id,
+                     CASE WHEN event_type = 'error' THEN NULL
+                          ELSE CAST(json_extract_string(props, '$.k') AS INTEGER)
+                     END AS k,
+                     'dynamodb' AS src,
+                     epoch_ms(date_trunc('second', ts)) AS ts_ms,
+                     CAST(event_id AS BIGINT) AS lsn
+              FROM events WHERE event_id % 4 = 3
             ),
             w AS (
               SELECT *, row_number() OVER (PARTITION BY user_id
