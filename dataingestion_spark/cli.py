@@ -333,7 +333,7 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--config", required=True)
     p.add_argument(
         "--kind", required=True,
-        choices=["snapshots", "files", "partitions", "manifests"],
+        choices=["snapshots", "files", "partitions", "manifests", "indexes"],
     )
     p.add_argument("--version", type=int, default=None)
     p.add_argument("--limit", type=int, default=1000)

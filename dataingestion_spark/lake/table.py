@@ -4333,9 +4333,45 @@ class LakeTable:
                 rows,
                 "bucket int, manifest string, data_files long, delta_files long",
             )
+        if kind == "indexes":
+            from dataingestion_spark.lake import bloom as B
+            from dataingestion_spark.lake import ndv as N
+            from dataingestion_spark.lake.shardstore import ShardStore
+
+            rows = []
+            bstore = B.BloomIndexStore(self.root)
+            if bstore.spec() is not None:
+                rows.append(
+                    (
+                        "bloom", "pk-bloom",
+                        json.dumps(bstore.spec(), sort_keys=True),
+                        len(bstore.buckets()),
+                    )
+                )
+            nstore = N.NdvStore(self.root)
+            if nstore.spec() is not None:
+                rows.append(
+                    (
+                        "ndv", "hll-ndv",
+                        json.dumps(nstore.spec(), sort_keys=True),
+                        len(nstore.buckets()),
+                    )
+                )
+            for col in self.secondary_index_cols():
+                s = ShardStore(self.root, self._secondary_store_name(col))
+                rows.append(
+                    (
+                        f"secondary:{col}", "column-bloom",
+                        json.dumps(s.spec(), sort_keys=True),
+                        len(s.buckets()),
+                    )
+                )
+            return self.spark.createDataFrame(
+                rows, "name string, kind string, spec string, buckets long"
+            )
         raise ValueError(
             f"unknown metadata table {kind!r} "
-            "(snapshots|files|partitions|manifests)"
+            "(snapshots|files|partitions|manifests|indexes)"
         )
 
     def describe(self, version: int | None = None, with_sizes: bool = False) -> dict:

@@ -61,6 +61,14 @@ def test_meta_snapshots_files_partitions_manifests(spark, tmp_path):
     assert {r.bucket for r in manifests} == {int(b) for b in snap.manifest_refs}
     assert all(r.manifest for r in manifests)
 
+    tbl.update_bloom_index()
+    tbl.update_ndv_sketch(["conv_id"])
+    tbl.update_secondary_index("tool")
+    idx = {r.name: r for r in tbl.meta("indexes").collect()}
+    assert set(idx) == {"bloom", "ndv", "secondary:tool"}
+    assert idx["bloom"].kind == "pk-bloom" and idx["bloom"].buckets > 0
+    assert "lg_k" in idx["ndv"].spec
+
     with pytest.raises(ValueError, match="unknown metadata table"):
         tbl.meta("wat")
 
