@@ -448,6 +448,7 @@ def route_changes(
     trigger: str | None = None,
     source_format: str = "parquet",
     reader_options: dict | None = None,
+    route_parallelism: int = 4,
 ) -> StreamingQuery:
     """Multi-table CDC router (Debezium-server topic-routing analog): ONE
     change stream whose rows carry a ``table_col`` discriminator fans out
@@ -483,12 +484,27 @@ def route_changes(
     route's unmergeable rows (null pk/lsn, unknown op, that route's
     CHECK-constraint violations) land under ``<dir>/<route>/epoch=<n>``
     (overwrite per epoch - idempotent beside the markers), replayable
-    per table with ``requeue_quarantine``."""
+    per table with ``requeue_quarantine``.
+
+    ``route_parallelism`` (default 4) runs the per-route merges as
+    CONCURRENT Spark job chains - safe because routes target different
+    tables (no shared commit chain; session-conf mutation inside merge
+    is already lock-guarded for concurrent pipelines) and a win at
+    scale: N small routes keep the cluster busy instead of serializing
+    N job chains through the driver loop. Any route failure fails the
+    whole batch, so the checkpoint replays it and committed routes skip
+    via their markers. ``route_parallelism=1`` restores strictly
+    sequential (deterministic-order) execution."""
     if on_unrouted not in ("fail", "ignore"):
         raise ValueError(f"on_unrouted must be fail|ignore, got {on_unrouted!r}")
+    if route_parallelism < 1:
+        raise ValueError("route_parallelism must be >= 1")
     _validate_trigger(trigger)
     tables = {name: LakeTable(spark, cfg.table_path) for name, cfg in routes.items()}
     lineage = LineageLog(spark, lineage_path) if lineage_path else None
+    import threading
+
+    lineage_lock = threading.Lock()
     ckpt_tag = hashlib.md5(
         str(Path(checkpoint_dir).resolve()).encode()
     ).hexdigest()[:8]
@@ -530,9 +546,7 @@ def route_changes(
                     status="DROPPED_UNROUTED",
                     quarantined_events=dropped,
                 )
-            for name in present:
-                if name not in routes:
-                    continue
+            def _apply_route(name: str) -> None:
                 cfg, tbl = routes[name], tables[name]
                 t0 = time.time()
                 df = batch.filter(F.col(table_col) == name).drop(table_col)
@@ -582,25 +596,54 @@ def route_changes(
                     collect_file_stats=lineage is not None,
                 )
                 if lineage is not None:
-                    lineage.record_epoch(
-                        pipeline_id=pipeline_id,
-                        epoch_id=epoch_id,
-                        batch=df if snap is not None else None,
-                        applied_events=(
-                            snap.summary.get("applied_events") if snap else 0
-                        ),
-                        snapshot_version=(snap.version if snap else None),
-                        duration_ms=int((time.time() - t0) * 1000),
-                        status=(
-                            "SUCCESS"
-                            if snap is not None
-                            else "SKIPPED_DUPLICATE_EPOCH"
-                        ),
-                        file_stats=(
-                            snap.summary.get("file_stats") if snap else None
-                        ),
-                        quarantined_events=n_quarantined,
-                    )
+                    # two routes' merges finish concurrently; parquet
+                    # append from two driver threads to ONE lineage dir
+                    # would race the commit protocol - serialize it
+                    with lineage_lock:
+                        lineage.record_epoch(
+                            pipeline_id=pipeline_id,
+                            epoch_id=epoch_id,
+                            batch=df if snap is not None else None,
+                            applied_events=(
+                                snap.summary.get("applied_events")
+                                if snap
+                                else 0
+                            ),
+                            snapshot_version=(
+                                snap.version if snap else None
+                            ),
+                            duration_ms=int((time.time() - t0) * 1000),
+                            status=(
+                                "SUCCESS"
+                                if snap is not None
+                                else "SKIPPED_DUPLICATE_EPOCH"
+                            ),
+                            file_stats=(
+                                snap.summary.get("file_stats")
+                                if snap
+                                else None
+                            ),
+                            quarantined_events=n_quarantined,
+                        )
+
+            routed = [n for n in present if n in routes]
+            # Routes target DIFFERENT tables, so their merges share no
+            # commit chain - run them as concurrent Spark job chains
+            # (the classic scheduler-pool fan-out) instead of
+            # serializing N full job chains in the driver loop. At
+            # route_parallelism=1 behavior is the sequential original.
+            if route_parallelism > 1 and len(routed) > 1:
+                from concurrent.futures import ThreadPoolExecutor
+
+                with ThreadPoolExecutor(
+                    max_workers=min(route_parallelism, len(routed))
+                ) as pool:
+                    # list() propagates the FIRST route failure - the
+                    # batch must fail so the checkpoint replays it
+                    list(pool.map(_apply_route, routed))
+            else:
+                for name in routed:
+                    _apply_route(name)
         finally:
             batch.unpersist()
 

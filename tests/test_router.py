@@ -176,6 +176,46 @@ def test_router_per_route_quarantine_and_requeue(spark, tmp_path):
         )
 
 
+def test_router_sequential_equals_parallel(spark, tmp_path):
+    """route_parallelism=1 (strict sequential) and the default
+    concurrent fan-out converge to identical table states - concurrency
+    is a scheduler choice, never semantics (routes share no commit
+    chain)."""
+    d, pdf = _routed_landing(spark, tmp_path, seed=91, n_events=2_000)
+    states = {}
+    for par in (1, 4):
+        routes = {
+            name: DatasetConfig(
+                name=name, table_path=str(tmp_path / f"p{par}_{name}"),
+                num_buckets=4, salt_buckets=4,
+            )
+            for name in ("even", "odd")
+        }
+        for cfg in routes.values():
+            bootstrap_table(spark, cfg, TRANSCRIPT_SCHEMA)
+        q = route_changes(
+            spark, routes, d["landing"], str(tmp_path / f"ck{par}"),
+            route_parallelism=par,
+        )
+        q.awaitTermination(240)
+        states[par] = {
+            name: LakeTable(spark, cfg.table_path)
+            .read()
+            .toPandas()
+            .sort_values(["conv_id", "turn_idx"])
+            .reset_index(drop=True)
+            for name, cfg in routes.items()
+        }
+    import pandas as pd
+
+    for name in ("even", "odd"):
+        pd.testing.assert_frame_equal(states[1][name], states[4][name])
+        assert_table_equals_oracle_frames = pdf[pdf.route == name]
+        assert len(states[4][name]) == len(
+            oracle.replay(assert_table_equals_oracle_frames)
+        )
+
+
 def test_router_bad_args_fail_fast(spark, tmp_path):
     with pytest.raises(ValueError, match="fail|ignore"):
         route_changes(
