@@ -1035,6 +1035,39 @@ def q_cdc_rebucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tbl.read().orderBy("conv_id", "turn_idx")
 
 
+def q_cdc_optimize_invariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maintenance never changes answers, as a driver-checked contract:
+    replay the flagship binlog as TWO MOR epochs (outstanding delta
+    chains), opt into every index (bloom, NDV, secondary), declare a
+    z-order, then run the full `optimize()` pass - policy compaction
+    folding the chains under the declared layout, index refresh, snapshot
+    expiry, vacuum - and return the final state. Oracle: the plain
+    portable replay; equality proves the entire maintenance surface is
+    layout, never semantics."""
+    from dataingestion_spark.sources.datagen import gen_changes
+
+    tbl = _flagship_table(spark, "cdc_opt_", merge=False)
+    changes = gen_changes(
+        spark, n_events=10_000, n_convs=80, max_turns=40, seed=42,
+        hash_mode="md5",
+    )
+    for epoch, lo, hi in [(0, 0, 7_000), (1, 7_000, 10_000)]:
+        part = changes.filter(
+            (F.col("lsn") >= lo * 2) & (F.col("lsn") < hi * 2)
+        )
+        tbl.merge(part, pipeline_id="entry", epoch_id=epoch, write_mode="mor")
+    tbl.update_bloom_index()
+    tbl.update_ndv_sketch(["conv_id"])
+    tbl.update_secondary_index("tool")
+    tbl.set_sort_order(["turn_idx", "ts"], mode="zorder")
+    report = tbl.optimize(
+        max_delta_files_per_bucket=1, keep_snapshots=2,
+        vacuum_older_than_s=0.0,
+    )
+    assert not tbl.snapshot().deltas, report  # chains folded
+    return tbl.read().orderBy("conv_id", "turn_idx")
+
+
 def q_cdc_secondary_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Secondary-column lookup through the value index (Hudi 1.0
     secondary-index analog, lake/table.py update_secondary_index /
@@ -2057,6 +2090,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_merge_into": q_cdc_merge_into,
         "cdc_retention": q_cdc_retention,
         "cdc_secondary_lookup": q_cdc_secondary_lookup,
+        "cdc_optimize_invariance": q_cdc_optimize_invariance,
         "cdc_agg_view": q_cdc_agg_view,
         "doc_redact_pii": q_doc_redact_pii,
         "media_frame_sample": q_media_frame_sample,
@@ -3104,6 +3138,9 @@ def oracle_sql() -> dict[str, str]:
             "SELECT * FROM ("
             + _replay_sql(n_events=10_000, n_convs=80, max_turns=40, seed=42)
             + ") WHERE tool IN ('tool_07', 'tool_11')"
+        ),
+        "cdc_optimize_invariance": _replay_sql(
+            n_events=10_000, n_convs=80, max_turns=40, seed=42
         ),
         "cdc_merge_into": (
             "SELECT conv_id, turn_idx, role,"
