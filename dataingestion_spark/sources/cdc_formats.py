@@ -437,12 +437,84 @@ _DDB_NUMERIC = {
     "float", "double", "decimal",
 }
 
+# DynamoDB SequenceNumbers are decimal strings of up to 40 digits
+# (AWS-documented width).  A 40-digit value can NOT be cast to long (or
+# even DECIMAL(38,0)), so the lsn is derived by exact big-integer
+# subtraction against a per-subscription base, done in two limbs: the
+# top 22 digits as DECIMAL(22,0) and the bottom 18 as long.
+_DDB_SEQ_WIDTH = 40
+_DDB_LO_DIGITS = 18
+_DDB_HI_DIGITS = _DDB_SEQ_WIDTH - _DDB_LO_DIGITS  # 22
+
+
+def _ddb_lsn(seq: Column, seq_base: str) -> Column:
+    """Map a DynamoDB SequenceNumber column (decimal string, <=40
+    digits) to a monotone 64-bit lsn: ``SequenceNumber - seq_base``
+    computed exactly in two decimal limbs.
+
+    * ``seq_base`` is the subscription-time base sequence number (the
+      shard iterator's starting sequence, or "0" for toy/synthetic
+      streams whose values already fit in long).
+    * NULL / non-numeric sequence numbers map to NULL (the standard
+      quarantine-gate path, same as every other adapter's garbage arm).
+    * A numeric value whose offset from the base does NOT fit in a
+      signed 64-bit lsn fails FAST via ``raise_error`` — a real-width
+      AWS stream pointed at the wrong base must abort the job, not
+      silently dead-letter 100% of its rows.
+    """
+    base = str(seq_base).strip()
+    if not base.isdigit() or len(base) > _DDB_SEQ_WIDTH:
+        raise ValueError(
+            f"seq_base must be a decimal string of <= {_DDB_SEQ_WIDTH} "
+            f"digits (an AWS SequenceNumber), got {seq_base!r}"
+        )
+    bp = base.zfill(_DDB_SEQ_WIDTH)
+    base_hi = F.lit(bp[:_DDB_HI_DIGITS]).cast(
+        f"decimal({_DDB_HI_DIGITS},0)"
+    )
+    base_lo = F.lit(int(bp[_DDB_HI_DIGITS:]))
+    pad = F.lpad(seq, _DDB_SEQ_WIDTH, "0")
+    hi = F.substring(pad, 1, _DDB_HI_DIGITS).cast(
+        f"decimal({_DDB_HI_DIGITS},0)"
+    )
+    lo = F.substring(
+        pad, _DDB_HI_DIGITS + 1, _DDB_LO_DIGITS
+    ).cast("long")
+    hidiff = hi - base_hi
+    # hidiff in [0, 9] is the exact window where hidiff * 10^18 +
+    # lodiff can represent a non-negative long: 9*10^18 < 2^63, and a
+    # true value past 2^63-1 wraps exactly once to a negative, which
+    # the lsn >= 0 guard catches (lodiff is bounded by +-10^18).
+    ok_hi = (hidiff >= 0) & (hidiff <= 9)
+    hidiff_l = F.when(ok_hi, hidiff).otherwise(F.lit(0)).cast("long")
+    lsn = hidiff_l * F.lit(10 ** _DDB_LO_DIGITS) + (lo - base_lo)
+    return (
+        F.when(
+            seq.isNull() | ~seq.rlike(r"^\d{1,40}$"),
+            F.lit(None).cast("long"),
+        )
+        .when(ok_hi & (lsn >= 0), lsn)
+        .otherwise(
+            F.raise_error(
+                F.format_string(
+                    "dynamodb SequenceNumber %s does not map into a "
+                    "64-bit lsn relative to seq_base "
+                    + base
+                    + "; re-subscribe with the shard's starting "
+                    "sequence number as seq_base",
+                    seq,
+                )
+            )
+        )
+    )
+
 
 def parse_dynamodb_stream(
     df: DataFrame,
     payload_fields: PayloadFields,
     key_field: str,
     key_type: str = "string",
+    seq_base: str = "0",
 ) -> DataFrame:
     """DynamoDB Streams record (the public AWS stream-record shape) ->
     canonical change relation.
@@ -457,15 +529,26 @@ def parse_dynamodb_stream(
     * op map: INSERT -> INSERT, MODIFY -> UPDATE, REMOVE -> DELETE.
     * key from ``Keys`` (present on every record incl. REMOVE); payload
       columns from ``NewImage`` through the typed encoding - numeric
-      SQL types read the ``.N`` arm, everything else ``.S``; a REMOVE
-      has no NewImage and null-fills naturally.
-    * lsn: ``SequenceNumber`` - DynamoDB's own per-shard change
-      ordinal (the reference's per-key in-order delivery assumption
-      maps to DynamoDB's per-item ordering guarantee within a shard).
+      SQL types read the ``.N`` arm, booleans the ``.BOOL`` arm
+      (DynamoDB booleans arrive as ``{"BOOL": true}``), everything
+      else ``.S``; a REMOVE has no NewImage and null-fills naturally.
+    * lsn: ``SequenceNumber - seq_base``, computed exactly (see
+      :func:`_ddb_lsn`).  Real AWS SequenceNumbers are 21-40-digit
+      decimals that overflow int64, so callers subscribing to a real
+      stream must pass the shard's starting sequence number as
+      ``seq_base``; offsets that still don't fit fail fast.  DynamoDB's
+      per-item ordering guarantee within a shard maps to the
+      reference's per-key in-order delivery assumption.
     """
 
     def _attr(image: str, name: str, sql_type: str) -> Column:
-        arm = "N" if sql_type.lower() in _DDB_NUMERIC else "S"
+        lt = sql_type.lower()
+        if lt in _DDB_NUMERIC:
+            arm = "N"
+        elif lt in ("boolean", "bool"):
+            arm = "BOOL"
+        else:
+            arm = "S"
         return F.get_json_object(
             F.col("dynamodb"), f"$.{image}.{name}.{arm}"
         ).try_cast(sql_type)
@@ -488,9 +571,10 @@ def parse_dynamodb_stream(
             ).try_cast("long")
             * 1000
         ).alias("ts_ms"),
-        F.get_json_object(F.col("dynamodb"), "$.SequenceNumber")
-        .try_cast("long")
-        .alias("lsn"),
+        _ddb_lsn(
+            F.get_json_object(F.col("dynamodb"), "$.SequenceNumber"),
+            seq_base,
+        ).alias("lsn"),
         F.coalesce(F.col("eventSourceARN"), F.lit("dynamodb")).alias(
             "source_file"
         )

@@ -52,6 +52,7 @@ def main() -> int:
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = []
+    ran = [n for n in queries if not only or n in only]
     for name, fn in queries.items():
         if only and name not in only:
             continue
@@ -116,7 +117,7 @@ def main() -> int:
                 idx = diff[diff].index[:3]
                 print("  got:\n", g.loc[idx].to_string())
                 print("  want:\n", w.loc[idx].to_string())
-    print(f"\n{len(queries) - len(failures)}/{len(queries)} OK")
+    print(f"\n{len(ran) - len(failures)}/{len(ran)} OK")
     return 1 if failures else 0
 
 
