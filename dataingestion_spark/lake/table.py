@@ -187,6 +187,27 @@ class LakeTable:
     # amortizes and runtime coalesce/skew-split earn their keep.
     SMALL_EPOCH_EVENTS = 20_000_000
 
+    # COW broadcast-probe merge (the local analog of Iceberg's
+    # storage-partitioned join, SCALE.md "COW join shuffles the table
+    # side"): when no bucket's batch slice exceeds this many pre-LWW
+    # rows, the merge streams the table side through broadcast hash
+    # joins instead of shuffling it - zero Exchange over current table
+    # rows. Touched buckets are processed in groups whose combined batch
+    # slice stays under the budget, so the per-group broadcast is
+    # executor-memory-sized at ANY epoch size; a single bucket over
+    # budget falls back to the shuffle plans.
+    BROADCAST_MERGE_ENABLED = True
+    BROADCAST_GROUP_EVENTS = 1_000_000
+
+    # The broadcast-probe plan trades the table-side shuffle for extra
+    # fixed-latency jobs (winner broadcast + presence probe), so it pays
+    # exactly when the table side DWARFS the batch - the steady-state
+    # ingest regime (measured: ~0.9x at table/batch ~1.3 during a
+    # from-scratch replay, >1x once the table outgrows the epoch).
+    # Engage only when the touched buckets' base rows (exact, from the
+    # stats sidecars) are at least this multiple of the batch.
+    BROADCAST_TABLE_BATCH_RATIO = 4.0
+
     # Bounded snapshot cache: a long-running apply stream commits one
     # snapshot per epoch, and each internalized Snapshot holds every
     # bucket's file list - an unbounded cache leaks driver memory
@@ -353,17 +374,52 @@ class LakeTable:
     def _tags_path(self) -> Path:
         return self.root / "_meta" / "tags.json"
 
-    def tags(self) -> dict[str, int]:
+    def _tags_raw(self) -> dict:
+        """All tags across every chain, as stored: name -> {"version",
+        "branch"} (legacy int values read as main-chain tags)."""
         p = self._tags_path
-        return json.loads(p.read_text()) if p.is_file() else {}
+        raw = json.loads(p.read_text()) if p.is_file() else {}
+        return {
+            n: (
+                e
+                if isinstance(e, dict)
+                else {"version": int(e), "branch": "main"}
+            )
+            for n, e in raw.items()
+        }
+
+    def tags(self) -> dict[str, int]:
+        """Tags of THIS handle's chain only (name -> version). Tags are
+        chain-scoped: version numbers are only meaningful within one
+        snapshot chain, so a tag minted on a WAP branch must never
+        resolve against main's snapshot of the same number (and vice
+        versa). Chain scoping also keeps expire_snapshots' tag
+        protection exact - each chain's expiry honors its own tags."""
+        return {
+            n: int(e["version"])
+            for n, e in self._tags_raw().items()
+            if e.get("branch", "main") == self.branch_name
+        }
 
     def resolve_tag(self, name: str) -> int:
-        tags = self.tags()
-        if name not in tags:
+        all_tags = self._tags_raw()
+        if name not in all_tags:
             raise KeyError(
-                f"unknown tag {name!r} (have: {sorted(tags) or 'none'})"
+                f"unknown tag {name!r} (have: {sorted(all_tags) or 'none'})"
             )
-        return int(tags[name])
+        entry = all_tags[name]
+        chain = entry.get("branch", "main")
+        if chain != self.branch_name:
+            raise ValueError(
+                f"tag {name!r} was created on chain {chain!r} and cannot "
+                f"resolve from a {self.branch_name!r} handle: v"
+                f"{entry['version']} names a DIFFERENT snapshot there; "
+                f"use branch({chain!r}) to read the tagged state"
+                if chain != "main"
+                else f"tag {name!r} belongs to the main chain; use the "
+                "main-table handle to read it"
+            )
+        return int(entry["version"])
 
     def _write_tags(self, tags: dict[str, int]) -> None:
         tmp = self._tags_path.with_suffix(f".{uuid.uuid4().hex[:8]}.tmp")
@@ -376,13 +432,13 @@ class LakeTable:
         v = self.current_version() if version is None else int(version)
         if not self._snapshot_path(v).is_file():
             raise FileNotFoundError(f"cannot tag v{v}: snapshot not retained")
-        tags = self.tags()
-        tags[name] = v
+        tags = self._tags_raw()
+        tags[name] = {"version": v, "branch": self.branch_name}
         self._write_tags(tags)
         return v
 
     def drop_tag(self, name: str) -> None:
-        tags = self.tags()
+        tags = self._tags_raw()
         tags.pop(name, None)
         self._write_tags(tags)
 
@@ -541,6 +597,14 @@ class LakeTable:
         """Delete a branch's snapshot files (the chain's data/manifest
         files become orphans reclaimed by vacuum). Returns the number of
         snapshots dropped."""
+        # Same validation as create_branch: a name containing glob
+        # metacharacters (e.g. "*") must not expand across OTHER
+        # branches' snapshot files.
+        if not _BRANCH_NAME_RE.match(name):
+            raise ValueError(
+                f"invalid branch name {name!r} "
+                f"(must match {_BRANCH_NAME_RE.pattern})"
+            )
         files = sorted(self._snap_dir.glob(f"B-{name}-v*.json"))
         if not files:
             raise KeyError(f"unknown branch {name!r}")
@@ -1609,16 +1673,23 @@ class LakeTable:
 
     def _secondary_prune(
         self, snap: Snapshot, col: str, values: list
-    ) -> list[int] | None:
-        """Buckets that can hold a live row with ``col`` in ``values``,
-        per the secondary bloom bitmaps; None when no index exists (keep
-        everything). BUCKET granularity is what keeps this EXACT under
-        merge-on-read: a winning (LWW-resolved) row carries value V only
-        if SOME physical row in SOME file of its bucket carries V, so a
-        bucket every one of whose files provably lacks all requested
-        values cannot contribute a result row - while dropping
-        individual files inside a kept bucket could drop the newer
-        overlay that supersedes a stale match."""
+    ) -> tuple[list[int], dict[str, list[str]]] | None:
+        """(buckets, base-file map) that can hold a live row with
+        ``col`` in ``values``, per the secondary bloom bitmaps; None
+        when no index exists (keep everything).
+
+        Granularity is two-level. BUCKET granularity is what keeps this
+        EXACT under merge-on-read: a winning (LWW-resolved) row carries
+        value V only if SOME physical row in SOME file of its bucket
+        carries V, so a bucket every one of whose files provably lacks
+        all requested values cannot contribute a result row - while
+        dropping individual files inside a DELTA-CARRYING bucket could
+        drop the newer overlay that supersedes a stale match. Inside an
+        OVERLAY-FREE bucket (no delta files) no read-time resolution
+        happens among base rows, so each base file stands alone and a
+        file whose bloom provably lacks every requested value is pruned
+        INDIVIDUALLY - post-compaction point lookups touch only the
+        files that may match, not the whole bucket."""
         from dataingestion_spark.lake import bloom as B
         from dataingestion_spark.lake.shardstore import ShardStore
 
@@ -1627,15 +1698,27 @@ class LakeTable:
             return None
         h1, h2 = B.key_hashes([(v,) for v in values])
         kept: list[int] = []
+        kept_files: dict[str, list[str]] = {}
         for b in sorted(set(snap.files) | set(snap.deltas), key=int):
-            live = list(snap.files.get(b, [])) + list(snap.deltas.get(b, []))
+            base = list(snap.files.get(b, []))
+            deltas = list(snap.deltas.get(b, []))
             entries = store.load_bucket(b)
-            for rel in live:
+
+            def may(rel: str) -> bool:
                 e = entries.get(rel)
-                if e is None or B.any_key_maybe_present(e, h1, h2):
+                return e is None or B.any_key_maybe_present(e, h1, h2)
+
+            if deltas:
+                # MOR soundness rule: all-or-nothing per bucket
+                if any(may(rel) for rel in base + deltas):
                     kept.append(int(b))
-                    break
-        return kept
+                    kept_files[b] = base
+            else:
+                hits = [rel for rel in base if may(rel)]
+                if hits:
+                    kept.append(int(b))
+                    kept_files[b] = hits
+        return kept, kept_files
 
     def read_in(
         self,
@@ -1660,16 +1743,18 @@ class LakeTable:
         values = list(values)
         if not values:
             return self.spark.createDataFrame([], snap.schema)
-        buckets = None
+        buckets, file_map = None, None
         if use_index:
-            buckets = self._secondary_prune(snap, col, values)
+            pruned = self._secondary_prune(snap, col, values)
+            if pruned is not None:
+                buckets, file_map = pruned
         if buckets is None:
             buckets = sorted(
                 {int(b) for b in snap.files} | {int(b) for b in snap.deltas}
             )
         if not buckets:
             return self.spark.createDataFrame([], snap.schema)
-        df = self._resolved(snap, buckets).filter(
+        df = self._resolved(snap, buckets, file_map=file_map).filter(
             ~F.coalesce(F.col(DELETED_COL), F.lit(False))
         )
         return df.filter(F.col(col).isin(values)).select(
@@ -2187,16 +2272,39 @@ class LakeTable:
                             cols[name] = [min(cols[name][0], lo), max(cols[name][1], hi)]
                         else:
                             cols[name] = [lo, hi]
-                if cols:
-                    for name, (lo, hi) in cols.items():
-                        if isinstance(lo, str):
-                            # bound-preserving truncation keeps sidecars
-                            # small for long text-ish columns
-                            cols[name] = [
-                                self._trunc_lower(lo), self._trunc_upper(hi)
-                            ]
-                    stats[rel] = cols
+                for name, (lo, hi) in cols.items():
+                    if isinstance(lo, str):
+                        # bound-preserving truncation keeps sidecars
+                        # small for long text-ish columns
+                        cols[name] = [
+                            self._trunc_lower(lo), self._trunc_upper(hi)
+                        ]
+                # Exact file row count (free: the footer is already
+                # open). Keyed so it can never collide with a real
+                # column; consumers do keyed lookups only. Used by the
+                # COW merge's table-vs-batch ratio gate.
+                cols["__rows__"] = md.num_rows
+                stats[rel] = cols
         (commit_dir / ".stats.json").write_text(json.dumps(stats))
+
+    def _base_rows(self, snap: Snapshot, buckets: list[int]) -> int | None:
+        """Exact row count of the BASE files under ``buckets``, from the
+        stats sidecars - driver-side, O(files), cached per commit dir.
+        None when any file predates row-count sidecars (legacy commits):
+        the caller must then assume nothing about table size."""
+        rels = [
+            f for b in buckets for f in snap.files.get(str(b), [])
+        ]
+        if not rels:
+            return 0
+        stats = self._stats_for(rels)
+        total = 0
+        for rel in rels:
+            n = stats.get(rel, {}).get("__rows__")
+            if n is None:
+                return None
+            total += int(n)
+        return total
 
     def _stats_for(self, rel_files: list[str]) -> dict[str, dict[str, list]]:
         """Load the stats covering ``rel_files`` (per-commit sidecars,
@@ -2604,8 +2712,8 @@ class LakeTable:
             bad = [c for c in cols if not is_zorderable(by_name[c])]
             if bad:
                 raise ValueError(
-                    "zorder needs numeric/timestamp/date/boolean columns; "
-                    f"unsupported: {bad}"
+                    "zorder needs numeric/timestamp/date/boolean/string "
+                    f"columns; unsupported: {bad}"
                 )
 
     def _resolve_cluster_spec(
@@ -2686,6 +2794,26 @@ class LakeTable:
         doesn't cover (legacy commits, all-null files) fall back to ONE
         min/max aggregate over the rewrite input - a single extra scan of
         exactly the buckets being rewritten, worst case."""
+        from dataingestion_spark.lake.zorder import string_embed
+
+        by_name = {f.name: f.dataType for f in snap.schema.fields}
+
+        def _to_quant(c: str, v):
+            """Stat value -> quantization units: strings embed via their
+            6-byte UTF-8 prefix (matching norm_expr's executor-side
+            embedding; the sidecars' bound-preserving truncation keeps
+            min <= data <= max, and the first 6 bytes survive the 64-char
+            truncation untouched)."""
+            if isinstance(v, str):
+                return (
+                    string_embed(v)
+                    if isinstance(by_name.get(c), T.StringType)
+                    else None
+                )
+            if isinstance(v, bool):
+                return int(v)
+            return v if isinstance(v, (int, float)) else None
+
         rels = [
             f
             for b in target
@@ -2701,11 +2829,13 @@ class LakeTable:
             covered = bool(rels)
             for rel in rels:
                 s = stats.get(rel, {}).get(c)
-                if not s or not isinstance(s[0], (int, float)):
+                qlo = _to_quant(c, s[0]) if s else None
+                qhi = _to_quant(c, s[1]) if s else None
+                if qlo is None or qhi is None:
                     covered = False
                     break
-                lo = s[0] if lo is None else min(lo, s[0])
-                hi = s[1] if hi is None else max(hi, s[1])
+                lo = qlo if lo is None else min(lo, qlo)
+                hi = qhi if hi is None else max(hi, qhi)
             if covered and lo is not None:
                 bounds[c] = (lo, hi)
             else:
@@ -2717,14 +2847,12 @@ class LakeTable:
             ).collect()[0]
             for c in missing:
                 lo, hi = row[f"lo_{c}"], row[f"hi_{c}"]
-                # booleans quantize on their 0/1 embedding (the sidecars
-                # skip them, so they always take this path)
-                lo = int(lo) if isinstance(lo, bool) else self._stat_value(lo)
-                hi = int(hi) if isinstance(hi, bool) else self._stat_value(hi)
-                bounds[c] = (
-                    lo if isinstance(lo, (int, float)) else None,
-                    hi if isinstance(hi, (int, float)) else None,
-                )
+                # booleans and strings quantize on their embeddings; the
+                # raw aggregate values convert through the same mapping
+                # the sidecar path uses
+                lo = _to_quant(c, self._stat_value(lo) if not isinstance(lo, (bool, str)) else lo)
+                hi = _to_quant(c, self._stat_value(hi) if not isinstance(hi, (bool, str)) else hi)
+                bounds[c] = (lo, hi)
         return bounds
 
     def rollback(self, version: int | str) -> Snapshot:
@@ -2911,6 +3039,15 @@ class LakeTable:
         sstore = ShardStore(self.root, self._secondary_store_name(old))
         if sstore.spec() is not None:
             target = ShardStore(self.root, self._secondary_store_name(new))
+            # os.replace raises ENOTEMPTY when the target dir already
+            # exists (stale leftovers of a crashed earlier rename, or an
+            # index once built under the new name) - and this runs AFTER
+            # the rename commit succeeded, so failing here would leave
+            # the table renamed but the call raising. The old index is
+            # authoritative for the just-renamed data; clear the stale
+            # target and move over it.
+            if target.dir.exists():
+                shutil.rmtree(target.dir)
             os.replace(sstore.dir, target.dir)
             spec = target.spec()
             spec["col"] = new
@@ -3573,10 +3710,45 @@ class LakeTable:
                     "hot_keys": hot,
                     "evolution": evo,
                     "file_stats": file_stats,
+                    "merge_plan": "mor-delta",
                     **(lineage or {}),
                 },
                 deltas=deltas,
             )
+
+        # (5-pre) COW broadcast-probe plan - the table side is NEVER
+        # exchanged (the local storage-partitioned-join analog; round-4
+        # verdict item #2). Eligible whenever the epoch is an ordinary
+        # cold COW merge: no hot keys (their salting protects exchanges
+        # this plan doesn't have, but the salted WRITE layout is the
+        # shuffle plans' machinery), no pk widening (needs the full
+        # rebucket join), no unresolved deltas under the touched buckets
+        # (their read-time fold is itself a shuffle), and no bucket whose
+        # batch slice exceeds the broadcast budget.
+        bucket_counts = {int(r[BUCKET_COL]): int(r["_n"]) for r in raw_stats}
+        base_rows = (
+            self._base_rows(snap, touched)
+            if self.BROADCAST_MERGE_ENABLED and touched
+            else None
+        )
+        if (
+            self.BROADCAST_MERGE_ENABLED
+            and touched
+            and not hot
+            and not pk_widened
+            and not any(snap.deltas.get(str(b)) for b in touched)
+            and max(bucket_counts.values(), default=0)
+            <= self.BROADCAST_GROUP_EVENTS
+            and base_rows is not None
+            and base_rows >= self.BROADCAST_TABLE_BATCH_RATIO * batch_events
+        ):
+            snap2 = self._merge_cow_broadcast(
+                src, snap, schema, schema_version, pk, order_fields,
+                touched, bucket_counts, pipeline_id, epoch_id, evo,
+                file_stats, lineage,
+            )
+            _tick("LWW-broadcast + rewrite")
+            return snap2
 
         # (5) COW plan selection - two physically different plans with
         # identical semantics, chosen by epoch size (same threshold as the
@@ -3643,7 +3815,8 @@ class LakeTable:
             _tick("LWW-union + rewrite")
             return self._finish_cow_commit(
                 snap, schema, schema_version, touched, hot, new_files,
-                applied, pipeline_id, epoch_id, evo, file_stats, lineage,
+                applied, pipeline_id, epoch_id, evo, file_stats,
+                {**(lineage or {}), "merge_plan": "cow-union"},
             )
         else:
             # In-batch fold on a COALESCED lsn ordinal (null lsn -> -1) so
@@ -3718,7 +3891,158 @@ class LakeTable:
         _tick("LWW-join + rewrite")
         return self._finish_cow_commit(
             snap, schema, schema_version, touched, hot, new_files, applied,
-            pipeline_id, epoch_id, evo, file_stats, lineage,
+            pipeline_id, epoch_id, evo, file_stats,
+            {**(lineage or {}), "merge_plan": "cow-join"},
+        )
+
+    def _merge_cow_broadcast(
+        self,
+        src: DataFrame,
+        snap: Snapshot,
+        schema: T.StructType,
+        schema_version: int,
+        pk: list[str],
+        order_fields: list[str],
+        touched: list[int],
+        bucket_counts: dict[int, int],
+        pipeline_id: str | None,
+        epoch_id: int | None,
+        evo: str | None,
+        file_stats: list | None,
+        lineage: dict | None,
+    ) -> Snapshot:
+        """COW merge with ZERO exchange on the table side - the
+        single-box analog of Iceberg's storage-partitioned join
+        (SCALE.md: "COW join shuffles the table side every epoch").
+
+        The batch is folded to per-key winners (ONE exchange, over the
+        batch only - O(epoch), never O(table)), then each group of
+        touched buckets is rewritten by streaming its base files through
+        broadcast hash joins:
+
+          updated = scan(group)            LEFT JOIN broadcast(winners)
+          present = scan(group, pk-pruned) SEMI JOIN broadcast(winner pks)
+          inserts = winners ANTI JOIN broadcast(present)
+          new     = updated UNION inserts   -> bucket-dir write, no shuffle
+
+        Scan partitions flow straight into the per-bucket dynamic-
+        partition write (pre_partitioned); only the insert sliver - batch
+        rows for keys absent from the table - takes a tiny batch-side
+        repartition for clean file layout. Groups bound each broadcast to
+        BROADCAST_GROUP_EVENTS pre-LWW batch rows, so the plan holds at
+        any epoch size: 100 TB of table behind 10^4 buckets still streams
+        scan->join->write with the day's changes broadcast group by group.
+
+        Semantics are EXACTLY the full-outer-join plan's: same winners
+        fold (in-batch LWW on coalesced lsn ordinal), same source-wins
+        guard (s.lsn >= t.lsn on -1-coalesced lsns, so a null-lsn batch
+        row loses to any real table lsn), same tombstone carry (a DELETE
+        winner IS the tombstone row; an unmatched DELETE inserts one).
+        ``applied`` counts keys whose winner came from THIS batch, the
+        small-plan rule."""
+        payload_cols = [f.name for f in schema.fields if f.name not in pk]
+        winners = lww_dedupe(
+            src.withColumn(
+                "_lsn_ord", F.coalesce(F.col(LSN_COL), F.lit(-1))
+            ),
+            pk,
+            ["_lsn_ord"] + list(order_fields[1:]),
+            strategy="agg",
+        ).drop("_lsn_ord")
+        # Reused by every group (update probe, presence probe, insert
+        # anti): fold once, keep the winners hot.
+        winners = winners.persist()
+        try:
+            groups: list[list[int]] = []
+            acc: list[int] = []
+            acc_n = 0
+            for b in touched:
+                n = bucket_counts.get(int(b), 0)
+                if acc and acc_n + n > self.BROADCAST_GROUP_EVENTS:
+                    groups.append(acc)
+                    acc, acc_n = [], 0
+                acc.append(int(b))
+                acc_n += n
+            if acc:
+                groups.append(acc)
+
+            new_files: dict[str, list[str]] = {}
+            applied = 0
+            for bs in groups:
+                w_g = (
+                    winners.filter(F.col(BUCKET_COL).isin(bs))
+                    if len(groups) > 1
+                    else winners
+                )
+                s_g = w_g.select(
+                    *pk,
+                    *[F.col(c).alias(f"_s_{c}") for c in payload_cols],
+                    F.col(LSN_COL).alias("_s_lsn"),
+                    F.col(DELETED_COL).alias("_s_deleted"),
+                    F.col(BUCKET_COL).alias("_s_bucket"),
+                )
+                cur = self._read_files(snap, bs, schema)
+                source_wins = F.col("_s_bucket").isNotNull() & (
+                    F.coalesce(F.col("_s_lsn"), F.lit(-1))
+                    >= F.coalesce(F.col(LSN_COL), F.lit(-1))
+                )
+                updated = cur.join(F.broadcast(s_g), on=pk, how="left").select(
+                    *pk,
+                    *[
+                        F.when(source_wins, F.col(f"_s_{c}"))
+                        .otherwise(F.col(c))
+                        .alias(c)
+                        for c in payload_cols
+                    ],
+                    F.when(source_wins, F.col("_s_lsn"))
+                    .otherwise(F.col(LSN_COL))
+                    .alias(LSN_COL),
+                    F.when(source_wins, F.col("_s_deleted"))
+                    .otherwise(F.coalesce(F.col(DELETED_COL), F.lit(False)))
+                    .alias(DELETED_COL),
+                    F.col(BUCKET_COL),
+                    F.when(source_wins, F.lit(1))
+                    .otherwise(F.lit(0))
+                    .alias("_from_batch"),
+                )
+                # Presence probe: a SECOND, pk-pruned pass over the same
+                # files (parquet reads just the key columns - cheap next
+                # to any shuffle of the full rows), semi-joined against
+                # the broadcast winner keys, so `present` is at most
+                # |winners| rows and itself broadcastable.
+                present = cur.select(*pk).join(
+                    F.broadcast(w_g.select(*pk)), on=pk, how="leftsemi"
+                )
+                inserts = (
+                    w_g.join(F.broadcast(present), on=pk, how="left_anti")
+                    .repartition(max(len(bs), 1), F.col(BUCKET_COL))
+                    .select(
+                        *pk,
+                        *payload_cols,
+                        F.col(LSN_COL),
+                        F.col(DELETED_COL),
+                        F.col(BUCKET_COL),
+                        F.lit(1).alias("_from_batch"),
+                    )
+                )
+                out_g = updated.unionByName(inserts)
+                obs_g = Observation(f"merge_bcast_{uuid.uuid4().hex[:8]}")
+                out_g = out_g.observe(
+                    obs_g, F.sum("_from_batch").alias("applied")
+                ).drop("_from_batch")
+                files_g = self._write_data_files(
+                    out_g,
+                    target_partitions=max(len(bs), 1),
+                    pre_partitioned=True,
+                )
+                applied += int(obs_g.get["applied"] or 0)
+                new_files.update(files_g)
+        finally:
+            winners.unpersist()
+        return self._finish_cow_commit(
+            snap, schema, schema_version, touched, [], new_files, applied,
+            pipeline_id, epoch_id, evo, file_stats,
+            {**(lineage or {}), "merge_plan": "cow-broadcast"},
         )
 
     def _finish_cow_commit(
@@ -4128,17 +4452,73 @@ class LakeTable:
                 )
         if check_data and not errors:
             pk = list(snap.pk_fields)
+            # The uniqueness check runs PRE-resolution, on the base
+            # rows: self.read() applies read-time LWW whenever deltas
+            # exist, which makes post-resolution rows pk-unique by
+            # construction - a tautology that would mask duplicated or
+            # mis-bucketed base rows. Base rows are the invariant every
+            # COW write maintains (one row per pk); delta rows are
+            # legitimately multi-versioned per pk and stay out of scope.
+            base = self._read_files(snap, None)
             dup = (
-                self.read()
-                .groupBy(*pk)
+                base.groupBy(*pk)
                 .count()
                 .filter(F.col("count") > 1)
                 .take(1)
             )
             if dup:
                 errors.append(
-                    f"live rows are NOT pk-unique (e.g. "
+                    f"base rows are NOT pk-unique (e.g. "
                     f"{ {c: dup[0][c] for c in pk} })"
+                )
+            # mis-bucketing: a base row whose stored _bucket disagrees
+            # with bucket_expr(pk) under the current schema, OR a file
+            # listed under the WRONG bucket's manifest entry - either
+            # way the row is invisible to every touched-bucket merge
+            # probe: silent duplication waiting to happen. Manifest
+            # placement is checked by joining each row's source file
+            # (part-file names are globally unique) against the
+            # manifest's file->bucket map, broadcast-sized at O(files).
+            # keyed by the last TWO path segments (bucket dir +
+            # part-file name): a dynamic-partition task reuses one part
+            # name across every bucket dir it writes, so the file name
+            # alone is ambiguous within a commit.
+            pathmap = self.spark.createDataFrame(
+                [
+                    (f"{Path(rel).parent.name}/{Path(rel).name}", int(b))
+                    for b, rels in snap.files.items()
+                    for rel in rels
+                ]
+                or [("__none__", -1)],
+                "_fname string, _mb int",
+            ).dropDuplicates(["_fname"])
+            parts = F.split(F.input_file_name(), "/")
+            mis = (
+                base.withColumn(
+                    "_fname",
+                    F.concat_ws(
+                        "/", F.element_at(parts, -2), F.element_at(parts, -1)
+                    ),
+                )
+                .join(F.broadcast(pathmap), "_fname", "left")
+                .filter(
+                    (
+                        F.col(BUCKET_COL)
+                        != bucket_expr(
+                            pk[0], snap.num_buckets,
+                            key_type=snap.schema[pk[0]].dataType,
+                        )
+                    )
+                    | (F.col(BUCKET_COL) != F.col("_mb"))
+                )
+                .take(1)
+            )
+            if mis:
+                errors.append(
+                    f"mis-bucketed base row (e.g. "
+                    f"{ {c: mis[0][c] for c in pk} } stored bucket "
+                    f"{mis[0][BUCKET_COL]}, manifest bucket "
+                    f"{mis[0]['_mb']})"
                 )
         orphans = sum(
             len(v) for v in self.vacuum(dry_run=True, older_than_s=0).values()

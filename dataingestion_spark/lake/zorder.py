@@ -42,14 +42,32 @@ _NUMERIC = (
     T.FloatType, T.DoubleType, T.DecimalType,
 )
 
+# String dimensions quantize on their first STRING_PREFIX_BYTES UTF-8
+# bytes, read as a big-endian integer: 6 bytes = 48 bits, exact in a
+# double (53-bit mantissa) and order-preserving for the prefix. Rows
+# whose keys share the full prefix tie into one quantile - coarser
+# clustering, never a wrong answer (reads keep the exact residual
+# filter; file skipping uses the bound-preserving string min/max the
+# sidecars already store).
+STRING_PREFIX_BYTES = 6
+
+
+def string_embed(s: str) -> int:
+    """Driver-side embedding of a string bound into the SAME integer
+    space :func:`norm_expr` uses executor-side: first 6 UTF-8 bytes,
+    zero-padded, big-endian."""
+    b = s.encode("utf-8")[:STRING_PREFIX_BYTES]
+    return int.from_bytes(b.ljust(STRING_PREFIX_BYTES, b"\x00"), "big")
+
 
 def is_zorderable(dtype: T.DataType) -> bool:
     """Types with a total order the quantizer can embed in a double:
-    numerics, timestamps, dates, booleans. Strings are out (their stats
-    use bound-preserving truncation, not a numeric embedding) - callers
-    get a fail-fast ValueError, not silent mis-clustering."""
+    numerics, timestamps, dates, booleans, and strings (via the 6-byte
+    UTF-8 prefix embedding - see STRING_PREFIX_BYTES)."""
     return isinstance(
-        dtype, _NUMERIC + (T.TimestampType, T.DateType, T.BooleanType)
+        dtype,
+        _NUMERIC
+        + (T.TimestampType, T.DateType, T.BooleanType, T.StringType),
     )
 
 
@@ -67,6 +85,21 @@ def norm_expr(col: str, dtype: T.DataType) -> Column:
         )
     if isinstance(dtype, T.BooleanType):
         return c.cast("int").cast("double")
+    if isinstance(dtype, T.StringType):
+        # first 6 UTF-8 bytes as a big-endian integer, via zero-padded
+        # hex (hex digits 0-9A-F sort like the bytes they encode, and
+        # right-padding with "0" pads with zero BYTES, so truncate-then-
+        # pad preserves lexicographic order exactly). conv(..., 16, 10)
+        # yields the integer as a decimal string; < 2^48 so the double
+        # cast is exact and agrees with string_embed byte for byte.
+        h = F.rpad(
+            F.substring(
+                F.hex(F.encode(c, "UTF-8")), 1, 2 * STRING_PREFIX_BYTES
+            ),
+            2 * STRING_PREFIX_BYTES,
+            "0",
+        )
+        return F.conv(h, 16, 10).cast("double")
     if isinstance(dtype, _NUMERIC):
         return c.cast("double")
     raise ValueError(f"column {col!r} of type {dtype.simpleString()} "

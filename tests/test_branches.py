@@ -283,3 +283,56 @@ def test_branch_base_survives_branch_expiry(spark, tmp_path):
     assert "branch_base" not in pub.properties
     snap_d = json.loads(tbl._snapshot_path(pub.version).read_text())
     assert snap_d["branch"] == "main"
+
+
+def test_drop_branch_validates_glob_metacharacters(spark, tmp_path):
+    """drop_branch('*') must not expand across other branches' snapshot
+    files (round-4 ADVICE): same name validation as create_branch."""
+    tbl = _fresh(spark, tmp_path / "t")
+    tbl.merge(_batch(spark, 1), pipeline_id="p", epoch_id=0)
+    tbl.create_branch("keepme")
+    tbl.create_branch("other")
+    with pytest.raises(ValueError, match="invalid branch name"):
+        tbl.drop_branch("*")
+    with pytest.raises(ValueError, match="invalid branch name"):
+        tbl.drop_branch("keepme-v*")
+    assert set(tbl.branches()) == {"keepme", "other"}
+    tbl.drop_branch("other")
+    assert set(tbl.branches()) == {"keepme"}
+
+
+def test_tags_are_chain_scoped(spark, tmp_path):
+    """A tag minted on a WAP branch must not resolve against main's
+    snapshot of the same version number, and vice versa (round-4
+    ADVICE); each chain's expire_snapshots honors its own tags only."""
+    tbl = _fresh(spark, tmp_path / "t")
+    tbl.merge(_batch(spark, 1), pipeline_id="p", epoch_id=0)
+    br = tbl.create_branch("wap")
+    br.merge(_batch(spark, 2, lsn_offset=10_000), pipeline_id="p", epoch_id=1)
+
+    tbl.tag("main-r1")          # main head
+    br.tag("branch-r1")         # branch head (a DIFFERENT state)
+
+    # same-chain resolution works
+    assert tbl.resolve_tag("main-r1") == tbl.current_version()
+    assert br.resolve_tag("branch-r1") == br.current_version()
+    # cross-chain resolution is rejected, not silently misread
+    with pytest.raises(ValueError, match="chain"):
+        tbl.resolve_tag("branch-r1")
+    with pytest.raises(ValueError, match="main chain"):
+        br.resolve_tag("main-r1")
+    # read(version=<tag>) goes through resolve_tag -> same protection
+    with pytest.raises(ValueError, match="chain"):
+        tbl.read(version="branch-r1")
+    # tags() lists only the handle's chain
+    assert set(tbl.tags()) == {"main-r1"}
+    assert set(br.tags()) == {"branch-r1"}
+
+    # legacy int-valued tags.json reads as main-chain tags
+    import json as _json
+    raw = _json.loads(tbl._tags_path.read_text())
+    raw["legacy"] = tbl.current_version()
+    tbl._tags_path.write_text(_json.dumps(raw))
+    assert tbl.resolve_tag("legacy") == tbl.current_version()
+    with pytest.raises(ValueError, match="main chain"):
+        br.resolve_tag("legacy")

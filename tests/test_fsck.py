@@ -87,3 +87,55 @@ def test_fsck_flags_stale_index_specs(spark, tmp_path, capsys):
     rc = main(["fsck", "--config", str(cfg_path)])
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rc == 0 and out["ok"]
+
+
+def test_fsck_detects_duplicate_base_rows_under_mor_deltas(spark, tmp_path):
+    """The pk-uniqueness data check runs on PRE-resolution base rows
+    (round-4 ADVICE): with a MOR delta present, read-time LWW would make
+    any post-resolution check pass by construction, masking duplicated
+    base rows. Plant a duplicate base file reference and assert fsck
+    still flags it."""
+    tbl = _table(spark, tmp_path, "dupbase")
+    # add a MOR delta so read() resolves (the masking condition)
+    tbl.merge(
+        gen_changes(spark, n_events=200, n_convs=30, seed=9,
+                    lsn_offset=1_000_000),
+        write_mode="mor",
+    )
+    snap = tbl.snapshot()
+    assert any(snap.deltas.values())
+    assert tbl.verify_integrity()["ok"]
+
+    # corruption: reference one base file TWICE in its bucket manifest
+    # (every row in it becomes a duplicate pk)
+    bucket = next(b for b, fl in snap.files.items() if fl)
+    files = {k: list(v) for k, v in snap.files.items()}
+    files[bucket] = files[bucket] + [files[bucket][0]]
+    corrupted = tbl._commit_write(
+        snap, files, snap.schema, snap.schema_version, "corrupt-test",
+        None, None, {}, deltas={k: list(v) for k, v in snap.deltas.items()},
+    )
+    assert corrupted is not None
+    report = tbl.verify_integrity()
+    assert not report["ok"]
+    assert any("NOT pk-unique" in e for e in report["errors"])
+
+
+def test_fsck_detects_mis_bucketed_base_rows(spark, tmp_path):
+    """A base row stored under the wrong bucket is invisible to every
+    touched-bucket merge probe; fsck must flag it."""
+    tbl = _table(spark, tmp_path, "misb")
+    snap = tbl.snapshot()
+    b0, b1 = [b for b, fl in sorted(snap.files.items()) if fl][:2]
+    files = {k: list(v) for k, v in snap.files.items()}
+    # move one bucket's file under ANOTHER bucket's manifest entry
+    moved = files[b0].pop(0)
+    files[b1] = files[b1] + [moved]
+    corrupted = tbl._commit_write(
+        snap, files, snap.schema, snap.schema_version, "corrupt-test",
+        None, None, {}, deltas={},
+    )
+    assert corrupted is not None
+    report = tbl.verify_integrity()
+    assert not report["ok"]
+    assert any("mis-bucketed" in e for e in report["errors"])
