@@ -1218,6 +1218,59 @@ def q_cdc_zorder_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_zorder_prune_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order with a STRING dimension (round-4 verdict item #3,
+    lake/zorder.py string_embed): cluster the flagship table on
+    (tool, turn_idx) - tool is a text column, quantized through an
+    order-preserving 6-byte UTF-8 prefix embedding - compact into
+    bounded files, then answer a lexicographic range scan on the text
+    key. The bound-preserving string min/max sidecars skip whole files;
+    the exact residual filter keeps the answer exact at any clustering
+    quality (NULL tool rows are excluded by the range predicate on both
+    sides). Oracle: the portable replay under the same string range."""
+    tbl = _flagship_table(spark, "cdc_zstr_")
+    tbl.set_sort_order(["tool", "turn_idx"], mode="zorder")
+    tbl.compact(max_records_per_file=2000)
+    return tbl.read(where={"tool": ("tool_05", "tool_09")}).orderBy(
+        "conv_id", "turn_idx"
+    )
+
+
+def q_cdc_broadcast_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Steady-state COW broadcast-probe merge (round-4 verdict item #2,
+    lake/table.py _merge_cow_broadcast): replay the flagship binlog in a
+    large bootstrap epoch then a small steady epoch. The second merge
+    sees the table dwarf the batch (base rows >= 4x batch events, exact
+    counts from the stats sidecars), so it folds the batch to per-key
+    winners and streams the table side through broadcast hash joins -
+    ZERO shuffle exchange over current table rows, the single-box analog
+    of Iceberg's storage-partitioned join. The query asserts the plan
+    actually engaged (merge_plan == "cow-broadcast"), so a silent
+    fallback to the shuffle plans fails loudly rather than passing on
+    identical results. Oracle: the portable replay of the full stream -
+    final state must be indistinguishable from any other plan's."""
+    from dataingestion_spark.sources.datagen import gen_changes
+
+    tbl = _flagship_table(spark, "cdc_bcast_", merge=False)
+    changes = gen_changes(
+        spark, n_events=10_000, n_convs=80, max_turns=40, seed=42,
+        hash_mode="md5",
+    )
+    # epoch 0: bootstrap bulk (~95% of events); epoch 1: a ~500-event
+    # sliver (lsn strides by 2 over ~9.5k base events + dup deliveries)
+    boot = changes.filter(F.col("lsn") < 9_000 * 2)
+    sliver = changes.filter(F.col("lsn") >= 9_000 * 2)
+    tbl.merge(boot, pipeline_id="entry", epoch_id=0)
+    snap = tbl.merge(sliver, pipeline_id="entry", epoch_id=1)
+    plan = snap.summary.get("merge_plan")
+    if plan != "cow-broadcast":
+        raise AssertionError(
+            f"steady-state sliver merge took plan {plan!r}, expected "
+            "cow-broadcast (ratio gate or eligibility regressed)"
+        )
+    return tbl.read().orderBy("conv_id", "turn_idx")
+
+
 def q_cdc_agg_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental view maintenance: replay the flagship binlog in two
     epochs, syncing a per-conversation COUNT/SUM view off the changelog
@@ -2086,6 +2139,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_point_lookup_bloom": q_cdc_point_lookup_bloom,
         "cdc_rebucket": q_cdc_rebucket,
         "cdc_zorder_prune": q_cdc_zorder_prune,
+        "cdc_zorder_prune_text": q_cdc_zorder_prune_text,
+        "cdc_broadcast_merge": q_cdc_broadcast_merge,
         "cdc_route_fanout": q_cdc_route_fanout,
         "cdc_merge_into": q_cdc_merge_into,
         "cdc_retention": q_cdc_retention,
@@ -3121,6 +3176,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT * FROM ("
             + _replay_sql(n_events=10_000, n_convs=80, max_turns=40, seed=42)
             + ") WHERE turn_idx BETWEEN 5 AND 20"
+        ),
+        "cdc_zorder_prune_text": (
+            "SELECT * FROM ("
+            + _replay_sql(n_events=10_000, n_convs=80, max_turns=40, seed=42)
+            + ") WHERE tool >= 'tool_05' AND tool <= 'tool_09'"
+        ),
+        "cdc_broadcast_merge": _replay_sql(
+            n_events=10_000, n_convs=80, max_turns=40, seed=42
         ),
         "cdc_route_fanout": (
             "SELECT CASE WHEN CAST(substr(conv_id, length(conv_id), 1)"

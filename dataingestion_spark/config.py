@@ -48,7 +48,11 @@ class DatasetConfig:
     transformers: list[str] = field(default_factory=list)
     # Skew handling: conversations whose per-batch event count exceeds this
     # share of the batch are salted into sub-partitions (SURVEY.md §4).
+    # A key must ALSO hold at least hot_key_min_rows rows - salting splits
+    # physically oversized partitions, so a fractional share of a
+    # micro-batch is never by itself "hot" (None = LakeTable.HOT_KEY_MIN_ROWS).
     hot_key_threshold: float = 0.05
+    hot_key_min_rows: int | None = None
     salt_buckets: int = 8
     # Fail the pipeline on breaking schema changes (reference fail-fast,
     # /root/reference/spark/src/main/scala/com/example/core/SchemaEvolution.scala:114-137).

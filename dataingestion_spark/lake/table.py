@@ -208,6 +208,20 @@ class LakeTable:
     # stats sidecars) are at least this multiple of the batch.
     BROADCAST_TABLE_BATCH_RATIO = 4.0
 
+    # Absolute floor for hot-key salting. Salting exists to split
+    # PHYSICALLY oversized shuffle partitions and write files; whether a
+    # key needs it is a property of its row volume, not its share of the
+    # batch. A fractional-only threshold mis-fires on micro-batches: in a
+    # 1,000-event steady-state epoch a 5% threshold salts 50-row keys -
+    # pure plan overhead (and it vetoes the broadcast-probe COW plan in
+    # exactly the regime that plan targets). 100k transcript rows is
+    # single-digit MB - far below any executor partition or file-size
+    # budget - so a key is hot only when it holds BOTH >= threshold of
+    # the batch AND at least this many rows. At 10^10-event replay scale
+    # the floor is invisible (an 8M-event epoch's 5% is 400k rows); it
+    # only silences salting where salting cannot help.
+    HOT_KEY_MIN_ROWS = 100_000
+
     # Bounded snapshot cache: a long-running apply stream commits one
     # snapshot per epoch, and each internalized Snapshot holds every
     # bucket's file list - an unbounded cache leaks driver memory
@@ -3331,6 +3345,7 @@ class LakeTable:
         fail_on_breaking: bool = True,
         evolution_policy: str = "full",
         hot_key_threshold: float = 0.05,
+        hot_key_min_rows: int | None = None,
         salt_buckets: int = 8,
         lineage: dict | None = None,
         write_mode: str = "cow",
@@ -3467,9 +3482,9 @@ class LakeTable:
             return self._merge_impl(
                 changes, snap, pk, order_fields, lsn_src, pipeline_id,
                 epoch_id, op_col, fail_on_breaking, evolution_policy,
-                hot_key_threshold, salt_buckets, lineage, write_mode,
-                update_mode, collect_file_stats, file_col, _tick, _restore,
-                _tune_write,
+                hot_key_threshold, hot_key_min_rows, salt_buckets, lineage,
+                write_mode, update_mode, collect_file_stats, file_col,
+                _tick, _restore, _tune_write,
             )
         finally:
             _restore()
@@ -3487,6 +3502,7 @@ class LakeTable:
         fail_on_breaking: bool,
         evolution_policy: str,
         hot_key_threshold: float,
+        hot_key_min_rows: int | None,
         salt_buckets: int,
         lineage: dict | None,
         write_mode: str,
@@ -3614,7 +3630,11 @@ class LakeTable:
             _tune_write(batch_events)
 
         hot: list[str] = []
-        hot_floor = hot_key_threshold * batch_events
+        min_rows = (
+            self.HOT_KEY_MIN_ROWS if hot_key_min_rows is None
+            else hot_key_min_rows
+        )
+        hot_floor = max(hot_key_threshold * batch_events, min_rows)
         suspect_buckets = [
             int(r[BUCKET_COL]) for r in raw_stats if r["_n"] >= hot_floor
         ]

@@ -281,6 +281,7 @@ def apply_changes(
                 fail_on_breaking=config.fail_on_breaking_schema,
                 evolution_policy=getattr(config, "evolution_policy", "full"),
                 hot_key_threshold=config.hot_key_threshold,
+                hot_key_min_rows=getattr(config, "hot_key_min_rows", None),
                 salt_buckets=config.salt_buckets,
                 write_mode=getattr(config, "write_mode", "cow"),
                 update_mode=getattr(config, "update_mode", "full"),
@@ -590,6 +591,7 @@ def route_changes(
                     fail_on_breaking=cfg.fail_on_breaking_schema,
                     evolution_policy=getattr(cfg, "evolution_policy", "full"),
                     hot_key_threshold=cfg.hot_key_threshold,
+                    hot_key_min_rows=getattr(cfg, "hot_key_min_rows", None),
                     salt_buckets=cfg.salt_buckets,
                     write_mode=getattr(cfg, "write_mode", "cow"),
                     update_mode=getattr(cfg, "update_mode", "full"),

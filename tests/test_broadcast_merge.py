@@ -165,7 +165,8 @@ def test_fallbacks_still_match_oracle(spark, tmp_path):
     # hot keys: threshold 0 makes every key hot -> salted shuffle plan
     tbl = _mk(spark, tmp_path / "hot", num_buckets=4)
     changes = gen_changes(spark, n_events=1500, n_convs=20, seed=13)
-    tbl.merge(changes, hot_key_threshold=1e-9, salt_buckets=4)
+    tbl.merge(changes, hot_key_threshold=1e-9, hot_key_min_rows=0,
+              salt_buckets=4)
     assert_table_equals_oracle(tbl.read(), oracle.replay(changes.toPandas()))
 
     # MOR deltas under touched buckets: COW epoch after a MOR epoch

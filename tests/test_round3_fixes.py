@@ -343,7 +343,8 @@ def test_hot_gate_parity_skewed(spark, tmp_path):
         pk_fields=["conv_id", "turn_idx"], order_fields=["lsn", "ts"],
         num_buckets=8,
     )
-    tbl.merge(changes, pipeline_id="t", epoch_id=0, hot_key_threshold=0.05)
+    tbl.merge(changes, pipeline_id="t", epoch_id=0, hot_key_threshold=0.05,
+              hot_key_min_rows=0)
     assert sorted(tbl.snapshot().summary["hot_keys"]) == _brute_force_hot(
         changes, 0.05
     )
@@ -364,6 +365,7 @@ def test_hot_gate_parity_uniform_no_hot(spark, tmp_path):
         pk_fields=["conv_id", "turn_idx"], order_fields=["lsn", "ts"],
         num_buckets=64,
     )
-    tbl.merge(changes, pipeline_id="t", epoch_id=0, hot_key_threshold=0.05)
+    tbl.merge(changes, pipeline_id="t", epoch_id=0, hot_key_threshold=0.05,
+              hot_key_min_rows=0)
     hot = tbl.snapshot().summary["hot_keys"]
     assert hot == [] and _brute_force_hot(changes, 0.05) == []

@@ -53,9 +53,67 @@ def test_salted_merge_equals_unsalted(spark, tmp_path):
         pk_fields=["conv_id", "turn_idx"], order_fields=["lsn", "ts"], num_buckets=4,
     )
     salted_tbl.merge(
-        changes, pipeline_id="t", epoch_id=0, hot_key_threshold=0.01, salt_buckets=8
+        changes, pipeline_id="t", epoch_id=0, hot_key_threshold=0.01,
+        hot_key_min_rows=0, salt_buckets=8
     )
     snap = salted_tbl.snapshot()
     assert snap.summary["hot_keys"], "skewed stream should trigger salting"
     expected = oracle.replay(changes.toPandas())
     assert_table_equals_oracle(salted_tbl.read(), expected)
+
+
+def test_hot_key_absolute_floor_silences_microbatch_salting(spark, tmp_path):
+    """Hotness is a property of row VOLUME, not batch share: a skewed
+    micro-batch stays unsalted under the default HOT_KEY_MIN_ROWS floor
+    (salting cannot help a 100-row key), while hot_key_min_rows=0
+    restores the pure fractional gate - and both plans produce the
+    identical oracle state."""
+    changes = gen_changes(
+        spark, n_events=3_000, n_convs=300, zipf_exp=3.0, seed=29
+    )
+    expected = oracle.replay(changes.toPandas())
+
+    floored = LakeTable.create(
+        spark, tmp_path / "floored", TRANSCRIPT_SCHEMA,
+        pk_fields=["conv_id", "turn_idx"], order_fields=["lsn", "ts"],
+        num_buckets=4,
+    )
+    snap = floored.merge(changes, pipeline_id="t", epoch_id=0)
+    assert snap.summary["hot_keys"] == [], (
+        "a 3k-event batch can never contain a >=100k-row key"
+    )
+    assert_table_equals_oracle(floored.read(), expected)
+
+    fractional = LakeTable.create(
+        spark, tmp_path / "fractional", TRANSCRIPT_SCHEMA,
+        pk_fields=["conv_id", "turn_idx"], order_fields=["lsn", "ts"],
+        num_buckets=4,
+    )
+    snap2 = fractional.merge(
+        changes, pipeline_id="t", epoch_id=0, hot_key_min_rows=0
+    )
+    assert "conv_000000" in snap2.summary["hot_keys"]
+    assert_table_equals_oracle(fractional.read(), expected)
+
+
+def test_hot_floor_lets_broadcast_plan_engage_on_skewed_sliver(spark, tmp_path):
+    """The steady-state regime the broadcast-probe COW plan targets IS
+    skewed micro-batches against a grown table; the absolute floor stops
+    a tiny zipf head from vetoing it (driver query cdc_broadcast_merge)."""
+    changes = gen_changes(
+        spark, n_events=10_000, n_convs=80, max_turns=40, seed=42,
+        hash_mode="md5",
+    )
+    tbl = LakeTable.create(
+        spark, tmp_path / "t", TRANSCRIPT_SCHEMA,
+        pk_fields=["conv_id", "turn_idx"], order_fields=["lsn", "ts"],
+        num_buckets=8,
+    )
+    tbl.merge(changes.filter(F.col("lsn") < 9_000 * 2), pipeline_id="t",
+              epoch_id=0)
+    snap = tbl.merge(changes.filter(F.col("lsn") >= 9_000 * 2),
+                     pipeline_id="t", epoch_id=1)
+    assert snap.summary["merge_plan"] == "cow-broadcast"
+    assert_table_equals_oracle(
+        tbl.read(), oracle.replay(changes.toPandas())
+    )
