@@ -2191,10 +2191,13 @@ class LakeTable:
     # file-level column stats + data skipping (Delta add.stats analog)
     # ------------------------------------------------------------------
     # Per-commit sidecar `data/<commit>/.stats.json`: file -> column ->
-    # [min, max] for numeric/timestamp columns (timestamps as epoch
-    # micros). Strings are deliberately NOT collected - a truncated string
-    # max under-estimates and would prune files that match (Iceberg solves
-    # this with upper-bound adjustment; we simply opt strings out).
+    # [min, max] for numeric/timestamp/string columns (timestamps as epoch
+    # micros). String bounds are sidecar-size-bounded via BOUND-PRESERVING
+    # truncation (_trunc_lower/_trunc_upper - Iceberg's truncate-transform
+    # upper-bound adjustment): a plain prefix stays a valid min, the max
+    # prefix gets its last code point incremented so it sorts above every
+    # string it covers. Wrong-side truncation would prune matching files;
+    # these bounds only ever widen.
     # Sidecars ride the commit dir, so the manifest format, chunk sealing,
     # structural sharing and vacuum are untouched, and pre-stats commits
     # degrade to "no pruning for those files" - never a wrong answer.
