@@ -154,13 +154,35 @@ def test_cow_merge_folds_outstanding_deltas(spark, tmp_path):
 
 def test_maybe_compact_only_due_buckets(spark, tmp_path):
     """maybe_compact folds only buckets whose delta chain reached the
-    limit; healthy buckets keep their deltas; state is unchanged."""
+    limit; healthy buckets keep their deltas; state is unchanged.
+
+    The fixture builds uneven chains BY CONSTRUCTION: epochs 0-1 apply
+    whole batches (every bucket +1 delta), then epochs 2-3's rows are
+    split along the engine's own bucket assignment - buckets 0-3 get
+    each part as its own merge (+2 deltas) while buckets 4-7's rows
+    land in one combined merge (+1 delta). Every source row is still
+    applied exactly once, so the oracle replay is unaffected. (Before
+    the hot-key absolute row floor, salting incidentally produced this
+    variance by splitting hot buckets' epochs into per-salt delta
+    files; the fixture now states its own assumption.)"""
+    from dataingestion_spark.lake.table import bucket_expr
+
     changes = gen_changes(spark, n_events=3_000, n_convs=40, n_files=4, seed=24)
     changes.persist()
     expected = oracle.replay(changes.toPandas())
     tbl = _mk(spark, tmp_path / "t", buckets=8)
-    for e, part in enumerate(_epochs(changes, 4)):
-        tbl.merge(part, pipeline_id="m", epoch_id=e, write_mode="mor")
+    parts = _epochs(changes, 4)
+    deep = bucket_expr("conv_id", 8) < 4
+    tbl.merge(parts[0], pipeline_id="m", epoch_id=0, write_mode="mor")
+    tbl.merge(parts[1], pipeline_id="m", epoch_id=1, write_mode="mor")
+    tbl.merge(parts[2].filter(deep), pipeline_id="m", epoch_id=2, write_mode="mor")
+    tbl.merge(parts[3].filter(deep), pipeline_id="m", epoch_id=3, write_mode="mor")
+    tbl.merge(
+        parts[2].filter(~deep).unionByName(parts[3].filter(~deep)),
+        pipeline_id="m",
+        epoch_id=4,
+        write_mode="mor",
+    )
     snap = tbl.snapshot()
     chains = {b: len(fl) for b, fl in snap.deltas.items() if fl}
     limit = max(chains.values())  # only the deepest chains are due
