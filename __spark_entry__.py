@@ -317,6 +317,94 @@ def q_cdc_dynamodb(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("op", "uid", "k", "ts_ms", "lsn", "source_file")
 
 
+def q_cdc_goldengate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5: Oracle GoldenGate Big Data JSON formatter envelope (public
+    commercial-CDC wire shape: before/after row images, op_type I/U/D,
+    zero-padded trail `pos`) -> canonical change relation. A delete's
+    only row image is `before`, so the key resolves through the
+    after-falling-back-to-before rule and payload columns null-fill."""
+    from dataingestion_spark.sources.cdc_formats import parse_goldengate
+
+    ev = _read(spark, sf_dir, "events")
+    op_ts = F.date_format(ev.ts.cast("timestamp"), "yyyy-MM-dd HH:mm:ss")
+    with_after = F.format_string(
+        '{"table": "SHOP.EVENTS", "op_type": "%s", '
+        '"op_ts": "%s.000000", "pos": "%020d", '
+        '"after": {"id": %d, "k": %s}}',
+        _event_op(ev, ("I", "U", "D")),
+        op_ts,
+        ev.event_id.cast("long") * 100,
+        ev.user_id.cast("long"),
+        F.get_json_object(F.col("props"), "$.k"),
+    )
+    delete = F.format_string(
+        '{"table": "SHOP.EVENTS", "op_type": "D", '
+        '"op_ts": "%s.000000", "pos": "%020d", '
+        '"before": {"id": %d}}',
+        op_ts,
+        ev.event_id.cast("long") * 100,
+        ev.user_id.cast("long"),
+    )
+    env = ev.select(
+        F.when(ev.event_type == "error", delete)
+        .otherwise(with_after)
+        .alias("value")
+    )
+    return parse_goldengate(
+        env, payload_fields=[("k", "int")], key_fields=[("id", "long")]
+    ).select("op", "id", "k", "ts_ms", "lsn", "source_file")
+
+
+def q_cdc_canal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5: Alibaba Canal FlatMessage envelope (public MySQL-binlog
+    bridge; one JSON carries an ARRAY of row images) -> canonical
+    change relation. Events are grouped into multi-row batches by
+    (event_id DIV 4, op) - the lsn folds (batch id, intra-batch row
+    index), with rows carried in lexicographic `rj` order so the fold
+    is deterministic on both the Spark and the oracle side."""
+    from dataingestion_spark.sources.cdc_formats import parse_canal
+
+    ev = _read(spark, sf_dir, "events")
+    op_idx = (
+        F.when(ev.event_type == "signup", F.lit(0))
+        .when(ev.event_type == "error", F.lit(2))
+        .otherwise(F.lit(1))
+    )
+    rows = ev.select(
+        (F.expr("CAST(event_id AS BIGINT) DIV 4") * 4 + op_idx).alias(
+            "batch"
+        ),
+        _event_op(ev, ("INSERT", "UPDATE", "DELETE")).alias("type"),
+        F.format_string(
+            '{"eid": "%d", "id": "%d", "k": "%s"}',
+            ev.event_id.cast("long"),
+            ev.user_id.cast("long"),
+            F.get_json_object(F.col("props"), "$.k"),
+        ).alias("rj"),
+    )
+    env = (
+        rows.groupBy("batch", "type")
+        .agg(F.sort_array(F.collect_list("rj")).alias("rjs"))
+        .select(
+            F.format_string(
+                '{"id": %d, "database": "shop", "table": "events", '
+                '"isDdl": false, "type": "%s", "es": %d, "ts": %d, '
+                '"data": [%s]}',
+                F.col("batch"),
+                F.col("type"),
+                F.col("batch") * 1000,
+                F.col("batch") * 1000 + 1,
+                F.array_join("rjs", ", "),
+            ).alias("value")
+        )
+    )
+    return parse_canal(
+        env,
+        payload_fields=[("eid", "long"), ("k", "int")],
+        key_fields=[("id", "long")],
+    ).select("op", "id", "eid", "k", "ts_ms", "lsn", "source_file")
+
+
 def q_cdc_aerospike(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P5: Aerospike record CDC (WRITE upserts, generation ordinal) ->
     canonical (MultiSourceCDCTest.scala:132-140, :150-160)."""
@@ -2103,6 +2191,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_mysql_binlog": q_cdc_mysql_binlog,
         "cdc_maxwell": q_cdc_maxwell,
         "cdc_dynamodb": q_cdc_dynamodb,
+        "cdc_goldengate": q_cdc_goldengate,
+        "cdc_canal": q_cdc_canal,
         "cdc_mongo_change": q_cdc_mongo_change,
         "cdc_aerospike": q_cdc_aerospike,
         "cdc_clickstream": q_cdc_clickstream,
@@ -2628,6 +2718,46 @@ def oracle_sql() -> dict[str, str]:
                    CAST(event_id AS BIGINT) AS lsn,
                    'dynamodb' AS source_file
             FROM events
+        """,
+        "cdc_goldengate": """
+            SELECT CASE WHEN event_type = 'signup' THEN 'INSERT'
+                        WHEN event_type = 'error' THEN 'DELETE'
+                        ELSE 'UPDATE' END AS op,
+                   CAST(user_id AS BIGINT) AS id,
+                   CASE WHEN event_type = 'error' THEN NULL
+                        ELSE CAST(json_extract_string(props, '$.k') AS INTEGER)
+                   END AS k,
+                   epoch_ms(date_trunc('second', ts)) AS ts_ms,
+                   CAST(event_id AS BIGINT) * 100 AS lsn,
+                   'SHOP.EVENTS' AS source_file
+            FROM events
+        """,
+        "cdc_canal": """
+            WITH rows AS (
+                SELECT CASE WHEN event_type = 'signup' THEN 'INSERT'
+                            WHEN event_type = 'error' THEN 'DELETE'
+                            ELSE 'UPDATE' END AS op,
+                       CAST(user_id AS BIGINT) AS id,
+                       CAST(event_id AS BIGINT) AS eid,
+                       CAST(json_extract_string(props, '$.k') AS INTEGER)
+                         AS k,
+                       CAST(event_id AS BIGINT) // 4 * 4
+                         + CASE WHEN event_type = 'signup' THEN 0
+                                WHEN event_type = 'error' THEN 2
+                                ELSE 1 END AS batch,
+                       printf('{"eid": "%d", "id": "%d", "k": "%s"}',
+                              CAST(event_id AS BIGINT),
+                              CAST(user_id AS BIGINT),
+                              json_extract_string(props, '$.k')) AS rj
+                FROM events
+            )
+            SELECT op, id, eid, k,
+                   batch * 1000 AS ts_ms,
+                   batch * 1048576
+                     + row_number() OVER (PARTITION BY batch ORDER BY rj)
+                     - 1 AS lsn,
+                   'shop.events' AS source_file
+            FROM rows
         """,
         "cdc_mongo_change": """
             SELECT CASE WHEN event_type = 'signup' THEN 'INSERT'

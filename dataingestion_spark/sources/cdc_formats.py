@@ -10,11 +10,17 @@ formats, each with its own payload unpack
   * Aerospike record CDC   - envelope at :132-140, unpack at :150-160
   * ClickStream events     - envelope at :178-185, unpack at :196-206
 
-plus the one public envelope the reference family is missing:
+plus the public envelopes the reference family is missing - the
+standard wire formats those bespoke pipelines consume upstream:
 
   * Debezium change events - the standard before/after/source/op/ts_ms
     JSON (public Debezium format; unifies the binlog/change-stream
     shapes above under one schema)
+  * Postgres wal2json (format-version=2) logical-decoding output
+  * Maxwell's daemon JSON (Zendesk's MySQL binlog bridge)
+  * DynamoDB Streams records (typed attribute encoding)
+  * Oracle GoldenGate Big Data JSON formatter output
+  * Alibaba Canal FlatMessage JSON (multi-row envelopes)
 
 Every adapter is a pure ``DataFrame -> DataFrame`` transform built from
 ``get_json_object`` / ``from_json`` column expressions (JVM-side, codegen'd
@@ -583,6 +589,181 @@ def parse_dynamodb_stream(
     )
 
 
+_I64_MAX = (1 << 63) - 1
+
+
+def parse_goldengate(
+    df: DataFrame,
+    payload_fields: PayloadFields,
+    key_fields: PayloadFields,
+    value_col: str = "value",
+) -> DataFrame:
+    """Oracle GoldenGate (Big Data JSON formatter) change record -> the
+    canonical change relation. GoldenGate is the dominant commercial
+    CDC feed for Oracle/DB2/SQL Server sources; its documented JSON
+    output is one object per operation:
+
+      table        "SCHEMA.TABLE"                  -> source_file
+      op_type      I (insert) | U (update) | D (delete) | T (truncate)
+      op_ts        source commit time 'yyyy-MM-dd HH:mm:ss.ffffff'
+      current_ts   replication time (ISO-8601, unused here)
+      pos          zero-padded decimal string of the trail position
+                   (trail seqno + rba fold), <= 20 digits - the feed's
+                   monotone replay ordinal
+      before       row image before the change (U/D)
+      after        row image after the change (I/U)
+
+    Mapping choices (mirroring :func:`parse_debezium`, the same
+    before/after envelope family):
+      * key columns resolve from ``after`` falling back to ``before`` -
+        a delete's only row image is ``before``.
+      * payload columns come from ``after`` only; deletes null-fill.
+      * T (truncate) records carry no row and are filtered out, same
+        posture as wal2json's B/C/T/M control records.
+      * lsn: ``pos`` parsed exactly as DECIMAL(20,0). A position that
+        exceeds a signed 64-bit lsn fails FAST via ``raise_error`` (the
+        DynamoDB-adapter discipline: a mis-scaled ordinal must abort
+        the job, not silently quarantine the stream); a non-numeric pos
+        degrades to NULL and lands in the quarantine gate row-wise.
+    """
+    v = F.col(value_col)
+    after = F.get_json_object(v, "$.after")
+    before = F.get_json_object(v, "$.before")
+    row_image = F.coalesce(after, before)
+    op_raw = F.get_json_object(v, "$.op_type")
+    op = (
+        F.when(op_raw == "I", "INSERT")
+        .when(op_raw == "U", "UPDATE")
+        .when(op_raw == "D", "DELETE")
+    )
+    pos = F.get_json_object(v, "$.pos").try_cast("decimal(20,0)")
+    lsn = (
+        F.when(pos.isNull(), F.lit(None).cast("long"))
+        .when(pos <= F.lit(_I64_MAX).cast("decimal(20,0)"), pos.cast("long"))
+        .otherwise(
+            F.raise_error(
+                F.format_string(
+                    "goldengate pos %s does not fit a 64-bit lsn; "
+                    "rebase the trail position before ingest",
+                    F.get_json_object(v, "$.pos"),
+                )
+            )
+        )
+    )
+    return df.where(op_raw.isin("I", "U", "D")).select(
+        op.alias("op"),
+        *[
+            F.get_json_object(row_image, f"$.{name}").try_cast(t).alias(name)
+            for name, t in key_fields
+        ],
+        *_extract(after, payload_fields),
+        F.unix_millis(
+            F.to_timestamp(F.get_json_object(v, "$.op_ts"))
+        ).alias("ts_ms"),
+        lsn.alias("lsn"),
+        F.get_json_object(v, "$.table").alias("source_file"),
+    )
+
+
+# Canal batches are bounded well under 2^20 rows (canal.instance.memory
+# batch defaults are in the low thousands); the lsn folds (batch id,
+# row index) into one monotone long with that bound enforced loudly.
+_CANAL_ROW_BITS = 20
+
+
+def parse_canal(
+    df: DataFrame,
+    payload_fields: PayloadFields,
+    key_fields: PayloadFields,
+    value_col: str = "value",
+) -> DataFrame:
+    """Alibaba Canal FlatMessage (the public canal.deployer JSON Kafka
+    output) -> canonical change relation. Canal is the standard
+    MySQL-binlog bridge in the Alibaba ecosystem; one FlatMessage can
+    carry MANY rows:
+
+      type      INSERT | UPDATE | DELETE (DDL/ERALTER etc. filtered via
+                isDdl + the type whitelist)
+      data      ARRAY of row objects - full post-image for
+                INSERT/UPDATE, full deleted-row image for DELETE (all
+                scalar values arrive as JSON strings or null)
+      old       changed columns' prior values (not needed for LWW)
+      database, table                       -> source_file
+      es        source binlog execute time, epoch ms  -> ts_ms
+      ts        canal processing time (unused - source time orders)
+      id        canal store batch id, monotone per destination
+
+    The row array is exploded JVM-side (from_json ->
+    array<map<string,string>> + posexplode - no Python row path) and
+    the lsn folds (batch id, row position):
+    ``id * 2^20 + pos`` - monotone across batches, order-preserving
+    within one, with a loud failure if a batch ever exceeds 2^20 rows
+    (fail fast, not silent reorder). Keys and payload both resolve from
+    the row map by NAME - canal emits columns in relation order, which
+    ALTER TABLE changes, so positional extraction would be
+    evolution-unsafe (same posture as wal2json)."""
+    v = F.col(value_col)
+    typ = F.get_json_object(v, "$.type")
+    op = (
+        F.when(typ == "INSERT", "INSERT")
+        .when(typ == "UPDATE", "UPDATE")
+        .when(typ == "DELETE", "DELETE")
+    )
+    batch_id = F.get_json_object(v, "$.id").try_cast("long")
+    rows = F.from_json(
+        F.get_json_object(v, "$.data"), "array<map<string,string>>"
+    )
+    base = (
+        df.where(
+            typ.isin("INSERT", "UPDATE", "DELETE")
+            & (F.get_json_object(v, "$.isDdl") != F.lit("true"))
+        )
+        .select(
+            op.alias("op"),
+            batch_id.alias("_canal_batch"),
+            F.get_json_object(v, "$.es").try_cast("long").alias("ts_ms"),
+            F.concat_ws(
+                ".",
+                F.get_json_object(v, "$.database"),
+                F.get_json_object(v, "$.table"),
+            ).alias("source_file"),
+            F.posexplode(rows).alias("_canal_pos", "_canal_row"),
+        )
+    )
+    row = F.col("_canal_row")
+    pos_ok = F.col("_canal_pos") < F.lit(1 << _CANAL_ROW_BITS)
+    lsn = F.when(
+        F.col("_canal_batch").isNull(), F.lit(None).cast("long")
+    ).when(
+        pos_ok,
+        F.col("_canal_batch") * F.lit(1 << _CANAL_ROW_BITS).cast("long")
+        + F.col("_canal_pos"),
+    ).otherwise(
+        F.raise_error(
+            F.format_string(
+                "canal batch %s carries more than 2^20 rows (row %s); "
+                "the (batch, row) lsn fold cannot order it",
+                F.col("_canal_batch"),
+                F.col("_canal_pos"),
+            )
+        )
+    )
+    return base.select(
+        "op",
+        *[
+            F.try_element_at(row, F.lit(name)).try_cast(t).alias(name)
+            for name, t in key_fields
+        ],
+        *[
+            F.try_element_at(row, F.lit(name)).try_cast(t).alias(name)
+            for name, t in payload_fields
+        ],
+        "ts_ms",
+        lsn.alias("lsn"),
+        "source_file",
+    )
+
+
 CDC_PARSERS = {
     "mysql-binlog": parse_mysql_binlog,
     "mongo-change-stream": parse_mongo_change_stream,
@@ -592,6 +773,8 @@ CDC_PARSERS = {
     "wal2json": parse_wal2json,
     "maxwell": parse_maxwell,
     "dynamodb-stream": parse_dynamodb_stream,
+    "goldengate": parse_goldengate,
+    "canal": parse_canal,
 }
 
 

@@ -629,3 +629,177 @@ def test_dynamodb_bool_attribute_arm(spark):
     ).orderBy("lsn").collect()
     assert [r["active"] for r in got] == [True, False]
     assert [r["v"] for r in got] == ["a", "b"]
+
+
+def test_goldengate_parse(spark):
+    """GoldenGate Big Data JSON formatter: before/after row images,
+    op_type I/U/D (+T truncate filtered), pos as the zero-padded trail
+    ordinal, op_ts with microseconds."""
+    from dataingestion_spark.sources.cdc_formats import parse_goldengate
+
+    rows = [
+        ('{"table": "HR.EMP", "op_type": "I", '
+         '"op_ts": "2024-06-28 09:00:00.000000", '
+         '"pos": "00000000020000001000", '
+         '"after": {"id": 1, "name": "John", "score": 42}}',),
+        ('{"table": "HR.EMP", "op_type": "U", '
+         '"op_ts": "2024-06-28 09:00:01.500000", '
+         '"pos": "00000000020000002000", '
+         '"before": {"id": 1, "name": "John", "score": 42}, '
+         '"after": {"id": 1, "name": "John S", "score": 43}}',),
+        # a delete's only row image is `before`
+        ('{"table": "HR.EMP", "op_type": "D", '
+         '"op_ts": "2024-06-28 09:00:02.000000", '
+         '"pos": "00000000020000003000", '
+         '"before": {"id": 1, "name": "John S", "score": 43}}',),
+        # truncate: control record, no row - dropped
+        ('{"table": "HR.EMP", "op_type": "T", '
+         '"op_ts": "2024-06-28 09:00:03.000000", '
+         '"pos": "00000000020000004000"}',),
+    ]
+    df = spark.createDataFrame(rows, "value string")
+    out = parse_goldengate(
+        df,
+        payload_fields=[("name", "string"), ("score", "int")],
+        key_fields=[("id", "long")],
+    ).orderBy("lsn")
+    got = out.collect()
+    assert [r["op"] for r in got] == ["INSERT", "UPDATE", "DELETE"]
+    assert [r["id"] for r in got] == [1, 1, 1]  # key resolves on DELETE
+    assert got[1]["name"] == "John S" and got[1]["score"] == 43
+    assert got[2]["name"] is None and got[2]["score"] is None  # after-only
+    assert [r["lsn"] for r in got] == [
+        20000001000, 20000002000, 20000003000,
+    ]
+    assert got[0]["ts_ms"] == 1719565200000
+    assert got[1]["ts_ms"] == 1719565201500  # microsecond op_ts kept to ms
+    assert got[0]["source_file"] == "HR.EMP"
+
+
+def test_goldengate_pos_overflow_fails_fast(spark):
+    """A trail position past 2^63-1 must abort the job loudly, not
+    quarantine the stream (the DynamoDB-adapter discipline); a
+    non-numeric pos degrades to NULL row-wise."""
+    from pyspark.errors import SparkRuntimeException
+
+    from dataingestion_spark.sources.cdc_formats import parse_goldengate
+
+    over = spark.createDataFrame(
+        [('{"table": "T", "op_type": "I", '
+          '"op_ts": "2024-06-28 09:00:00.000000", '
+          '"pos": "99999999999999999999", "after": {"id": 1}}',)],
+        "value string",
+    )
+    with pytest.raises(SparkRuntimeException, match="64-bit lsn"):
+        parse_goldengate(
+            over, payload_fields=[], key_fields=[("id", "long")]
+        ).collect()
+
+    junk = spark.createDataFrame(
+        [('{"table": "T", "op_type": "I", '
+          '"op_ts": "2024-06-28 09:00:00.000000", '
+          '"pos": "not-a-number", "after": {"id": 1}}',)],
+        "value string",
+    )
+    got = parse_goldengate(
+        junk, payload_fields=[], key_fields=[("id", "long")]
+    ).collect()
+    assert got[0]["lsn"] is None  # quarantine-gate path
+
+
+def test_canal_parse_multi_row(spark):
+    """Canal FlatMessage: one envelope carries MANY rows (data is an
+    array); lsn folds (batch id, row index); DELETE's data is the full
+    deleted-row image; DDL records are filtered."""
+    from dataingestion_spark.sources.cdc_formats import parse_canal
+
+    rows = [
+        ('{"id": 3, "database": "shop", "table": "emp", "isDdl": false, '
+         '"type": "INSERT", "es": 1719565200000, "ts": 1719565200477, '
+         '"data": [{"id": "1", "name": "John", "score": "42"}, '
+         '{"id": "2", "name": "Jane", "score": "50"}]}',),
+        ('{"id": 4, "database": "shop", "table": "emp", "isDdl": false, '
+         '"type": "UPDATE", "es": 1719565201000, "ts": 1719565201477, '
+         '"data": [{"id": "1", "name": "John S", "score": "43"}], '
+         '"old": [{"name": "John", "score": "42"}]}',),
+        ('{"id": 5, "database": "shop", "table": "emp", "isDdl": false, '
+         '"type": "DELETE", "es": 1719565202000, "ts": 1719565202477, '
+         '"data": [{"id": "2", "name": "Jane", "score": "50"}]}',),
+        # DDL record: no rows, filtered
+        ('{"id": 6, "database": "shop", "table": "emp", "isDdl": true, '
+         '"type": "ALTER", "es": 1719565203000, "ts": 1719565203477, '
+         '"sql": "alter table emp add col x int", "data": null}',),
+    ]
+    df = spark.createDataFrame(rows, "value string")
+    out = parse_canal(
+        df,
+        payload_fields=[("name", "string"), ("score", "int")],
+        key_fields=[("id", "long")],
+    ).orderBy("lsn")
+    got = out.collect()
+    assert [r["op"] for r in got] == ["INSERT", "INSERT", "UPDATE", "DELETE"]
+    assert [r["id"] for r in got] == [1, 2, 1, 2]
+    assert [r["name"] for r in got] == ["John", "Jane", "John S", "Jane"]
+    # (batch, row) fold: monotone across batches, ordered within one
+    assert [r["lsn"] for r in got] == [
+        (3 << 20) + 0, (3 << 20) + 1, (4 << 20) + 0, (5 << 20) + 0,
+    ]
+    assert got[0]["ts_ms"] == 1719565200000  # es (source time), not ts
+    assert got[0]["source_file"] == "shop.emp"
+
+
+def test_goldengate_canal_dispatch_and_merge(spark, tmp_path):
+    """parse_cdc knows the new names; a parsed GoldenGate stream merges
+    with standard LWW semantics (trail-position order, not arrival
+    order) and a Canal multi-row stream round-trips the same table."""
+    from dataingestion_spark.sources.cdc_formats import parse_cdc
+
+    gg_rows = [
+        ('{"table": "D.T", "op_type": "I", '
+         '"op_ts": "2024-06-28 09:00:00.000000", "pos": "100", '
+         '"after": {"id": 1, "v": "a"}}',),
+        ('{"table": "D.T", "op_type": "D", '
+         '"op_ts": "2024-06-28 09:00:02.000000", "pos": "300", '
+         '"before": {"id": 1, "v": "b"}}',),
+        ('{"table": "D.T", "op_type": "U", '
+         '"op_ts": "2024-06-28 09:00:01.000000", "pos": "200", '
+         '"before": {"id": 1, "v": "a"}, "after": {"id": 1, "v": "b"}}',),
+        ('{"table": "D.T", "op_type": "I", '
+         '"op_ts": "2024-06-28 09:00:03.000000", "pos": "400", '
+         '"after": {"id": 2, "v": "z"}}',),
+    ]
+    parsed = parse_cdc(
+        spark.createDataFrame(gg_rows, "value string"),
+        "goldengate",
+        payload_fields=[("v", "string")],
+        key_fields=[("id", "long")],
+    )
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("v", T.StringType()),
+            T.StructField("ts_ms", T.LongType()),
+        ]
+    )
+    tbl = LakeTable.create(
+        spark, str(tmp_path / "gg"), schema, pk_fields=["id"],
+        order_fields=["lsn", "ts_ms"], num_buckets=2,
+    )
+    tbl.merge(parsed)
+    got = {r.id: r.v for r in tbl.read().collect()}
+    assert got == {2: "z"}  # id=1's winner by pos order is the DELETE
+
+    canal_rows = [
+        ('{"id": 9, "database": "d", "table": "t", "isDdl": false, '
+         '"type": "INSERT", "es": 1719565204000, "ts": 1719565204100, '
+         '"data": [{"id": "1", "v": "back"}, {"id": "3", "v": "c"}]}',),
+    ]
+    parsed2 = parse_cdc(
+        spark.createDataFrame(canal_rows, "value string"),
+        "canal",
+        payload_fields=[("v", "string")],
+        key_fields=[("id", "long")],
+    )
+    tbl.merge(parsed2, epoch_id=1)
+    got = {r.id: r.v for r in tbl.read().collect()}
+    assert got == {1: "back", 2: "z", 3: "c"}
