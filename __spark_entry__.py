@@ -405,6 +405,89 @@ def q_cdc_canal(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("op", "id", "eid", "k", "ts_ms", "lsn", "source_file")
 
 
+def q_cdc_autodetect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5: wire-format auto-detection (detect_cdc_format): two UNLABELED
+    change streams - even event_ids arriving as GoldenGate JSON values,
+    odd as structured Maxwell envelopes - are identified (JSON-key
+    sampling for the Kafka-value family, column-shape inspection for
+    the structured family), routed through parse_cdc, and unioned into
+    one canonical relation. A misroute would null out every column and
+    fail the oracle, so the equality check proves the routing."""
+    from dataingestion_spark.sources.cdc_formats import (
+        detect_cdc_format,
+        parse_cdc,
+    )
+
+    ev = _read(spark, sf_dir, "events")
+    even = ev.filter(F.pmod(ev.event_id, F.lit(2)) == 0)
+    odd = ev.filter(F.pmod(ev.event_id, F.lit(2)) == 1)
+
+    gg_op_ts = F.date_format(even.ts.cast("timestamp"), "yyyy-MM-dd HH:mm:ss")
+    gg_env = even.select(
+        F.when(
+            even.event_type == "error",
+            F.format_string(
+                '{"table": "SHOP.EVENTS", "op_type": "D", '
+                '"op_ts": "%s.000000", "pos": "%020d", '
+                '"before": {"id": %d}}',
+                gg_op_ts,
+                even.event_id.cast("long") * 100,
+                even.user_id.cast("long"),
+            ),
+        )
+        .otherwise(
+            F.format_string(
+                '{"table": "SHOP.EVENTS", "op_type": "%s", '
+                '"op_ts": "%s.000000", "pos": "%020d", '
+                '"after": {"id": %d, "k": %s}}',
+                _event_op(even, ("I", "U", "D")),
+                gg_op_ts,
+                even.event_id.cast("long") * 100,
+                even.user_id.cast("long"),
+                F.get_json_object(F.col("props"), "$.k"),
+            )
+        )
+        .alias("value")
+    )
+    mx_env = odd.select(
+        F.lit("shop").alias("database"),
+        F.lit("events").alias("table"),
+        _event_op(odd, ("insert", "update", "delete")).alias("type"),
+        F.unix_seconds(odd.ts.cast("timestamp")).alias("ts"),
+        odd.event_id.cast("long").alias("xid"),
+        F.format_string(
+            "mysql-bin.%06d:%d",
+            F.pmod(odd.event_id, F.lit(4)).cast("int"),
+            (odd.event_id.cast("long") * 16),
+        ).alias("position"),
+        F.format_string(
+            '{"id": %d, "k": %s}',
+            odd.user_id.cast("long"),
+            F.get_json_object(F.col("props"), "$.k"),
+        ).alias("data"),
+        F.lit(None).cast("string").alias("old"),
+    )
+
+    parsed = []
+    for env in (gg_env, mx_env):
+        fmt = detect_cdc_format(env)
+        kwargs = (
+            {"payload_fields": [("k", "int")], "key_fields": [("id", "long")]}
+            if fmt == "goldengate"
+            else {
+                "payload_fields": [("k", "int")],
+                "key_field": "id",
+                "key_type": "long",
+            }
+        )
+        parsed.append(parse_cdc(env, fmt, **kwargs))
+    return (
+        parsed[0]
+        .unionByName(parsed[1])
+        .select("op", "id", "k", "ts_ms", "lsn", "source_file")
+    )
+
+
 def q_cdc_aerospike(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P5: Aerospike record CDC (WRITE upserts, generation ordinal) ->
     canonical (MultiSourceCDCTest.scala:132-140, :150-160)."""
@@ -2193,6 +2276,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_dynamodb": q_cdc_dynamodb,
         "cdc_goldengate": q_cdc_goldengate,
         "cdc_canal": q_cdc_canal,
+        "cdc_autodetect": q_cdc_autodetect,
         "cdc_mongo_change": q_cdc_mongo_change,
         "cdc_aerospike": q_cdc_aerospike,
         "cdc_clickstream": q_cdc_clickstream,
@@ -2731,6 +2815,31 @@ def oracle_sql() -> dict[str, str]:
                    CAST(event_id AS BIGINT) * 100 AS lsn,
                    'SHOP.EVENTS' AS source_file
             FROM events
+        """,
+        "cdc_autodetect": """
+            SELECT CASE WHEN event_type = 'signup' THEN 'INSERT'
+                        WHEN event_type = 'error' THEN 'DELETE'
+                        ELSE 'UPDATE' END AS op,
+                   CAST(user_id AS BIGINT) AS id,
+                   CASE WHEN event_type = 'error' THEN NULL
+                        ELSE CAST(json_extract_string(props, '$.k') AS INTEGER)
+                   END AS k,
+                   epoch_ms(date_trunc('second', ts)) AS ts_ms,
+                   CAST(event_id AS BIGINT) * 100 AS lsn,
+                   'SHOP.EVENTS' AS source_file
+            FROM events WHERE event_id % 2 = 0
+            UNION ALL
+            SELECT CASE WHEN event_type = 'signup' THEN 'INSERT'
+                        WHEN event_type = 'error' THEN 'DELETE'
+                        ELSE 'UPDATE' END AS op,
+                   CAST(user_id AS BIGINT) AS id,
+                   CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+                   epoch_ms(date_trunc('second', ts)) AS ts_ms,
+                   CAST(event_id % 4 AS BIGINT) * 1099511627776
+                     + CAST(event_id AS BIGINT) * 16 AS lsn,
+                   printf('mysql-bin.%06d', CAST(event_id % 4 AS INTEGER))
+                     AS source_file
+            FROM events WHERE event_id % 2 = 1
         """,
         "cdc_canal": """
             WITH rows AS (

@@ -789,3 +789,100 @@ def parse_cdc(df: DataFrame, source_format: str, /, **kwargs) -> DataFrame:
             f"known: {sorted(CDC_PARSERS)}"
         ) from None
     return parser(df, **kwargs)
+
+
+# Column-shape signatures for the STRUCTURED envelopes (the format is
+# decided by which envelope columns exist - disjoint by construction):
+_COLUMN_SIGNATURES: list[tuple[str, frozenset[str]]] = [
+    ("mysql-binlog", frozenset({"operation", "binlog_file", "binlog_position"})),
+    ("mongo-change-stream", frozenset({"operationType", "fullDocument", "resumeToken"})),
+    ("aerospike-cdc", frozenset({"operation", "bins", "generation"})),
+    ("clickstream", frozenset({"event_type", "page_url", "properties"})),
+    ("maxwell", frozenset({"database", "table", "type", "position", "data"})),
+    ("dynamodb-stream", frozenset({"eventName", "dynamodb"})),
+]
+
+# JSON-key signatures for the SINGLE-VALUE-COLUMN family (one JSON
+# object per record; the format is decided by which top-level keys the
+# envelope carries - each set below is unique to its format):
+_JSON_SIGNATURES: list[tuple[str, frozenset[str]]] = [
+    ("debezium", frozenset({"op", "source"})),
+    ("goldengate", frozenset({"op_type", "pos"})),
+    ("wal2json", frozenset({"action", "schema"})),
+    ("canal", frozenset({"isDdl", "es"})),
+]
+
+
+def detect_cdc_format(
+    df: DataFrame, value_col: str = "value", sample_rows: int = 16
+) -> str:
+    """Identify which supported wire format an UNLABELED change stream
+    carries, so a multi-source ingest can route batches without
+    per-source configuration (the reference hard-codes one processing
+    branch per source; misrouting an envelope there silently yields
+    all-null parses - here it is detected or refused loudly).
+
+    Two-stage detection, cheapest first:
+
+    1. **Column shape.** The structured envelopes (MySQL binlog, Mongo
+       change stream, Aerospike, ClickStream, Maxwell, DynamoDB
+       Streams) each carry distinctive envelope COLUMNS; matching is
+       pure schema inspection - zero data read, works on streaming
+       DataFrames too.
+    2. **Sampled JSON keys.** The Kafka-value family (Debezium,
+       GoldenGate, wal2json, Canal) is one JSON object per record in
+       ``value_col``; ``sample_rows`` records are read (bounded driver
+       work, batch DataFrames only) and their top-level key sets
+       matched against per-format signatures. EVERY sampled record
+       must agree - a mixed or ambiguous stream raises rather than
+       guessing, because a wrong adapter is a correctness bug, not a
+       degradation.
+
+    Returns the ``CDC_PARSERS`` key; compose as
+    ``parse_cdc(df, detect_cdc_format(df), **adapter_kwargs)``.
+    Detection is a setup-time decision: run it once when subscribing a
+    source, then pin the result in the dataset config - not per batch.
+    """
+    import json
+
+    cols = set(df.columns)
+    for fmt, sig in _COLUMN_SIGNATURES:
+        if sig <= cols:
+            return fmt
+    if value_col not in cols:
+        raise ValueError(
+            f"cannot detect CDC format: no structured-envelope column "
+            f"signature matches {sorted(cols)} and there is no "
+            f"{value_col!r} column to sample"
+        )
+    if df.isStreaming:
+        raise ValueError(
+            "cannot sample a streaming DataFrame for JSON-envelope "
+            "detection; detect on a static sample of the topic (or pin "
+            "the format in the dataset config) before subscribing"
+        )
+    sampled = df.select(value_col).limit(sample_rows).collect()
+    if not sampled:
+        raise ValueError("cannot detect CDC format of an empty sample")
+    votes: set[str] = set()
+    for row in sampled:
+        try:
+            keys = set(json.loads(row[0]).keys())
+        except (TypeError, ValueError) as e:
+            raise ValueError(
+                f"cannot detect CDC format: unparseable JSON envelope "
+                f"{row[0]!r}"
+            ) from e
+        matches = [fmt for fmt, sig in _JSON_SIGNATURES if sig <= keys]
+        if len(matches) != 1:
+            raise ValueError(
+                f"cannot detect CDC format: envelope keys {sorted(keys)} "
+                f"match {matches or 'no known format'}"
+            )
+        votes.add(matches[0])
+    if len(votes) != 1:
+        raise ValueError(
+            f"cannot detect CDC format: sampled records disagree "
+            f"({sorted(votes)}); split the stream per source first"
+        )
+    return votes.pop()

@@ -803,3 +803,102 @@ def test_goldengate_canal_dispatch_and_merge(spark, tmp_path):
     tbl.merge(parsed2, epoch_id=1)
     got = {r.id: r.v for r in tbl.read().collect()}
     assert got == {1: "back", 2: "z", 3: "c"}
+
+
+def test_detect_cdc_format_column_shapes(spark):
+    """Structured envelopes are detected by column shape alone - zero
+    data read (works before any record arrives)."""
+    from dataingestion_spark.sources.cdc_formats import detect_cdc_format
+
+    shapes = {
+        "mysql-binlog": "operation string, table_name string, "
+        "primary_key long, data string, binlog_file string, "
+        "binlog_position long, timestamp long",
+        "mongo-change-stream": "operationType string, ns_coll string, "
+        "fullDocument string, documentKey string, clusterTime string, "
+        "resumeToken string",
+        "aerospike-cdc": "operation string, namespace string, "
+        "set_name string, user_key string, bins string, timestamp long, "
+        "generation long",
+        "clickstream": "event_type string, user_id string, "
+        "page_url string, timestamp string, properties string, "
+        "ip_address string",
+        "maxwell": "database string, table string, type string, ts long, "
+        "xid long, position string, data string, old string",
+        "dynamodb-stream": "eventName string, dynamodb string",
+    }
+    for fmt, ddl in shapes.items():
+        df = spark.createDataFrame([], ddl)
+        assert detect_cdc_format(df) == fmt, fmt
+
+
+def test_detect_cdc_format_json_sampling(spark):
+    """The Kafka-value family is detected from sampled top-level JSON
+    keys; every sampled record must agree and ambiguity raises."""
+    from dataingestion_spark.sources.cdc_formats import detect_cdc_format
+
+    samples = {
+        "debezium": '{"before": null, "after": {"id": 1}, '
+        '"source": {"db": "d", "table": "t", "lsn": 1}, "op": "c", '
+        '"ts_ms": 1}',
+        "goldengate": '{"table": "D.T", "op_type": "I", '
+        '"op_ts": "2024-06-28 09:00:00.000000", "pos": "100", '
+        '"after": {"id": 1}}',
+        "wal2json": '{"action": "I", "schema": "public", "table": "t", '
+        '"columns": [{"name": "id", "value": "1"}], '
+        '"lsn": "0/16B2C38", "timestamp": "2024-06-28 09:00:00+00"}',
+        "canal": '{"id": 1, "database": "d", "table": "t", '
+        '"isDdl": false, "type": "INSERT", "es": 1, "ts": 2, '
+        '"data": [{"id": "1"}]}',
+    }
+    for fmt, rec in samples.items():
+        df = spark.createDataFrame([(rec,), (rec,)], "value string")
+        assert detect_cdc_format(df) == fmt, fmt
+
+    # mixed stream: sampled records disagree -> refuse, don't guess
+    mixed = spark.createDataFrame(
+        [(samples["debezium"],), (samples["canal"],)], "value string"
+    )
+    with pytest.raises(ValueError, match="disagree"):
+        detect_cdc_format(mixed)
+
+    # unknown envelope -> no match, loud
+    junk = spark.createDataFrame([('{"foo": 1}',)], "value string")
+    with pytest.raises(ValueError, match="no known format"):
+        detect_cdc_format(junk)
+
+    # empty sample -> can't decide
+    empty = spark.createDataFrame([], "value string")
+    with pytest.raises(ValueError, match="empty sample"):
+        detect_cdc_format(empty)
+
+    # no value column and no structural match -> loud
+    nocol = spark.createDataFrame([(1,)], "x long")
+    with pytest.raises(ValueError, match="no 'value' column"):
+        detect_cdc_format(nocol)
+
+
+def test_detect_then_parse_roundtrip(spark):
+    """detect + parse_cdc composes: an unlabeled GoldenGate batch routes
+    to the right adapter and parses identically to an explicit call."""
+    from dataingestion_spark.sources.cdc_formats import (
+        detect_cdc_format,
+        parse_cdc,
+        parse_goldengate,
+    )
+
+    rows = [
+        ('{"table": "D.T", "op_type": "I", '
+         '"op_ts": "2024-06-28 09:00:00.000000", "pos": "100", '
+         '"after": {"id": 1, "v": "a"}}',),
+    ]
+    df = spark.createDataFrame(rows, "value string")
+    fmt = detect_cdc_format(df)
+    assert fmt == "goldengate"
+    auto = parse_cdc(
+        df, fmt, payload_fields=[("v", "string")], key_fields=[("id", "long")]
+    ).collect()
+    explicit = parse_goldengate(
+        df, payload_fields=[("v", "string")], key_fields=[("id", "long")]
+    ).collect()
+    assert auto == explicit
