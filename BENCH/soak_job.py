@@ -77,6 +77,11 @@ def main() -> int:
         "--no-broadcast", action="store_true",
         help="pin the shuffle COW plans (A/B control)",
     )
+    ap.add_argument(
+        "--pin-broadcast", action="store_true",
+        help="disable the adaptive plan chooser: run the broadcast-probe "
+        "plan on every eligible epoch (A/B control)",
+    )
     ap.add_argument("--no-shm", action="store_true")
     a = ap.parse_args()
 
@@ -119,6 +124,8 @@ def main() -> int:
     )
     if a.no_broadcast:
         tbl.BROADCAST_MERGE_ENABLED = False
+    if a.pin_broadcast:
+        tbl.COW_PLAN_ADAPTIVE = False
 
     # untimed bootstrap: grow the table (MOR + compact is the fastest
     # loader; the steady phase runs the mode under test)
@@ -156,6 +163,7 @@ def main() -> int:
             opt_passes += 1
     dt = time.time() - t0
     rows = tbl.read().count()
+    plan_rates = tbl.snapshot().properties.get("cow_plan_rates")
     shutil.rmtree(tmp, ignore_errors=True)
     print(
         json.dumps(
@@ -170,8 +178,11 @@ def main() -> int:
                 "optimize_passes": opt_passes,
                 "optimize_sec": round(opt_sec, 3),
                 "merge_plan": max(set(plans), key=plans.count),
+                "plans": {p: plans.count(p) for p in sorted(set(plans))},
+                "plan_rates": plan_rates,
                 "write_mode": a.write_mode,
                 "broadcast": not a.no_broadcast,
+                "adaptive": not (a.pin_broadcast or a.no_broadcast),
             }
         )
     )

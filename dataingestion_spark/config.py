@@ -54,6 +54,13 @@ class DatasetConfig:
     hot_key_threshold: float = 0.05
     hot_key_min_rows: int | None = None
     salt_buckets: int = 8
+    # Adaptive COW plan choice in the steady-state regime (table >> batch):
+    # probe the broadcast-probe and shuffle merge plans once each, persist
+    # their measured events/s in the table properties, exploit the faster
+    # (LakeTable.COW_PLAN_ADAPTIVE). False pins the broadcast plan whenever
+    # eligible - the right call on a network-bound cluster where the avoided
+    # table-side exchange always dominates. None = the LakeTable default.
+    cow_plan_adaptive: bool | None = None
     # Fail the pipeline on breaking schema changes (reference fail-fast,
     # /root/reference/spark/src/main/scala/com/example/core/SchemaEvolution.scala:114-137).
     fail_on_breaking_schema: bool = True

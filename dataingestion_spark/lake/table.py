@@ -208,6 +208,26 @@ class LakeTable:
     # stats sidecars) are at least this multiple of the batch.
     BROADCAST_TABLE_BATCH_RATIO = 4.0
 
+    # Adaptive COW plan choice. Whether the broadcast-probe plan beats
+    # the one-exchange shuffle plan is a property of the TOPOLOGY, not
+    # the data: on a network-bound cluster the avoided table-side
+    # exchange dominates; on a shuffle-cheap single box (tmpfs shuffle,
+    # shared-memory "network") the broadcast plan's extra fixed-latency
+    # jobs + second table scan make it measurably slower (soak A/B at
+    # 4M-row table / 250k-event epochs: 36.8k eps broadcast vs 86.4k
+    # shuffle). No static gate can know which side it is on, so in the
+    # eligible regime the merge PROBES each plan once, records its
+    # measured events/s in the snapshot properties (EWMA, survives
+    # restarts), exploits the faster one, and re-probes the loser every
+    # COW_PLAN_REPROBE_EVERY eligible epochs to track environment drift.
+    # The FIRST eligible epoch always runs the broadcast plan (the
+    # cluster-scale design choice wins ties and keeps the decision
+    # deterministic for tests). Set False to pin the broadcast plan
+    # whenever eligible (the pre-adaptive behavior).
+    COW_PLAN_ADAPTIVE = True
+    COW_PLAN_REPROBE_EVERY = 64
+    COW_PLAN_EWMA = 0.5
+
     # Absolute floor for hot-key salting. Salting exists to split
     # PHYSICALLY oversized shuffle partitions and write files; whether a
     # key needs it is a property of its row volume, not its share of the
@@ -2488,9 +2508,12 @@ class LakeTable:
         summary: dict,
         deltas: dict[str, list[str]] | None = None,
         partial_buckets_add: list[str] | None = None,
+        properties_update: dict | None = None,
     ) -> Snapshot:
         while True:
             props = json.loads(json.dumps(parent.properties))  # deep copy
+            if properties_update:
+                props.update(json.loads(json.dumps(properties_update)))
             if pipeline_id is not None and epoch_id is not None:
                 props.setdefault("pipelines", {})[pipeline_id] = {
                     "last_epoch": int(epoch_id)
@@ -3754,7 +3777,7 @@ class LakeTable:
             if self.BROADCAST_MERGE_ENABLED and touched
             else None
         )
-        if (
+        bcast_eligible = (
             self.BROADCAST_MERGE_ENABLED
             and touched
             and not hot
@@ -3764,11 +3787,19 @@ class LakeTable:
             <= self.BROADCAST_GROUP_EVENTS
             and base_rows is not None
             and base_rows >= self.BROADCAST_TABLE_BATCH_RATIO * batch_events
-        ):
+        )
+        # Timing context for the adaptive chooser: started at the plan
+        # decision (shared pre-scan excluded), stopped at commit time in
+        # _finish_cow_commit; None when this epoch is regime-ineligible
+        # (its rate would not be comparable).
+        plan_timing = (
+            (time.time(), batch_events) if bcast_eligible else None
+        )
+        if bcast_eligible and self._choose_cow_plan(snap) == "broadcast":
             snap2 = self._merge_cow_broadcast(
                 src, snap, schema, schema_version, pk, order_fields,
                 touched, bucket_counts, pipeline_id, epoch_id, evo,
-                file_stats, lineage,
+                file_stats, lineage, plan_timing=plan_timing,
             )
             _tick("LWW-broadcast + rewrite")
             return snap2
@@ -3840,6 +3871,7 @@ class LakeTable:
                 snap, schema, schema_version, touched, hot, new_files,
                 applied, pipeline_id, epoch_id, evo, file_stats,
                 {**(lineage or {}), "merge_plan": "cow-union"},
+                plan_timing=plan_timing,
             )
         else:
             # In-batch fold on a COALESCED lsn ordinal (null lsn -> -1) so
@@ -3916,7 +3948,31 @@ class LakeTable:
             snap, schema, schema_version, touched, hot, new_files, applied,
             pipeline_id, epoch_id, evo, file_stats,
             {**(lineage or {}), "merge_plan": "cow-join"},
+            plan_timing=plan_timing,
         )
+
+    def _choose_cow_plan(self, snap: Snapshot) -> str:
+        """Pick 'broadcast' or 'shuffle' for an ELIGIBLE steady-state COW
+        epoch from the measured rates in the snapshot properties (see
+        COW_PLAN_ADAPTIVE). Probe order: broadcast first (the
+        cluster-scale design choice, deterministic for the first
+        eligible epoch), then one shuffle probe, then exploit the faster
+        with a periodic re-probe of the loser."""
+        if not self.COW_PLAN_ADAPTIVE:
+            return "broadcast"
+        rates = snap.properties.get("cow_plan_rates", {})
+        b = rates.get("broadcast")
+        s = rates.get("shuffle")
+        if b is None:
+            return "broadcast"
+        if s is None:
+            return "shuffle"
+        fast, slow = ("broadcast", "shuffle") if b >= s else ("shuffle", "broadcast")
+        n = int(rates.get("n", 0))
+        every = self.COW_PLAN_REPROBE_EVERY
+        if every and n % every == every - 1:
+            return slow
+        return fast
 
     def _merge_cow_broadcast(
         self,
@@ -3933,6 +3989,7 @@ class LakeTable:
         evo: str | None,
         file_stats: list | None,
         lineage: dict | None,
+        plan_timing: tuple[float, int] | None = None,
     ) -> Snapshot:
         """COW merge with ZERO exchange on the table side - the
         single-box analog of Iceberg's storage-partitioned join
@@ -4066,6 +4123,7 @@ class LakeTable:
             snap, schema, schema_version, touched, [], new_files, applied,
             pipeline_id, epoch_id, evo, file_stats,
             {**(lineage or {}), "merge_plan": "cow-broadcast"},
+            plan_timing=plan_timing,
         )
 
     def _finish_cow_commit(
@@ -4082,10 +4140,33 @@ class LakeTable:
         evo: str | None,
         file_stats: list | None,
         lineage: dict | None,
+        plan_timing: tuple[float, int] | None = None,
     ) -> Snapshot:
         """Shared COW commit tail: stray-bucket safety net, manifest
         bookkeeping (touched buckets replaced, their delta chains cleared),
-        snapshot commit."""
+        snapshot commit. ``plan_timing`` = (t_start, batch_events) of a
+        regime-ELIGIBLE epoch: the measured events/s is folded (EWMA)
+        into properties["cow_plan_rates"] under 'broadcast'/'shuffle'
+        for the adaptive plan chooser."""
+        props_update = None
+        if plan_timing is not None:
+            t0, batch_events = plan_timing
+            eps = batch_events / max(time.time() - t0, 1e-9)
+            key = (
+                "broadcast"
+                if (lineage or {}).get("merge_plan") == "cow-broadcast"
+                else "shuffle"
+            )
+            rates = dict(snap.properties.get("cow_plan_rates", {}))
+            prev = rates.get(key)
+            rates[key] = round(
+                eps
+                if prev is None
+                else (1 - self.COW_PLAN_EWMA) * prev + self.COW_PLAN_EWMA * eps,
+                1,
+            )
+            rates["n"] = int(rates.get("n", 0)) + 1
+            props_update = {"cow_plan_rates": rates}
         # Safety net behind the typed pre-scan: a written bucket outside the
         # touched set means its current rows were NOT joined - committing it
         # would lose data. Fail loudly instead.
@@ -4117,6 +4198,7 @@ class LakeTable:
                 **(lineage or {}),
             },
             deltas=deltas,
+            properties_update=props_update,
         )
 
     # ------------------------------------------------------------------

@@ -126,15 +126,19 @@ def _replay_equal(spark, tmp_path, name, configure, want_plan=None):
     return tbl
 
 
+def _force_broadcast(t):
+    # ratio 0 makes every epoch eligible; adaptive off pins the
+    # broadcast arm every epoch (the chooser itself is tested in
+    # test_adaptive_plan_chooser_*)
+    t.BROADCAST_TABLE_BATCH_RATIO = 0.0
+    t.COW_PLAN_ADAPTIVE = False
+
+
 def test_broadcast_merge_equals_oracle(spark, tmp_path):
-    # ratio 0 forces the broadcast arm from the first (empty-table)
-    # epoch on; every epoch must report the cow-broadcast plan AND
-    # match the replay oracle
-    _replay_equal(
-        spark, tmp_path, "bc",
-        lambda t: setattr(t, "BROADCAST_TABLE_BATCH_RATIO", 0.0),
-        want_plan="cow-broadcast",
-    )
+    # every epoch must report the cow-broadcast plan AND match the
+    # replay oracle
+    _replay_equal(spark, tmp_path, "bc", _force_broadcast,
+                  want_plan="cow-broadcast")
 
 
 def test_multi_group_chunking_equals_single_group(spark, tmp_path):
@@ -146,7 +150,7 @@ def test_multi_group_chunking_equals_single_group(spark, tmp_path):
         # per-group budget just above the largest single-bucket slice:
         # eligibility holds, but buckets split across multiple groups
         t.BROADCAST_GROUP_EVENTS = 600
-        t.BROADCAST_TABLE_BATCH_RATIO = 0.0
+        _force_broadcast(t)
 
     a = _replay_equal(spark, tmp_path, "grp", tiny_budget,
                       want_plan="cow-broadcast")
@@ -193,6 +197,7 @@ def test_applied_counts_match_shuffle_plan(spark, tmp_path):
         t = _mk(spark, path, num_buckets=4)
         t.BROADCAST_MERGE_ENABLED = enabled
         t.BROADCAST_TABLE_BATCH_RATIO = 0.0
+        t.COW_PLAN_ADAPTIVE = False
         t.merge(changes.filter(F.col("source_file") == f0),
                 hot_key_threshold=1.1)
         s = t.merge(changes.filter(F.col("source_file") == f1),
@@ -220,3 +225,68 @@ def test_ratio_gate_prefers_shuffle_until_table_dwarfs_batch(spark, tmp_path):
     assert s2.summary["merge_plan"] == "cow-broadcast"
     pdf = pd.concat([big.toPandas(), small.toPandas()])
     assert_table_equals_oracle(tbl.read(), oracle.replay(pdf))
+
+
+def test_adaptive_plan_chooser_logic(spark, tmp_path):
+    """Pure chooser policy: broadcast probe first, shuffle probe second,
+    exploit the faster, periodic re-probe of the loser, adaptive-off
+    pins broadcast."""
+    tbl = _mk(spark, tmp_path / "logic", num_buckets=2)
+
+    def snap_with(rates):
+        s = tbl.snapshot()
+        s.properties["cow_plan_rates"] = rates
+        return s
+
+    assert tbl._choose_cow_plan(tbl.snapshot()) == "broadcast"  # probe 1
+    assert tbl._choose_cow_plan(snap_with({"broadcast": 100.0, "n": 1})) == "shuffle"  # probe 2
+    assert tbl._choose_cow_plan(
+        snap_with({"broadcast": 100.0, "shuffle": 50.0, "n": 2})
+    ) == "broadcast"  # exploit
+    assert tbl._choose_cow_plan(
+        snap_with({"broadcast": 50.0, "shuffle": 100.0, "n": 2})
+    ) == "shuffle"  # exploit the other way
+    # periodic re-probe of the loser
+    n = tbl.COW_PLAN_REPROBE_EVERY - 1
+    assert tbl._choose_cow_plan(
+        snap_with({"broadcast": 50.0, "shuffle": 100.0, "n": n})
+    ) == "broadcast"
+    # adaptive off: always the broadcast (cluster-design) arm
+    tbl.COW_PLAN_ADAPTIVE = False
+    assert tbl._choose_cow_plan(
+        snap_with({"broadcast": 50.0, "shuffle": 100.0, "n": 2})
+    ) == "broadcast"
+
+
+def test_adaptive_probe_sequence_and_rate_persistence(spark, tmp_path):
+    """Integration: with every epoch eligible, epoch 0 probes broadcast,
+    epoch 1 probes shuffle, epoch 2 exploits the measured winner; rates
+    persist in snapshot properties (EWMA) and survive a fresh handle;
+    the state stays oracle-equal throughout."""
+    tbl = _mk(spark, tmp_path / "probe", num_buckets=4)
+    tbl.BROADCAST_TABLE_BATCH_RATIO = 0.0
+    changes = gen_changes(spark, n_events=3000, n_convs=60, seed=17, n_files=3)
+    pdf = changes.toPandas()
+    files = sorted(pdf["source_file"].unique())
+    plans = []
+    seen = []
+    for e, fname in enumerate(files):
+        snap = tbl.merge(
+            changes.filter(F.col("source_file") == fname),
+            pipeline_id="p", epoch_id=e, hot_key_threshold=1.1,
+        )
+        plans.append(snap.summary["merge_plan"])
+        seen.append(fname)
+        assert_table_equals_oracle(
+            tbl.read(), oracle.replay(pdf[pdf["source_file"].isin(seen)])
+        )
+    assert plans[0] == "cow-broadcast"  # probe 1: the cluster-design arm
+    assert plans[1] == "cow-union"      # probe 2: the shuffle arm
+    rates = tbl.snapshot().properties["cow_plan_rates"]
+    assert rates["n"] == 3 and "broadcast" in rates and "shuffle" in rates
+    # epoch 2 exploited whichever probe measured faster
+    want = "cow-broadcast" if rates["broadcast"] >= rates["shuffle"] else "cow-union"
+    assert plans[2] == want
+    # a fresh handle reads the same rates (persisted, not in-memory)
+    fresh = LakeTable(spark, str(tmp_path / "probe"))
+    assert fresh.snapshot().properties["cow_plan_rates"] == rates
