@@ -336,3 +336,44 @@ def test_renamed_read_plan_no_exchange_and_prior_in_scan(spark, tmp_table_dir):
     assert "tool_name" in plan and "tool" in plan  # both physical names read
     assert "coalesce" in plan.lower()
     assert "BatchEvalPython" not in plan
+
+
+def test_rename_with_stale_secondary_index_target_dir(spark, tmp_table_dir):
+    """rename_column runs the secondary-index dir move AFTER its commit
+    succeeded; a stale target dir (crashed earlier rename, or an index
+    once built under the new name) must be cleared and moved over, not
+    raise ENOTEMPTY and leave the table renamed but the call failing
+    (round-4 ADVICE item). The old column's index is authoritative for
+    the just-renamed data."""
+    from dataingestion_spark.lake.shardstore import ShardStore
+
+    tbl = _make(spark, tmp_table_dir)
+    tbl.merge(
+        _batch(
+            spark,
+            [(f"c{i}", 0, f"t{i}", f"tool_{i % 3}", i) for i in range(30)],
+        ),
+        pipeline_id="m",
+        epoch_id=0,
+    )
+    tbl.update_secondary_index("tool")
+    want = {
+        r.conv_id
+        for r in tbl.read_in("tool", ["tool_1"]).collect()
+    }
+    assert want
+
+    # plant a stale, non-empty dir where the renamed index will land
+    stale = ShardStore(tbl.root, tbl._secondary_store_name("tool_kind"))
+    stale.dir.mkdir(parents=True)
+    (stale.dir / "leftover.json").write_text("{}")
+
+    tbl.rename_column("tool", "tool_kind")
+
+    assert tbl.secondary_index_cols() == ["tool_kind"]
+    got = {
+        r.conv_id
+        for r in tbl.read_in("tool_kind", ["tool_1"]).collect()
+    }
+    assert got == want
+    assert not (stale.dir / "leftover.json").exists()
