@@ -1472,6 +1472,64 @@ def q_cdc_agg_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_agg_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MIN/MAX view maintenance - the classic IVM hard case:
+    COUNT/SUM self-maintain under deletes, but a delete can evict the
+    stored extremum and only a recompute can name the runner-up
+    (lake/sync.py sync_aggregate mins/maxs: insert-only groups fold with
+    least/greatest; groups that saw a remove are recomputed, pruned to
+    exactly the dirty groups' buckets via read_prefix since conv_id is
+    the leading pk field). The flagship binlog's epoch-1 UPDATEs and
+    DELETEs against epoch-0 rows exercise the eviction path inside this
+    very query. Oracle: the same aggregate over the portable replay."""
+    from pathlib import Path
+
+    from dataingestion_spark.lake.sync import sync_aggregate
+    from dataingestion_spark.lake.table import LakeTable
+    from dataingestion_spark.sources.datagen import gen_changes
+
+    tbl = _flagship_table(spark, "cdc_aggmm_", merge=False)
+    changes = gen_changes(
+        spark, n_events=10_000, n_convs=80, max_turns=40, seed=42,
+        hash_mode="md5",
+    )
+    view_path = str(Path(tbl.root).parent / "view")
+    for epoch, lo, hi in [(0, 0, 7_000), (1, 7_000, 10_000)]:
+        part = changes.filter((F.col("lsn") >= lo * 2) & (F.col("lsn") < hi * 2))
+        tbl.merge(part, pipeline_id="entry", epoch_id=epoch)
+        sync_aggregate(
+            tbl, view_path, ["conv_id"], sums=["turn_idx"],
+            mins=["ts"], maxs=["turn_idx"],
+        )
+    return (
+        LakeTable(spark, view_path)
+        .read()
+        .select("conv_id", "n_rows", "sum_turn_idx", "min_ts", "max_turn_idx")
+        .orderBy("conv_id")
+    )
+
+
+def q_cdc_read_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-conversation serving fetch: read_prefix returns every live
+    row whose LEADING pk field matches the requested conversations -
+    the lookup read_keys cannot express (it needs the full pk). The
+    bucket transform hashes only the first pk field, so the scan is
+    pruned to the requested conversations' buckets regardless of table
+    size. Oracle: the portable replay filtered to the same five
+    lexicographically-first conversations."""
+    tbl = _flagship_table(spark, "cdc_rpfx_")
+    convs = [
+        r["conv_id"]
+        for r in tbl.read()
+        .select("conv_id")
+        .distinct()
+        .orderBy("conv_id")
+        .limit(5)
+        .collect()
+    ]
+    return tbl.read_prefix(convs).orderBy("conv_id", "turn_idx")
+
+
 def q_cdc_dataset_release(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot tags as dataset releases: replay epoch 0, tag it
     "release-1", replay epoch 1 on top - then read the RELEASE by name.
@@ -2321,6 +2379,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_secondary_lookup": q_cdc_secondary_lookup,
         "cdc_optimize_invariance": q_cdc_optimize_invariance,
         "cdc_agg_view": q_cdc_agg_view,
+        "cdc_agg_minmax": q_cdc_agg_minmax,
+        "cdc_read_prefix": q_cdc_read_prefix,
         "doc_redact_pii": q_doc_redact_pii,
         "media_frame_sample": q_media_frame_sample,
         "cdc_dataset_release": q_cdc_dataset_release,
@@ -3492,6 +3552,21 @@ def oracle_sql() -> dict[str, str]:
             " CAST(sum(turn_idx) AS BIGINT) AS sum_turn_idx FROM ("
             + _replay_sql(n_events=10_000, n_convs=80, max_turns=40, seed=42)
             + ") GROUP BY conv_id"
+        ),
+        "cdc_agg_minmax": (
+            "SELECT conv_id, count(*) AS n_rows,"
+            " CAST(sum(turn_idx) AS BIGINT) AS sum_turn_idx,"
+            " min(ts) AS min_ts,"
+            " CAST(max(turn_idx) AS INTEGER) AS max_turn_idx FROM ("
+            + _replay_sql(n_events=10_000, n_convs=80, max_turns=40, seed=42)
+            + ") GROUP BY conv_id"
+        ),
+        "cdc_read_prefix": (
+            "SELECT conv_id, turn_idx, role, text, tool, ts FROM ("
+            + _replay_sql(n_events=10_000, n_convs=80, max_turns=40, seed=42)
+            + ") WHERE conv_id IN (SELECT DISTINCT conv_id FROM ("
+            + _replay_sql(n_events=10_000, n_convs=80, max_turns=40, seed=42)
+            + ") ORDER BY conv_id LIMIT 5)"
         ),
         "doc_redact_pii": _redact_pii_sql(),
         # sample_frames replay: kind + blob from the media_features oracle's

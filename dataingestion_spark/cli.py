@@ -224,6 +224,15 @@ def main(argv: list[str] | None = None) -> int:
         "--sum", default=None,
         help="comma-separated numeric columns to SUM alongside the count",
     )
+    p.add_argument(
+        "--min", default=None, dest="min_cols",
+        help="comma-separated columns to track MIN of (dirty groups "
+        "recomputed exactly on deletes)",
+    )
+    p.add_argument(
+        "--max", default=None, dest="max_cols",
+        help="comma-separated columns to track MAX of",
+    )
     p.add_argument("--pipeline-id", default="aggsync")
 
     p = sub.add_parser("lshindex")
@@ -593,6 +602,8 @@ def main(argv: list[str] | None = None) -> int:
             a.out,
             group_cols=[c.strip() for c in a.group.split(",") if c.strip()],
             sums=[c.strip() for c in (a.sum or "").split(",") if c.strip()],
+            mins=[c.strip() for c in (a.min_cols or "").split(",") if c.strip()],
+            maxs=[c.strip() for c in (a.max_cols or "").split(",") if c.strip()],
             pipeline_id=a.pipeline_id,
         )
         dst = LakeTable(spark, a.out)

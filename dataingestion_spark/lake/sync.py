@@ -134,12 +134,19 @@ def sync_incremental(
 
 
 def aggregate_schema(
-    src_schema, group_cols: list[str], sums: list[str], count_col: str
+    src_schema,
+    group_cols: list[str],
+    sums: list[str],
+    count_col: str,
+    mins: list[str] | None = None,
+    maxs: list[str] | None = None,
 ):
     """Destination schema for an aggregate view: the group columns (types
-    from the source), a long row count, and one sum column per summed
-    source column - long for integral inputs, double otherwise (matching
-    what a plain groupBy().agg() would produce)."""
+    from the source), a long row count, one sum column per summed source
+    column - long for integral inputs, double otherwise (matching what a
+    plain groupBy().agg() would produce) - and one min_/max_ column per
+    extremum-tracked column, typed as the source column (min/max preserve
+    type)."""
     from pyspark.sql import types as T
 
     fields = [src_schema[c] for c in group_cols]
@@ -153,6 +160,10 @@ def aggregate_schema(
                 f"sum_{c}", T.LongType() if integral else T.DoubleType(), True
             )
         )
+    for c in mins or []:
+        fields.append(T.StructField(f"min_{c}", src_schema[c].dataType, True))
+    for c in maxs or []:
+        fields.append(T.StructField(f"max_{c}", src_schema[c].dataType, True))
     return T.StructType(fields)
 
 
@@ -165,12 +176,14 @@ def sync_aggregate(
     pipeline_id: str = "aggsync",
     num_buckets: int = 32,
     write_mode: str = "cow",
+    mins: list[str] | None = None,
+    maxs: list[str] | None = None,
 ) -> Snapshot | None:
     """Incrementally maintain a grouped aggregate of ``src`` (COUNT(*) +
-    SUM(col)s per ``group_cols``) as its own lake table - incremental
-    view maintenance off the changelog, the pattern that turns "recompute
-    the conversation stats over 100 TB nightly" into "apply the deltas of
-    what actually changed".
+    SUM(col)s + MIN/MAX(col)s per ``group_cols``) as its own lake table -
+    incremental view maintenance off the changelog, the pattern that
+    turns "recompute the conversation stats over 100 TB nightly" into
+    "apply the deltas of what actually changed".
 
     Per sync: one ``read_changes(last, cur, include_preimages=True)``
     (bucket-pruned to changed source manifests), a map-side-combinable
@@ -182,6 +195,20 @@ def sync_aggregate(
     totals; groups whose count reaches zero are deleted. Cost scales with
     the CHANGE volume, not the source size.
 
+    COUNT and SUM are self-maintainable under deletes (subtract the
+    preimage). MIN/MAX are the classic IVM hard case: a delete can evict
+    the current extremum, and no view-local arithmetic can name the
+    runner-up. Insert-only groups still fold cheaply
+    (least/greatest against the stored value); a group that saw ANY
+    remove event this sync (delete or update preimage) is DIRTY and its
+    extrema are recomputed from the source - pruned to exactly the dirty
+    groups via ``read_prefix`` when ``group_cols`` is a leading pk
+    prefix (the bucket transform hashes the first pk field, so the
+    recompute touches only the dirty groups' buckets - the natural
+    per-conversation view never rescans the table), else via a broadcast
+    semi-join of the dirty group keys against the source (change-bounded
+    group count, but a full scan; prefer pk-prefix groupings at scale).
+
     Exactly-once rides the same mechanism as :func:`sync_incremental`:
     the source snapshot version is the destination epoch id (and the
     batch lsn), so crash-replays are skipped whole and the retried diff
@@ -191,8 +218,11 @@ def sync_aggregate(
 
     Caveat: sums over floating columns accumulate the usual FP
     reassociation drift relative to a fresh recompute; counts and
-    integral sums are exact."""
+    integral sums are exact, and min/max are exact (dirty groups are
+    recomputed, never approximated)."""
     sums = list(sums or [])
+    mins = list(mins or [])
+    maxs = list(maxs or [])
     if isinstance(dst, (str,)) or hasattr(dst, "__fspath__"):
         path = dst
         probe = LakeTable(src.spark, path)
@@ -202,13 +232,17 @@ def sync_aggregate(
             dst = LakeTable.create(
                 src.spark,
                 path,
-                aggregate_schema(src.snapshot().schema, group_cols, sums, count_col),
+                aggregate_schema(
+                    src.snapshot().schema, group_cols, sums, count_col,
+                    mins=mins, maxs=maxs,
+                ),
                 pk_fields=list(group_cols),
                 order_fields=["lsn"],
                 num_buckets=num_buckets,
             )
     want_cols = {f.name for f in aggregate_schema(
-        src.snapshot().schema, group_cols, sums, count_col
+        src.snapshot().schema, group_cols, sums, count_col,
+        mins=mins, maxs=maxs,
     ).fields}
     have_cols = {f.name for f in dst.snapshot().schema.fields}
     if list(dst.snapshot().pk_fields) != list(group_cols) or want_cols != have_cols:
@@ -229,6 +263,7 @@ def sync_aggregate(
         key_ok = cond if key_ok is None else (key_ok & cond)
 
     sum_cols = [f"sum_{c}" for c in sums]
+    ext_cols = [f"min_{c}" for c in mins] + [f"max_{c}" for c in maxs]
 
     def _merge_totals(totals: DataFrame) -> Snapshot | None:
         batch = totals.select(
@@ -238,7 +273,7 @@ def sync_aggregate(
             *group_cols,
             *[
                 F.when(F.col(count_col) > 0, F.col(c)).alias(c)
-                for c in [count_col, *sum_cols]
+                for c in [count_col, *sum_cols, *ext_cols]
             ],
             F.lit(cur).cast("long").alias("lsn"),
             F.lit(f"aggsync@v{cur}").alias("source_file"),
@@ -258,6 +293,8 @@ def sync_aggregate(
             *[F.sum(F.col(c)).cast(
                 aggregate_schema(src.snapshot().schema, group_cols, [c], count_col)[f"sum_{c}"].dataType
             ).alias(f"sum_{c}") for c in sums],
+            *[F.min(F.col(c)).alias(f"min_{c}") for c in mins],
+            *[F.max(F.col(c)).alias(f"max_{c}") for c in maxs],
         )
         return _merge_totals(totals)
 
@@ -279,6 +316,21 @@ def sync_aggregate(
             ).alias(f"_d_sum_{c}")
             for c in sums
         ],
+        # extrema deltas: candidate min/max among ADDED rows fold
+        # cheaply; any REMOVE marks the group dirty (the removed value
+        # might have been the stored extremum, and the view cannot name
+        # the runner-up - see the docstring)
+        *[F.min(F.when(sign == 1, F.col(c))).alias(f"_a_min_{c}") for c in mins],
+        *[F.max(F.when(sign == 1, F.col(c))).alias(f"_a_max_{c}") for c in maxs],
+        *(
+            [
+                F.max(
+                    F.when(sign == -1, F.lit(1)).otherwise(F.lit(0))
+                ).alias("_dirty")
+            ]
+            if (mins or maxs)
+            else []
+        ),
     )
     # No emptiness probe: merge the (possibly empty) totals unconditionally.
     # A version that advanced with no net row changes (compaction, DML
@@ -301,7 +353,57 @@ def sync_aggregate(
             ).cast(agg_types[f"sum_{c}"].dataType).alias(f"sum_{c}")
             for c in sums
         ],
+        # least/greatest skip nulls: a brand-new group takes the add-side
+        # candidate, an add-free group keeps the stored extremum; dirty
+        # groups get these folded values REPLACED by the recompute below
+        *[
+            F.least(F.col(f"min_{c}"), F.col(f"_a_min_{c}")).alias(f"min_{c}")
+            for c in mins
+        ],
+        *[
+            F.greatest(F.col(f"max_{c}"), F.col(f"_a_max_{c}")).alias(f"max_{c}")
+            for c in maxs
+        ],
+        *(
+            [F.coalesce(F.col("_dirty"), F.lit(0)).alias("_dirty")]
+            if (mins or maxs)
+            else []
+        ),
     )
+    if mins or maxs:
+        dirty = totals.filter(F.col("_dirty") == 1).select(*group_cols)
+        pk_prefix = list(src.snapshot().pk_fields)[: len(group_cols)]
+        if list(group_cols) == pk_prefix:
+            # the bucket transform hashes the first pk field, so the
+            # recompute is pruned to exactly the dirty groups' buckets
+            rows = src.read_prefix(dirty, version=cur)
+        else:
+            # non-pk grouping: change-bounded group count, but a source
+            # scan (broadcast semi-join keeps only the dirty groups)
+            rows = src.read(version=cur).join(
+                F.broadcast(dirty), on=list(group_cols), how="left_semi"
+            )
+        rec = rows.filter(key_ok).groupBy(*group_cols).agg(
+            *[F.min(F.col(c)).alias(f"_r_min_{c}") for c in mins],
+            *[F.max(F.col(c)).alias(f"_r_max_{c}") for c in maxs],
+        )
+        totals = totals.join(rec, on=list(group_cols), how="left").select(
+            *group_cols,
+            count_col,
+            *sum_cols,
+            *[
+                F.when(F.col("_dirty") == 1, F.col(f"_r_min_{c}"))
+                .otherwise(F.col(f"min_{c}"))
+                .alias(f"min_{c}")
+                for c in mins
+            ],
+            *[
+                F.when(F.col("_dirty") == 1, F.col(f"_r_max_{c}"))
+                .otherwise(F.col(f"max_{c}"))
+                .alias(f"max_{c}")
+                for c in maxs
+            ],
+        )
     return _merge_totals(totals)
 
 

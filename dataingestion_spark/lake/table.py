@@ -1395,6 +1395,76 @@ class LakeTable:
             *[f.name for f in snap.schema.fields]
         )
 
+    def read_prefix(
+        self,
+        keys,
+        version: int | None = None,
+        broadcast_keys: bool = True,
+    ) -> DataFrame:
+        """Live rows whose LEADING pk fields match any key in the set -
+        "fetch these whole conversations" for a (conv_id, turn_idx)
+        table, the serving read :meth:`read_keys` cannot express (it
+        requires every pk field). Priced identically: the bucket
+        transform hashes ONLY the first pk field, so a prefix is exactly
+        as bucket-prunable as a full key - k prefixes touch at most
+        min(k, num_buckets) buckets regardless of table size.
+
+        ``keys`` is a DataFrame carrying the first k pk columns (k =
+        the longest leading run of pk fields present; other columns are
+        ignored) or a list of scalars/tuples in pk order. The file-level
+        pk bloom index is NOT consulted (its bitmaps hash full pk
+        tuples, so a prefix can prove nothing); the IN(<first pk>)
+        pushdown still prunes row groups inside each opened file."""
+        snap = self.snapshot(version)
+        pk = list(snap.pk_fields)
+        if not isinstance(keys, DataFrame):
+            rows = [k if isinstance(k, tuple) else (k,) for k in keys]
+            widths = {len(r) for r in rows}
+            if len(widths) > 1:
+                raise ValueError(f"mixed prefix widths {sorted(widths)}")
+            k = widths.pop() if widths else 1
+            if not 1 <= k <= len(pk):
+                raise ValueError(
+                    f"prefix width {k} outside 1..{len(pk)} (pk {pk})"
+                )
+            keys = self.spark.createDataFrame(
+                rows, T.StructType([snap.schema[c] for c in pk[:k]])
+            )
+        else:
+            k = 0
+            while k < len(pk) and pk[k] in keys.columns:
+                k += 1
+            if k == 0:
+                raise ValueError(
+                    f"keys relation lacks the leading pk column {pk[0]!r}"
+                )
+        prefix = pk[:k]
+        keys = keys.select(
+            *[F.col(c).cast(snap.schema[c].dataType).alias(c) for c in prefix]
+        ).distinct()
+        keyed = keys.withColumn(
+            BUCKET_COL,
+            bucket_expr(pk[0], snap.num_buckets, key_type=snap.schema[pk[0]].dataType),
+        )
+        # one collect yields the bucket set AND the distinct first-pk
+        # values for the scan pushdown - bounded by the prefix set size
+        kdist = keyed.select(BUCKET_COL, pk[0]).distinct().collect()
+        buckets = sorted({int(r[0]) for r in kdist})
+        if not buckets:
+            return self.spark.createDataFrame([], snap.schema)
+        probe = keys
+        if broadcast_keys:
+            probe = F.broadcast(probe)
+        df = self._resolved(snap, buckets).filter(
+            ~F.coalesce(F.col(DELETED_COL), F.lit(False))
+        )
+        pk0_vals = sorted({r[1] for r in kdist if r[1] is not None})
+        if pk0_vals and len(pk0_vals) <= self.PUSHDOWN_MAX_KEYS:
+            df = df.filter(F.col(pk[0]).isin(pk0_vals))
+        return df.join(probe, on=prefix, how="left_semi").select(
+            *[f.name for f in snap.schema.fields]
+        )
+
     # ------------------------------------------------------------------
     # file-level bloom index (Hudi bloom-index / metadata-table analog)
     # ------------------------------------------------------------------

@@ -303,6 +303,8 @@ def apply_changes(
                         spec["path"],
                         group_cols=list(spec["group"]),
                         sums=list(spec.get("sums", [])),
+                        mins=list(spec.get("mins", [])),
+                        maxs=list(spec.get("maxs", [])),
                         pipeline_id=spec.get("pipeline_id", "aggsync"),
                     )
         else:

@@ -276,3 +276,92 @@ def test_read_keys_pushes_key_predicate_to_scan(spark, tmp_table_dir):
         pd.testing.assert_frame_equal(got2, want, check_dtype=False)
     finally:
         LakeTable.PUSHDOWN_MAX_KEYS = orig
+
+
+# ----------------------------------------------------------------------
+# read_prefix: whole-conversation fetches by leading pk fields (round 5)
+# ----------------------------------------------------------------------
+
+
+def test_read_prefix_matches_filtered_read(spark, tmp_table_dir):
+    tbl, oracle = _seeded(spark, tmp_table_dir)
+    convs = sorted(oracle["conv_id"].unique())[:3]
+    got = (
+        tbl.read_prefix(convs)
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    want = (
+        oracle[oracle["conv_id"].isin(convs)]
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    assert list(got["conv_id"]) == list(want["conv_id"])
+    assert list(got["turn_idx"]) == list(want["turn_idx"])
+    assert_table_equals_oracle(
+        tbl.read_prefix(convs), want, payload_cols=["role", "text", "tool", "ts"]
+    )
+    # DataFrame input with extra (ignored) columns
+    keys_df = spark.createDataFrame(
+        [(c, "junk") for c in convs], "conv_id string, noise string"
+    )
+    assert tbl.read_prefix(keys_df).count() == len(want)
+    # full-width prefix degenerates to exact key lookup
+    some = oracle[["conv_id", "turn_idx"]].drop_duplicates().head(5)
+    keys = [tuple(r) for r in some.itertuples(index=False)]
+    assert tbl.read_prefix(keys).count() == len(some)
+    # absent prefix: empty, schema intact
+    empty = tbl.read_prefix(["no_such_conv"])
+    assert empty.count() == 0
+    assert [f.name for f in empty.schema.fields] == [
+        f.name for f in tbl.read().schema.fields
+    ]
+
+
+def test_read_prefix_excludes_deleted_rows(spark, tmp_table_dir):
+    tbl, oracle = _seeded(spark, tmp_table_dir)
+    conv = oracle["conv_id"].iloc[0]
+    victim = int(oracle[oracle["conv_id"] == conv]["turn_idx"].iloc[0])
+    tbl.merge(
+        _batch(spark, [("DELETE", conv, victim, None, None, None, 1, 10**9, "d")]),
+        pipeline_id="del", epoch_id=99,
+    )
+    got = tbl.read_prefix([conv]).toPandas()
+    assert victim not in set(got["turn_idx"])
+    assert len(got) == int((oracle["conv_id"] == conv).sum()) - 1
+
+
+def test_read_prefix_prunes_buckets_and_pushes_predicate(spark, tmp_table_dir, monkeypatch):
+    """One conversation lives in ONE bucket: the resolved read must
+    receive exactly that bucket (never the table), and the IN(conv_id)
+    predicate must reach the parquet scan."""
+    import re
+
+    tbl, oracle = _seeded(spark, tmp_table_dir)
+    tbl.compact()
+    conv = oracle["conv_id"].iloc[0]
+    seen = {}
+    orig = LakeTable._resolved
+
+    def spy(self, snap, buckets, **kw):
+        seen["buckets"] = list(buckets)
+        return orig(self, snap, buckets, **kw)
+
+    monkeypatch.setattr(LakeTable, "_resolved", spy)
+    df = tbl.read_prefix([conv])
+    assert len(seen["buckets"]) == 1
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert any("In(conv_id" in p or "EqualTo(conv_id" in p for p in pushed), plan
+    assert df.count() == int((oracle["conv_id"] == conv).sum())
+
+
+def test_read_prefix_validates_inputs(spark, tmp_table_dir):
+    tbl, _ = _seeded(spark, tmp_table_dir, n_events=200)
+    with pytest.raises(ValueError, match="mixed prefix widths"):
+        tbl.read_prefix([("c1",), ("c2", 0)])
+    with pytest.raises(ValueError, match="outside"):
+        tbl.read_prefix([("c1", 0, "extra")])
+    with pytest.raises(ValueError, match="leading pk column"):
+        tbl.read_prefix(spark.createDataFrame([(0,)], "turn_idx int"))
