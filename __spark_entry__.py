@@ -1509,6 +1509,46 @@ def q_cdc_agg_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 history maintenance (lake/sync.py sync_scd2): replay
+    the flagship binlog in two epochs, syncing a full-history table off
+    the changelog after each - every row-version a key ever held,
+    intervaled by source snapshot version (valid_from/valid_to, Kimball
+    Type 2), maintained incrementally (one changelog read + one
+    bucket-pruned prefix lookup of the changed keys per sync, never a
+    rescan of source or history). The upsert lake the reference ships
+    (demo/test_pipeline.sh:225-286) keeps only current state; this is
+    the warehouse-history complement. Oracle: the two portable replay
+    snapshots (epoch cutoff / full) full-outer-joined on the pk, rows
+    classified into kept/closed/opened with the matching interval
+    bounds - v1 is the create snapshot, so the epochs land at v2/v3."""
+    from pathlib import Path
+
+    from dataingestion_spark.lake.sync import sync_scd2
+    from dataingestion_spark.lake.table import LakeTable
+    from dataingestion_spark.sources.datagen import gen_changes
+
+    tbl = _flagship_table(spark, "cdc_scd2_", merge=False)
+    changes = gen_changes(
+        spark, n_events=10_000, n_convs=80, max_turns=40, seed=42,
+        hash_mode="md5",
+    )
+    hist_path = str(Path(tbl.root).parent / "hist")
+    for epoch, lo, hi in [(0, 0, 7_000), (1, 7_000, 10_000)]:
+        part = changes.filter((F.col("lsn") >= lo * 2) & (F.col("lsn") < hi * 2))
+        tbl.merge(part, pipeline_id="entry", epoch_id=epoch)
+        sync_scd2(tbl, hist_path)
+    return (
+        LakeTable(spark, hist_path)
+        .read()
+        .select(
+            "conv_id", "turn_idx", "role", "text", "tool", "ts",
+            "valid_from_lsn", "valid_to_lsn", "is_current",
+        )
+        .orderBy("conv_id", "turn_idx", "valid_from_lsn")
+    )
+
+
 def q_cdc_read_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whole-conversation serving fetch: read_prefix returns every live
     row whose LEADING pk field matches the requested conversations -
@@ -2380,6 +2420,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_optimize_invariance": q_cdc_optimize_invariance,
         "cdc_agg_view": q_cdc_agg_view,
         "cdc_agg_minmax": q_cdc_agg_minmax,
+        "cdc_scd2_history": q_cdc_scd2_history,
         "cdc_read_prefix": q_cdc_read_prefix,
         "doc_redact_pii": q_doc_redact_pii,
         "media_frame_sample": q_media_frame_sample,
@@ -3560,6 +3601,53 @@ def oracle_sql() -> dict[str, str]:
             " CAST(max(turn_idx) AS INTEGER) AS max_turn_idx FROM ("
             + _replay_sql(n_events=10_000, n_convs=80, max_turns=40, seed=42)
             + ") GROUP BY conv_id"
+        ),
+        "cdc_scd2_history": (
+            # two replay snapshots (epoch cutoff / full) full-outer-joined
+            # on the pk; engine-side update classification is null-safe
+            # struct inequality over ALL payload columns, so the oracle
+            # ORs IS DISTINCT FROM per column. create=v1 -> epochs at v2/v3.
+            "WITH a AS ("
+            + _replay_sql(
+                n_events=10_000, n_convs=80, max_turns=40, seed=42,
+                cutoff_lsn=14_000,
+            )
+            + "), b AS ("
+            + _replay_sql(n_events=10_000, n_convs=80, max_turns=40, seed=42)
+            + """),
+            j AS (
+              SELECT coalesce(a.conv_id, b.conv_id) AS conv_id,
+                     coalesce(a.turn_idx, b.turn_idx) AS turn_idx,
+                     a.role AS a_role, a.text AS a_text,
+                     a.tool AS a_tool, a.ts AS a_ts,
+                     b.role AS b_role, b.text AS b_text,
+                     b.tool AS b_tool, b.ts AS b_ts,
+                     (a.conv_id IS NOT NULL) AS in_a,
+                     (b.conv_id IS NOT NULL) AS in_b
+              FROM a FULL OUTER JOIN b
+                ON a.conv_id = b.conv_id AND a.turn_idx = b.turn_idx
+            ),
+            c AS (
+              SELECT *,
+                     (in_a AND in_b AND (
+                        a_role IS DISTINCT FROM b_role
+                        OR a_text IS DISTINCT FROM b_text
+                        OR a_tool IS DISTINCT FROM b_tool
+                        OR a_ts IS DISTINCT FROM b_ts)) AS changed
+              FROM j
+            )
+            SELECT conv_id, turn_idx, a_role AS role, a_text AS text,
+                   a_tool AS tool, a_ts AS ts,
+                   CAST(2 AS BIGINT) AS valid_from_lsn,
+                   CASE WHEN (NOT in_b) OR changed
+                        THEN CAST(3 AS BIGINT) END AS valid_to_lsn,
+                   (in_b AND NOT changed) AS is_current
+            FROM c WHERE in_a
+            UNION ALL
+            SELECT conv_id, turn_idx, b_role, b_text, b_tool, b_ts,
+                   CAST(3 AS BIGINT), CAST(NULL AS BIGINT), TRUE
+            FROM c WHERE in_b AND ((NOT in_a) OR changed)
+            """
         ),
         "cdc_read_prefix": (
             "SELECT conv_id, turn_idx, role, text, tool, ts FROM ("

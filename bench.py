@@ -62,6 +62,8 @@ BENCH_QUERIES = [
     "doc_dup_clusters",
     "doc_tfidf_search",
     "embedding_quantized_topk",
+    # round-5 features
+    "cdc_scd2_history",
 ]
 
 

@@ -356,6 +356,56 @@ def main(argv: list[str] | None = None) -> int:
         "TIMESTAMP-AS-OF read would resolve to",
     )
 
+    p = sub.add_parser("read")
+    _add_common(p)
+    p.add_argument("--config", required=True)
+    p.add_argument(
+        "--version", default=None,
+        help="time travel: snapshot version number or tag name",
+    )
+    p.add_argument(
+        "--as-of", default=None,
+        help="time travel: ISO timestamp or unix seconds (latest snapshot "
+        "committed at or before it); mutually exclusive with --version",
+    )
+    p.add_argument(
+        "--range", action="append", default=None, metavar="COL:LO:HI",
+        help="closed-range predicate col:lo:hi (either bound may be "
+        "empty); repeatable; drives file-level min/max stats pruning "
+        "before the scan plus an exact residual filter",
+    )
+    p.add_argument(
+        "--columns", default=None, help="comma-separated output columns"
+    )
+    p.add_argument("--limit", type=int, default=1000)
+    p.add_argument(
+        "--output", default=None,
+        help="write the full result as parquet here instead of printing "
+        "JSON rows (the batch-verification export path)",
+    )
+
+    p = sub.add_parser("changelog")
+    _add_common(p)
+    p.add_argument("--config", required=True)
+    p.add_argument("--from-version", type=int, required=True)
+    p.add_argument("--to-version", type=int, default=None)
+    p.add_argument(
+        "--preimages", action="store_true",
+        help="emit update_preimage/update_postimage row pairs for "
+        "updates (Delta CDF convention) instead of one post-image row",
+    )
+    p.add_argument(
+        "--envelope", action="store_true",
+        help="emit Kafka-record-shaped Debezium envelopes (key/value "
+        "JSON) instead of typed diff rows",
+    )
+    p.add_argument("--limit", type=int, default=1000)
+    p.add_argument(
+        "--output", default=None,
+        help="write the full changelog as parquet here instead of "
+        "printing JSON rows",
+    )
+
     p = sub.add_parser("delete")
     _add_common(p)
     p.add_argument("--config", required=True)
@@ -465,6 +515,17 @@ def main(argv: list[str] | None = None) -> int:
     )
     p.add_argument("--pipeline-id", default="sync")
     p.add_argument("--write-mode", default=None, choices=["cow", "mor"])
+
+    p = sub.add_parser("scd2")
+    _add_common(p)
+    p.add_argument("--src-table", required=True, help="source lake table path")
+    p.add_argument(
+        "--out", required=True,
+        help="SCD2 history table path (created on first sync)",
+    )
+    p.add_argument("--pipeline-id", default="scd2sync")
+    p.add_argument("--num-buckets", type=int, default=32)
+    p.add_argument("--write-mode", default="cow", choices=["cow", "mor"])
 
     a = parser.parse_args(argv)
     spark = build_session(
@@ -788,6 +849,80 @@ def main(argv: list[str] | None = None) -> int:
                 ts = _dt.datetime.fromisoformat(a.as_of).timestamp()
             out["as_of_resolves_to"] = tbl.version_as_of(ts)
         print(json.dumps(out))
+    elif a.cmd == "read":
+        cfg = DatasetConfig.load(a.config)
+        tbl = LakeTable(spark, cfg.table_path)
+        version = None
+        if a.version is not None:
+            version = int(a.version) if a.version.isdigit() else a.version
+        as_of = None
+        if a.as_of is not None:
+            try:
+                as_of = float(a.as_of)
+            except ValueError:
+                import datetime as _dt
+
+                as_of = _dt.datetime.fromisoformat(a.as_of)
+
+        def _bound(s: str):
+            # coercion order int -> float -> ISO datetime -> string;
+            # bounds must be the column's own domain for the residual
+            # filter (stats pruning is bound-type-checked library-side)
+            if s == "":
+                return None
+            for cast in (int, float):
+                try:
+                    return cast(s)
+                except ValueError:
+                    pass
+            try:
+                import datetime as _dt
+
+                return _dt.datetime.fromisoformat(s)
+            except ValueError:
+                return s
+
+        where = None
+        if a.range:
+            where = {}
+            for spec in a.range:
+                try:
+                    col, lo, hi = spec.split(":", 2)
+                except ValueError:
+                    raise SystemExit(f"--range wants COL:LO:HI, got {spec!r}")
+                where[col] = (_bound(lo), _bound(hi))
+        df = tbl.read(version=version, where=where, as_of=as_of)
+        if a.columns:
+            df = df.select(
+                *[c.strip() for c in a.columns.split(",") if c.strip()]
+            )
+        if a.output:
+            df.write.mode("overwrite").parquet(a.output)
+            n = spark.read.parquet(a.output).count()
+            print(json.dumps({"rows": n, "output": a.output}))
+        else:
+            for line in df.toJSON().take(a.limit):
+                print(line)
+    elif a.cmd == "changelog":
+        cfg = DatasetConfig.load(a.config)
+        tbl = LakeTable(spark, cfg.table_path)
+        if a.envelope and a.preimages:
+            raise SystemExit("--envelope already carries before/after "
+                             "images; drop --preimages")
+        if a.envelope:
+            df = tbl.read_changes_envelope(a.from_version, a.to_version)
+        else:
+            df = tbl.read_changes(
+                a.from_version, a.to_version,
+                include_preimages=a.preimages,
+            )
+        if a.output:
+            df.write.mode("overwrite").parquet(a.output)
+            n = spark.read.parquet(a.output).count()
+            print(json.dumps({"rows": n, "output": a.output}))
+        else:
+            for line in df.toJSON().take(a.limit):
+                print(line)
     elif a.cmd in ("delete", "update"):
         from pyspark.sql import functions as F
 
@@ -859,6 +994,24 @@ def main(argv: list[str] | None = None) -> int:
                 {
                     "src_version": src.current_version(),
                     "dst_version": dst.current_version(),
+                    "applied": snap is not None,
+                }
+            )
+        )
+    elif a.cmd == "scd2":
+        from dataingestion_spark.lake.sync import sync_scd2
+
+        src = LakeTable(spark, a.src_table)
+        snap = sync_scd2(
+            src, a.out, pipeline_id=a.pipeline_id,
+            num_buckets=a.num_buckets, write_mode=a.write_mode,
+        )
+        dst = LakeTable(spark, a.out)
+        print(
+            json.dumps(
+                {
+                    "src_version": src.current_version(),
+                    "history_version": dst.current_version(),
                     "applied": snap is not None,
                 }
             )

@@ -96,6 +96,13 @@ class DatasetConfig:
     # with that epoch's change volume, and exactly-once rides the view's
     # own source-version epoch markers.
     agg_views: list[dict] = field(default_factory=list)
+    # Continuously maintained SCD Type-2 history (streaming materialized
+    # history): after each applied epoch the history table at this path
+    # is incrementally synced off the changelog (lake/sync.py
+    # sync_scd2) - every committed table state remains sliceable by
+    # source version forever, at per-epoch cost bounded by the epoch's
+    # change volume.
+    scd2_history: str | None = None
 
     def to_json(self) -> str:
         return json.dumps(asdict(self), indent=2)

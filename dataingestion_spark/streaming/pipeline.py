@@ -307,6 +307,11 @@ def apply_changes(
                         maxs=list(spec.get("maxs", [])),
                         pipeline_id=spec.get("pipeline_id", "aggsync"),
                     )
+                hist_path = getattr(config, "scd2_history", None)
+                if hist_path:
+                    from dataingestion_spark.lake.sync import sync_scd2
+
+                    sync_scd2(table, hist_path)
         else:
             snap = table.append(
                 df.drop("op"),

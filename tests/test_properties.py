@@ -386,3 +386,62 @@ def test_read_in_equals_pandas_filter_for_any_stream(
         map(tuple, expected[expected.text.isin(values)][["conv_id", "turn_idx"]].values)
     )
     assert got == want
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(events_strategy, st.integers(min_value=1, max_value=3), st.booleans())
+def test_scd2_time_travel_equivalence_for_any_stream(
+    spark, tmp_path_factory, raw, cuts, mor
+):
+    """For ANY event stream, ANY contiguous epoch split, and either
+    write mode, syncing an SCD2 history after every epoch yields a
+    history whose slice at EACH synced source version equals
+    read(version=v) - the history is a faithful materialization of the
+    whole snapshot chain, not just the head."""
+    from dataingestion_spark.lake.sync import sync_scd2
+
+    df = _to_df(spark, raw)
+    tmp = tmp_path_factory.mktemp("scd2prop")
+    tbl = LakeTable.create(
+        spark, tmp / "t", TRANSCRIPT_SCHEMA,
+        pk_fields=["conv_id", "turn_idx"], order_fields=["lsn", "ts"],
+        num_buckets=2,
+    )
+    hist_path = str(tmp / "hist")
+    hi = max(r[2] for r in raw) + 1
+    step = hi // cuts + 1
+    synced = []
+    for e in range(cuts):
+        part = df.filter(
+            (F.col("lsn") >= e * step) & (F.col("lsn") < (e + 1) * step)
+        )
+        tbl.merge(
+            part, pipeline_id="p", epoch_id=e,
+            write_mode="mor" if mor else "cow",
+        )
+        sync_scd2(tbl, hist_path)
+        synced.append(tbl.current_version())
+
+    hist = LakeTable(spark, hist_path)
+    cols = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+
+    def rows(d):
+        return sorted(
+            tuple(r[c] for c in cols) for r in d.select(*cols).collect()
+        )
+
+    for v in synced:
+        sliced = hist.read().filter(
+            (F.col("valid_from_lsn") <= v)
+            & (
+                F.col("valid_to_lsn").isNull()
+                | (F.col("valid_to_lsn") > v)
+            )
+        )
+        assert rows(sliced) == rows(tbl.read(version=v))
+    # exactly the head's rows are flagged current
+    assert rows(hist.read().filter(F.col("is_current"))) == rows(tbl.read())
