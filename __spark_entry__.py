@@ -405,6 +405,87 @@ def q_cdc_canal(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("op", "id", "eid", "k", "ts_ms", "lsn", "source_file")
 
 
+def q_cdc_sqlserver(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5: SQL Server CDC change-table shape (the public
+    fn_cdc_get_all_changes output: __$start_lsn/__$seqval 20-hex-digit
+    LSNs, __$operation 1/2/3/4, natively-typed captured columns) ->
+    canonical change relation. 'view' events are emitted as operation 3
+    (update before-image) and must be filtered; the lsn folds the
+    rebased commit LSN with the within-transaction seqval offset."""
+    from dataingestion_spark.sources.cdc_formats import parse_sqlserver_cdc
+
+    ev = _read(spark, sf_dir, "events")
+    base = 0x2A0000000000
+    start = F.lit(base) + ev.event_id.cast("long") * 2
+    op_code = (
+        F.when(ev.event_type == "signup", F.lit(2))
+        .when(ev.event_type == "error", F.lit(1))
+        .when(ev.event_type == "view", F.lit(3))
+        .otherwise(F.lit(4))
+    )
+    env = ev.select(
+        F.format_string("0x%020X", start).alias("__$start_lsn"),
+        F.format_string(
+            "0x%020X", start + F.pmod(ev.user_id, F.lit(3)).cast("long")
+        ).alias("__$seqval"),
+        op_code.alias("__$operation"),
+        F.lit("0x03").alias("__$update_mask"),
+        ev.user_id.cast("long").alias("id"),
+        F.get_json_object(F.col("props"), "$.k").cast("int").alias("k"),
+        ev.ts.cast("timestamp").alias("tran_end_time"),
+    )
+    return parse_sqlserver_cdc(
+        env,
+        payload_fields=[("k", "int")],
+        key_fields=[("id", "long")],
+        lsn_base=f"0x{base:020X}",
+        capture_instance="dbo_events",
+    ).select("op", "id", "k", "ts_ms", "lsn", "source_file")
+
+
+def q_cdc_cockroach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5: CockroachDB changefeed wrapped envelope (public CREATE
+    CHANGEFEED JSON: after-null deletes, positional key array, HLC
+    "<wall-nanos>.<logical>" commit timestamps) -> canonical change
+    relation. Walls are realistic 19-digit nanos rebased against the
+    changefeed-cursor hlc_base; the logical counter breaks ties."""
+    from dataingestion_spark.sources.cdc_formats import (
+        parse_cockroach_changefeed,
+    )
+
+    ev = _read(spark, sf_dir, "events")
+    b = 1_700_000_000_000_000_000
+    wall = F.lit(b) + ev.event_id.cast("long") * 1000
+    logical = F.pmod(ev.user_id, F.lit(1024)).cast("long")
+    upsert = F.format_string(
+        '{"after": {"id": %d, "k": %s}, "key": [%d], '
+        '"updated": "%d.%010d"}',
+        ev.user_id.cast("long"),
+        F.get_json_object(F.col("props"), "$.k"),
+        ev.user_id.cast("long"),
+        wall,
+        logical,
+    )
+    delete = F.format_string(
+        '{"after": null, "key": [%d], "updated": "%d.%010d"}',
+        ev.user_id.cast("long"),
+        wall,
+        logical,
+    )
+    env = ev.select(
+        F.when(ev.event_type == "error", delete).otherwise(upsert).alias(
+            "value"
+        )
+    )
+    return parse_cockroach_changefeed(
+        env,
+        payload_fields=[("k", "int")],
+        key_fields=[("id", "long")],
+        hlc_base=str(b),
+        topic="defaultdb.public.events",
+    ).select("op", "id", "k", "ts_ms", "lsn", "source_file")
+
+
 def q_cdc_autodetect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P5: wire-format auto-detection (detect_cdc_format): two UNLABELED
     change streams - even event_ids arriving as GoldenGate JSON values,
@@ -2374,6 +2455,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_dynamodb": q_cdc_dynamodb,
         "cdc_goldengate": q_cdc_goldengate,
         "cdc_canal": q_cdc_canal,
+        "cdc_sqlserver": q_cdc_sqlserver,
+        "cdc_cockroach": q_cdc_cockroach,
         "cdc_autodetect": q_cdc_autodetect,
         "cdc_mongo_change": q_cdc_mongo_change,
         "cdc_aerospike": q_cdc_aerospike,
@@ -2915,6 +2998,33 @@ def oracle_sql() -> dict[str, str]:
                    epoch_ms(date_trunc('second', ts)) AS ts_ms,
                    CAST(event_id AS BIGINT) * 100 AS lsn,
                    'SHOP.EVENTS' AS source_file
+            FROM events
+        """,
+        "cdc_sqlserver": """
+            SELECT CASE WHEN event_type = 'signup' THEN 'INSERT'
+                        WHEN event_type = 'error' THEN 'DELETE'
+                        ELSE 'UPDATE' END AS op,
+                   CAST(user_id AS BIGINT) AS id,
+                   CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+                   epoch_ms(ts) AS ts_ms,
+                   CAST(event_id AS BIGINT) * 2 * 65536
+                     + CAST(user_id % 3 AS BIGINT) AS lsn,
+                   'dbo_events' AS source_file
+            FROM events
+            WHERE event_type <> 'view'
+        """,
+        "cdc_cockroach": """
+            SELECT CASE WHEN event_type = 'error' THEN 'DELETE'
+                        ELSE 'UPSERT' END AS op,
+                   CAST(user_id AS BIGINT) AS id,
+                   CASE WHEN event_type = 'error' THEN NULL
+                        ELSE CAST(json_extract_string(props, '$.k') AS INTEGER)
+                   END AS k,
+                   (1700000000000000000
+                      + CAST(event_id AS BIGINT) * 1000) // 1000000 AS ts_ms,
+                   CAST(event_id AS BIGINT) * 1000 * 1024
+                     + CAST(user_id % 1024 AS BIGINT) AS lsn,
+                   'defaultdb.public.events' AS source_file
             FROM events
         """,
         "cdc_autodetect": """

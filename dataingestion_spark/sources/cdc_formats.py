@@ -21,6 +21,8 @@ standard wire formats those bespoke pipelines consume upstream:
   * DynamoDB Streams records (typed attribute encoding)
   * Oracle GoldenGate Big Data JSON formatter output
   * Alibaba Canal FlatMessage JSON (multi-row envelopes)
+  * SQL Server CDC change tables (fn_cdc_get_all_changes shape)
+  * CockroachDB changefeed wrapped envelopes (HLC-ordered)
 
 Every adapter is a pure ``DataFrame -> DataFrame`` transform built from
 ``get_json_object`` / ``from_json`` column expressions (JVM-side, codegen'd
@@ -764,6 +766,251 @@ def parse_canal(
     )
 
 
+# SQL Server LSNs are 10-byte binaries, rendered as 20 hex digits.
+# Parsed exactly in two 40-bit limbs (each fits a long via conv base
+# 16); the 80-bit value lives in DECIMAL(25,0) for the rebase
+# arithmetic.  Guards below follow the DynamoDB-adapter discipline: a
+# mis-based ordinal fails FAST, never silently quarantines the stream.
+_MSSQL_LSN_HEX = 20
+_MSSQL_TXN_BITS = 47   # rebased commit ordinal budget
+_MSSQL_SEQ_BITS = 16   # within-transaction seqval offset budget
+
+
+def _mssql_hex_limbs(col: Column) -> tuple[Column, Column]:
+    """Normalized 20-hex-digit LSN string -> (hi 40 bits, lo 40 bits)
+    as longs; malformed input yields (NULL, NULL)."""
+    clean = F.lpad(
+        F.regexp_replace(F.upper(col), "^0X", ""), _MSSQL_LSN_HEX, "0"
+    )
+    ok = clean.rlike(r"^[0-9A-F]{20}$")
+    hi = F.when(ok, F.conv(F.substring(clean, 1, 10), 16, 10).cast("long"))
+    lo = F.when(ok, F.conv(F.substring(clean, 11, 10), 16, 10).cast("long"))
+    return hi, lo
+
+
+def _mssql_decimal(hi: Column, lo: Column) -> Column:
+    """(hi, lo) 40-bit limbs -> exact DECIMAL(25,0) value."""
+    return (
+        hi.cast("decimal(25,0)") * F.lit(1 << 40).cast("decimal(25,0)")
+        + lo.cast("decimal(25,0)")
+    )
+
+
+def parse_sqlserver_cdc(
+    df: DataFrame,
+    payload_fields: PayloadFields,
+    key_fields: PayloadFields,
+    lsn_base: str = "0",
+    capture_instance: str = "sqlserver",
+    time_col: str | None = "tran_end_time",
+) -> DataFrame:
+    """SQL Server CDC change table (the public shape
+    ``cdc.fn_cdc_get_all_changes_<capture_instance>`` returns, Microsoft-
+    documented) -> canonical change relation. This is the third
+    commercial-database family next to GoldenGate and Debezium - the
+    wire shape every SQL-Server-sourced pipeline starts from.
+
+    Envelope columns per change row:
+
+      __$start_lsn    commit LSN of the transaction, binary(10) rendered
+                      as 20 hex digits (with or without ``0x``) - shared
+                      by every row of one transaction
+      __$seqval       log sequence value ordering rows WITHIN the
+                      transaction, same rendering
+      __$operation    1 = delete, 2 = insert, 3 = update (before image),
+                      4 = update (after image)
+      __$update_mask  changed-column bitmap (not needed for LWW)
+      <columns>       the captured source columns, natively typed; a
+                      delete row carries the full deleted image
+      tran_end_time   commit time when the export joins
+                      ``cdc.lsn_time_mapping`` (optional; ts_ms is NULL
+                      without it - LWW orders by lsn alone)
+
+    Mapping choices:
+      * operation 3 rows (update before-images) are filtered: LWW wants
+        the after image only, same posture as Debezium's ``before``.
+      * lsn folds (transaction, row-in-transaction): the 80-bit
+        ``__$start_lsn`` is parsed EXACTLY in two 40-bit limbs and
+        rebased against ``lsn_base`` (the capture instance's
+        ``sys.fn_cdc_get_min_lsn`` at subscription time, hex) into a
+        47-bit commit ordinal; ``__$seqval - __$start_lsn`` (exact, same
+        limbs; log records of one transaction are contiguous so the
+        offset is small) must fit 16 bits; ``lsn = txn_off * 2^16 +
+        seq_off``. Either budget overflowing fails FAST via
+        ``raise_error`` with a re-base instruction - real LSNs silently
+        NULLing out (the round-4 DynamoDB bug class) cannot happen.
+      * malformed hex degrades to NULL row-wise (quarantine-gate path).
+    """
+    base = str(lsn_base).strip().upper().removeprefix("0X")
+    if not base or len(base) > _MSSQL_LSN_HEX or any(
+        c not in "0123456789ABCDEF" for c in base
+    ):
+        raise ValueError(
+            f"lsn_base must be <= {_MSSQL_LSN_HEX} hex digits "
+            f"(a SQL Server LSN), got {lsn_base!r}"
+        )
+    base_val = int(base, 16)
+    op_raw = F.col("`__$operation`").try_cast("int")
+    op = (
+        F.when(op_raw == 1, "DELETE")
+        .when(op_raw == 2, "INSERT")
+        .when(op_raw == 4, "UPDATE")
+    )
+    s_hi, s_lo = _mssql_hex_limbs(F.col("`__$start_lsn`"))
+    q_hi, q_lo = _mssql_hex_limbs(F.col("`__$seqval`"))
+    start = _mssql_decimal(s_hi, s_lo)
+    seqv = _mssql_decimal(q_hi, q_lo)
+    txn_off = start - F.lit(base_val).cast("decimal(25,0)")
+    seq_off = seqv - start
+    txn_ok = (txn_off >= 0) & (
+        txn_off < F.lit(1 << _MSSQL_TXN_BITS).cast("decimal(25,0)")
+    )
+    seq_ok = (seq_off >= 0) & (
+        seq_off < F.lit(1 << _MSSQL_SEQ_BITS).cast("decimal(25,0)")
+    )
+    lsn = (
+        F.when(s_hi.isNull() | q_hi.isNull(), F.lit(None).cast("long"))
+        .when(
+            txn_ok & seq_ok,
+            txn_off.cast("long") * F.lit(1 << _MSSQL_SEQ_BITS)
+            + seq_off.cast("long"),
+        )
+        .otherwise(
+            F.raise_error(
+                F.format_string(
+                    "sqlserver __$start_lsn %s / __$seqval %s does not "
+                    "map into the 64-bit lsn fold relative to lsn_base "
+                    + (base or "0")
+                    + "; re-subscribe with the capture instance's "
+                    "min_lsn as lsn_base",
+                    F.col("`__$start_lsn`"),
+                    F.col("`__$seqval`"),
+                )
+            )
+        )
+    )
+    ts_ms = (
+        F.unix_millis(F.col(time_col).cast("timestamp"))
+        if time_col and time_col in df.columns
+        else F.lit(None).cast("long")
+    )
+    return df.where(op_raw.isin(1, 2, 4)).select(
+        op.alias("op"),
+        *[F.col(name).try_cast(t).alias(name) for name, t in key_fields],
+        *[F.col(name).try_cast(t).alias(name) for name, t in payload_fields],
+        ts_ms.alias("ts_ms"),
+        lsn.alias("lsn"),
+        F.lit(capture_instance).alias("source_file"),
+    )
+
+
+# CockroachDB HLC: "<wall-nanos>.<logical-10-digits>".  The fold below
+# reserves 10 bits for the logical counter, so the rebased wall budget
+# is 2^53 ns ~ 104 days of changefeed - past that the loud guard asks
+# for a re-subscription with a fresh hlc_base.
+_CRDB_LOGICAL_BITS = 10
+_CRDB_WALL_BITS = 53
+
+
+def parse_cockroach_changefeed(
+    df: DataFrame,
+    payload_fields: PayloadFields,
+    key_fields: PayloadFields,
+    value_col: str = "value",
+    hlc_base: str = "0",
+    topic: str = "cockroachdb",
+) -> DataFrame:
+    """CockroachDB changefeed wrapped envelope (the public
+    ``CREATE CHANGEFEED ... WITH updated, diff`` Kafka JSON output) ->
+    canonical change relation. CockroachDB is the NewSQL family's
+    representative: no binlog position exists - ordering rides the HLC
+    (hybrid logical clock) resolved timestamp.
+
+    Each record is one JSON object:
+
+      after     full post-image row object; JSON null for a delete
+      before    prior image (``diff`` option; not needed for LWW)
+      key       ARRAY of primary-key values in index order
+      updated   HLC commit timestamp "<wall>.<logical>" - wall is epoch
+                NANOSECONDS (19 digits today), logical a 10-digit
+                zero-padded counter breaking same-nanosecond ties
+
+    Mapping choices:
+      * op: CockroachDB's wrapped envelope does not distinguish insert
+        from update - ``after`` present is an UPSERT (the merge treats
+        any non-DELETE winner as an upsert anyway, lake/table.py step
+        5), ``after: null`` is a DELETE. Key columns resolve from the
+        positional ``key`` array (present on deletes too), payload from
+        ``after`` by name.
+      * lsn: ``(wall - hlc_base) * 2^10 + logical`` - HLC order
+        preserved exactly. ``hlc_base`` is the changefeed's start/resume
+        cursor (nanoseconds); the rebased wall must fit 53 bits (~104
+        days of feed) and the logical counter 10 bits, both enforced by
+        ``raise_error`` - a changefeed outliving its base fails FAST
+        with a re-subscribe instruction instead of silently
+        dead-lettering (the round-4 DynamoDB bug class).
+      * ts_ms = wall / 10^6 (absolute, not rebased).
+    """
+    base = str(hlc_base).strip()
+    if not base.isdigit() or len(base) > 19:
+        raise ValueError(
+            f"hlc_base must be a decimal epoch-nanoseconds string "
+            f"(<= 19 digits), got {hlc_base!r}"
+        )
+    base_val = int(base)
+    v = F.col(value_col)
+    after = F.get_json_object(v, "$.after")
+    updated = F.get_json_object(v, "$.updated")
+    # F.get, not getItem: a malformed `updated` with no "." yields a
+    # 1-element split and must degrade to NULL (quarantine path), not
+    # throw INVALID_ARRAY_INDEX under ANSI mode.
+    wall = F.get(F.split(updated, r"\."), 0).try_cast("long")
+    logical = F.get(F.split(updated, r"\."), 1).try_cast("long")
+    wall_off = wall - F.lit(base_val)
+    ok = (
+        (wall_off >= 0)
+        & (wall_off < F.lit(1 << _CRDB_WALL_BITS))
+        & (logical >= 0)
+        & (logical < F.lit(1 << _CRDB_LOGICAL_BITS))
+    )
+    lsn = (
+        F.when(wall.isNull() | logical.isNull(), F.lit(None).cast("long"))
+        .when(ok, wall_off * F.lit(1 << _CRDB_LOGICAL_BITS) + logical)
+        .otherwise(
+            F.raise_error(
+                F.format_string(
+                    "cockroach HLC %s does not map into the 64-bit lsn "
+                    "fold relative to hlc_base "
+                    + (base or "0")
+                    + "; re-subscribe with the changefeed cursor as "
+                    "hlc_base",
+                    updated,
+                )
+            )
+        )
+    )
+    op = F.when(after.isNull(), "DELETE").otherwise("UPSERT")
+    return df.where(updated.isNotNull()).select(
+        op.alias("op"),
+        *[
+            F.get_json_object(v, f"$.key[{i}]").try_cast(t).alias(name)
+            for i, (name, t) in enumerate(key_fields)
+        ],
+        *[
+            F.get_json_object(after, f"$.{name}").try_cast(t).alias(name)
+            for name, t in payload_fields
+        ],
+        # decimal, not double: a 19-digit nanos wall exceeds the 53-bit
+        # double mantissa, so wall/1e6 through float can be off by 1 ms
+        # at exact-millisecond boundaries.
+        F.floor(wall.cast("decimal(25,0)") / F.lit(1_000_000))
+        .cast("long")
+        .alias("ts_ms"),
+        lsn.alias("lsn"),
+        F.lit(topic).alias("source_file"),
+    )
+
+
 CDC_PARSERS = {
     "mysql-binlog": parse_mysql_binlog,
     "mongo-change-stream": parse_mongo_change_stream,
@@ -775,6 +1022,8 @@ CDC_PARSERS = {
     "dynamodb-stream": parse_dynamodb_stream,
     "goldengate": parse_goldengate,
     "canal": parse_canal,
+    "sqlserver-cdc": parse_sqlserver_cdc,
+    "cockroach-changefeed": parse_cockroach_changefeed,
 }
 
 
@@ -800,6 +1049,7 @@ _COLUMN_SIGNATURES: list[tuple[str, frozenset[str]]] = [
     ("clickstream", frozenset({"event_type", "page_url", "properties"})),
     ("maxwell", frozenset({"database", "table", "type", "position", "data"})),
     ("dynamodb-stream", frozenset({"eventName", "dynamodb"})),
+    ("sqlserver-cdc", frozenset({"__$start_lsn", "__$operation"})),
 ]
 
 # JSON-key signatures for the SINGLE-VALUE-COLUMN family (one JSON
@@ -810,6 +1060,7 @@ _JSON_SIGNATURES: list[tuple[str, frozenset[str]]] = [
     ("goldengate", frozenset({"op_type", "pos"})),
     ("wal2json", frozenset({"action", "schema"})),
     ("canal", frozenset({"isDdl", "es"})),
+    ("cockroach-changefeed", frozenset({"after", "updated"})),
 ]
 
 

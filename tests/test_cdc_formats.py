@@ -902,3 +902,279 @@ def test_detect_then_parse_roundtrip(spark):
         df, payload_fields=[("v", "string")], key_fields=[("id", "long")]
     ).collect()
     assert auto == explicit
+
+
+def _mssql_hex(v: int) -> str:
+    return f"0x{v:020X}"
+
+
+def test_sqlserver_cdc_parse(spark):
+    """SQL Server CDC change-table shape (fn_cdc_get_all_changes):
+    operation 1/2/4 map to DELETE/INSERT/UPDATE, operation 3 (update
+    before-image) is filtered, natively-typed captured columns pass
+    through, and the lsn folds (rebased __$start_lsn, __$seqval -
+    __$start_lsn) exactly."""
+    from dataingestion_spark.sources.cdc_formats import parse_sqlserver_cdc
+
+    base = 0x0000002A000001D80000
+    t1, t2 = base + 1, base + 0x10000  # two transactions
+    rows = [
+        # txn 1: insert then same-transaction update (seqval orders them)
+        (_mssql_hex(t1), _mssql_hex(t1), 2, "0x03", 1, "a", 10,
+         "2024-06-28 09:00:00"),
+        (_mssql_hex(t1), _mssql_hex(t1 + 1), 3, "0x02", 1, "a", 10,
+         "2024-06-28 09:00:00"),  # before image: dropped
+        (_mssql_hex(t1), _mssql_hex(t1 + 1), 4, "0x02", 1, "b", 11,
+         "2024-06-28 09:00:00"),
+        # txn 2: delete carries the full deleted row image
+        (_mssql_hex(t2), _mssql_hex(t2), 1, "0x03", 1, "b", 11,
+         "2024-06-28 09:00:05"),
+    ]
+    schema = T.StructType(
+        [
+            T.StructField("__$start_lsn", T.StringType()),
+            T.StructField("__$seqval", T.StringType()),
+            T.StructField("__$operation", T.IntegerType()),
+            T.StructField("__$update_mask", T.StringType()),
+            T.StructField("id", T.LongType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("score", T.IntegerType()),
+            T.StructField("tran_end_time", T.StringType()),
+        ]
+    )
+    df = spark.createDataFrame(rows, schema)
+    out = parse_sqlserver_cdc(
+        df,
+        payload_fields=[("name", "string"), ("score", "int")],
+        key_fields=[("id", "long")],
+        lsn_base=_mssql_hex(base),
+        capture_instance="dbo_emp",
+    ).orderBy("lsn")
+    got = out.collect()
+    assert [r["op"] for r in got] == ["INSERT", "UPDATE", "DELETE"]
+    assert [r["lsn"] for r in got] == [
+        1 * 65536 + 0,      # txn_off 1, first log record of the txn
+        1 * 65536 + 1,      # same txn, seqval one log record later
+        0x10000 * 65536 + 0,
+    ]
+    assert got[1]["name"] == "b" and got[1]["score"] == 11
+    assert got[2]["name"] == "b"  # delete keeps the full row image
+    assert got[0]["ts_ms"] == 1719565200000
+    assert got[2]["ts_ms"] == 1719565205000
+    assert got[0]["source_file"] == "dbo_emp"
+
+
+def test_sqlserver_lsn_guards(spark):
+    """A start_lsn outside the 47-bit rebased budget (wrong lsn_base)
+    fails FAST; malformed hex degrades to NULL lsn row-wise; a
+    bad lsn_base raises at call time."""
+    from pyspark.errors import SparkRuntimeException
+
+    from dataingestion_spark.sources.cdc_formats import parse_sqlserver_cdc
+
+    schema = (
+        "`__$start_lsn` string, `__$seqval` string, "
+        "`__$operation` int, id long"
+    )
+    far = spark.createDataFrame(
+        [(_mssql_hex(1 << 50), _mssql_hex(1 << 50), 2, 1)], schema
+    )
+    with pytest.raises(SparkRuntimeException, match="lsn_base"):
+        parse_sqlserver_cdc(
+            far, payload_fields=[], key_fields=[("id", "long")],
+            lsn_base="0",
+        ).collect()
+
+    junk = spark.createDataFrame([("zz", "zz", 2, 1)], schema)
+    got = parse_sqlserver_cdc(
+        junk, payload_fields=[], key_fields=[("id", "long")]
+    ).collect()
+    assert got[0]["lsn"] is None  # quarantine-gate path
+
+    with pytest.raises(ValueError, match="hex"):
+        parse_sqlserver_cdc(
+            junk, payload_fields=[], key_fields=[("id", "long")],
+            lsn_base="not-hex!",
+        )
+
+
+def test_cockroach_changefeed_parse(spark):
+    """CockroachDB wrapped changefeed envelope: after-null deletes,
+    positional key array, HLC "<wall-nanos>.<logical>" rebased into the
+    lsn fold with the logical counter breaking same-nanosecond ties."""
+    from dataingestion_spark.sources.cdc_formats import (
+        parse_cockroach_changefeed,
+    )
+
+    b = 1_700_000_000_000_000_000
+    rows = [
+        ('{"after": {"id": 1, "name": "a", "score": 10}, "key": [1], '
+         f'"updated": "{b + 1000}.0000000000"}}',),
+        # same wall nanosecond, higher logical counter -> later
+        ('{"after": {"id": 1, "name": "b", "score": 11}, "key": [1], '
+         f'"updated": "{b + 1000}.0000000003"}}',),
+        ('{"after": null, "before": {"id": 1}, "key": [1], '
+         f'"updated": "{b + 2000}.0000000000"}}',),
+    ]
+    df = spark.createDataFrame(rows, "value string")
+    out = parse_cockroach_changefeed(
+        df,
+        payload_fields=[("name", "string"), ("score", "int")],
+        key_fields=[("id", "long")],
+        hlc_base=str(b),
+        topic="defaultdb.public.emp",
+    ).orderBy("lsn")
+    got = out.collect()
+    assert [r["op"] for r in got] == ["UPSERT", "UPSERT", "DELETE"]
+    assert [r["id"] for r in got] == [1, 1, 1]  # key array covers deletes
+    assert [r["lsn"] for r in got] == [
+        1000 * 1024, 1000 * 1024 + 3, 2000 * 1024,
+    ]
+    assert got[1]["name"] == "b" and got[2]["name"] is None
+    assert got[0]["ts_ms"] == (b + 1000) // 1_000_000
+    assert got[0]["source_file"] == "defaultdb.public.emp"
+
+
+def test_cockroach_hlc_guards(spark):
+    """A wall timestamp before hlc_base (or past the 53-bit window)
+    fails FAST with a re-subscribe instruction; an unparsable updated
+    field degrades to NULL lsn row-wise."""
+    from pyspark.errors import SparkRuntimeException
+
+    from dataingestion_spark.sources.cdc_formats import (
+        parse_cockroach_changefeed,
+    )
+
+    before_base = spark.createDataFrame(
+        [('{"after": {"id": 1}, "key": [1], '
+          '"updated": "100.0000000000"}',)],
+        "value string",
+    )
+    with pytest.raises(SparkRuntimeException, match="hlc_base"):
+        parse_cockroach_changefeed(
+            before_base, payload_fields=[], key_fields=[("id", "long")],
+            hlc_base="1700000000000000000",
+        ).collect()
+
+    junk = spark.createDataFrame(
+        [('{"after": {"id": 1}, "key": [1], "updated": "garbage"}',)],
+        "value string",
+    )
+    got = parse_cockroach_changefeed(
+        junk, payload_fields=[], key_fields=[("id", "long")]
+    ).collect()
+    assert got[0]["lsn"] is None
+
+    with pytest.raises(ValueError, match="nanoseconds"):
+        parse_cockroach_changefeed(
+            junk, payload_fields=[], key_fields=[("id", "long")],
+            hlc_base="0x10",
+        )
+
+
+def test_detect_sqlserver_and_cockroach(spark):
+    """Round-11/12 formats join detection: SQL Server CDC by column
+    shape (the __$ envelope columns), CockroachDB by sampled JSON keys -
+    and Debezium (which also carries `after`) still resolves uniquely."""
+    from dataingestion_spark.sources.cdc_formats import detect_cdc_format
+
+    mssql = spark.createDataFrame(
+        [],
+        "`__$start_lsn` string, `__$seqval` string, `__$operation` int, "
+        "`__$update_mask` string, id long",
+    )
+    assert detect_cdc_format(mssql) == "sqlserver-cdc"
+
+    crdb = spark.createDataFrame(
+        [('{"after": {"id": 1}, "key": [1], '
+          '"updated": "1700000000000000000.0000000000"}',)] * 2,
+        "value string",
+    )
+    assert detect_cdc_format(crdb) == "cockroach-changefeed"
+
+    dbz = spark.createDataFrame(
+        [('{"before": null, "after": {"id": 1}, '
+          '"source": {"lsn": 1}, "op": "c", "ts_ms": 1}',)],
+        "value string",
+    )
+    assert detect_cdc_format(dbz) == "debezium"
+
+
+def test_sqlserver_cockroach_dispatch_and_merge(spark, tmp_path):
+    """Both new adapters compose with the standard pipeline: parse_cdc
+    dispatch -> canonical relation -> keyed LWW merge -> final state."""
+    from dataingestion_spark.sources.cdc_formats import parse_cdc
+
+    base = 0x01
+    rows = [
+        (_mssql_hex(base + 1), _mssql_hex(base + 1), 2, 1, "a"),
+        (_mssql_hex(base + 2), _mssql_hex(base + 2), 4, 1, "b"),
+        (_mssql_hex(base + 3), _mssql_hex(base + 3), 2, 2, "c"),
+        (_mssql_hex(base + 4), _mssql_hex(base + 4), 1, 2, "c"),
+    ]
+    mssql = spark.createDataFrame(
+        rows,
+        "`__$start_lsn` string, `__$seqval` string, `__$operation` int, "
+        "id long, name string",
+    )
+    canon = parse_cdc(
+        mssql, "sqlserver-cdc",
+        payload_fields=[("name", "string")], key_fields=[("id", "long")],
+        lsn_base=_mssql_hex(base),
+    )
+    tbl = LakeTable.create(
+        spark,
+        str(tmp_path / "mssql_tbl"),
+        T.StructType(
+            [
+                T.StructField("id", T.LongType(), False),
+                T.StructField("name", T.StringType()),
+            ]
+        ),
+        pk_fields=["id"],
+        order_fields=["lsn"],
+        num_buckets=4,
+    )
+    tbl.merge(
+        canon.withColumn("ts_ms", F.lit(0).cast("long"))
+        .withColumn("source_file", F.lit("t")),
+        pipeline_id="p", epoch_id=0,
+    )
+    final = {r["id"]: r["name"] for r in tbl.read().collect()}
+    assert final == {1: "b"}  # id 2 inserted then deleted
+
+    b = 1_700_000_000_000_000_000
+    crdb_rows = [
+        ('{"after": {"id": 1, "name": "x"}, "key": [1], '
+         f'"updated": "{b + 1}.0000000000"}}',),
+        ('{"after": {"id": 1, "name": "y"}, "key": [1], '
+         f'"updated": "{b + 2}.0000000000"}}',),
+        ('{"after": null, "key": [2], '
+         f'"updated": "{b + 3}.0000000000"}}',),
+    ]
+    crdb = spark.createDataFrame(crdb_rows, "value string")
+    canon2 = parse_cdc(
+        crdb, "cockroach-changefeed",
+        payload_fields=[("name", "string")], key_fields=[("id", "long")],
+        hlc_base=str(b),
+    )
+    tbl2 = LakeTable.create(
+        spark,
+        str(tmp_path / "crdb_tbl"),
+        T.StructType(
+            [
+                T.StructField("id", T.LongType(), False),
+                T.StructField("name", T.StringType()),
+            ]
+        ),
+        pk_fields=["id"],
+        order_fields=["lsn"],
+        num_buckets=4,
+    )
+    tbl2.merge(
+        canon2.withColumn("ts_ms", F.lit(0).cast("long"))
+        .withColumn("source_file", F.lit("t")),
+        pipeline_id="p", epoch_id=0,
+    )
+    final2 = {r["id"]: r["name"] for r in tbl2.read().collect()}
+    assert final2 == {1: "y"}
