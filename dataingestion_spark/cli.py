@@ -16,6 +16,7 @@ Subcommands:
   compact    lake maintenance (small files + tombstone purge)
   vacuum     lake maintenance (snapshot expiry + orphan-file removal)
   sync       incremental table-to-table hop off the changelog (exactly-once)
+  detect     identify an unlabeled change stream's wire format (setup-time)
 """
 
 from __future__ import annotations
@@ -516,6 +517,22 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--pipeline-id", default="sync")
     p.add_argument("--write-mode", default=None, choices=["cow", "mor"])
 
+    p = sub.add_parser("detect")
+    _add_common(p)
+    p.add_argument(
+        "--source", required=True,
+        help="path of a STATIC sample of the change stream (detection "
+        "is a setup-time decision; pin the result in the dataset "
+        "config, don't re-detect per batch)",
+    )
+    p.add_argument(
+        "--source-format", default="parquet", choices=["parquet", "text"],
+        help="parquet for structured envelopes; text for one-JSON-"
+        "object-per-line Kafka value dumps",
+    )
+    p.add_argument("--value-col", default="value")
+    p.add_argument("--sample-rows", type=int, default=16)
+
     p = sub.add_parser("scd2")
     _add_common(p)
     p.add_argument("--src-table", required=True, help="source lake table path")
@@ -998,6 +1015,24 @@ def main(argv: list[str] | None = None) -> int:
                 }
             )
         )
+    elif a.cmd == "detect":
+        from dataingestion_spark.sources.cdc_formats import detect_cdc_format
+
+        sample = (
+            spark.read.parquet(a.source)
+            if a.source_format == "parquet"
+            else spark.read.text(a.source)
+        )
+        try:
+            fmt = detect_cdc_format(
+                sample, value_col=a.value_col, sample_rows=a.sample_rows
+            )
+        except ValueError as e:
+            # refusal is the contract: a wrong adapter is a correctness
+            # bug, so ambiguity must stop the subscription setup
+            print(json.dumps({"detected": None, "error": str(e)}))
+            return 1
+        print(json.dumps({"detected": fmt}))
     elif a.cmd == "scd2":
         from dataingestion_spark.lake.sync import sync_scd2
 

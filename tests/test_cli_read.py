@@ -120,3 +120,37 @@ def test_cli_changelog_diff_and_envelope(spark, tmp_path, capsys):
     assert env.count() == tbl.read_changes_envelope(1).count()
     one = json.loads(env.first()["value"])
     assert {"before", "after", "source", "op", "ts_ms"} <= set(one)
+
+
+def test_cli_detect_formats(spark, tmp_path, capsys):
+    """`cli detect`: setup-time wire-format identification over a static
+    sample - parquet column shape for the structured family, text JSON
+    lines for the Kafka-value family; ambiguity exits 1 with the refusal
+    in the JSON (a wrong adapter is a correctness bug, not a warning)."""
+    mssql_dir = str(tmp_path / "mssql_sample")
+    spark.createDataFrame(
+        [("0x01", "0x01", 2, 1)],
+        "`__$start_lsn` string, `__$seqval` string, `__$operation` int, "
+        "id long",
+    ).write.parquet(mssql_dir)
+    rc = main(["detect", "--source", mssql_dir])
+    out = _out_lines(capsys)
+    assert rc == 0 and out[-1] == {"detected": "sqlserver-cdc"}
+
+    crdb_dir = tmp_path / "crdb_sample"
+    crdb_dir.mkdir()
+    (crdb_dir / "sample.jsonl").write_text(
+        '{"after": {"id": 1}, "key": [1], '
+        '"updated": "1700000000000000000.0000000000"}\n' * 3
+    )
+    rc = main(["detect", "--source", str(crdb_dir), "--source-format", "text"])
+    out = _out_lines(capsys)
+    assert rc == 0 and out[-1] == {"detected": "cockroach-changefeed"}
+
+    junk_dir = tmp_path / "junk_sample"
+    junk_dir.mkdir()
+    (junk_dir / "sample.jsonl").write_text('{"foo": 1}\n')
+    rc = main(["detect", "--source", str(junk_dir), "--source-format", "text"])
+    out = _out_lines(capsys)
+    assert rc == 1 and out[-1]["detected"] is None
+    assert "no known format" in out[-1]["error"]
