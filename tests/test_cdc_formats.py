@@ -3,6 +3,8 @@ tests (/root/reference/spark/src/test/scala/com/example/MultiSourceCDCTest.scala
 using the same envelope rows, plus an end-to-end: parsed binlog -> keyed
 merge -> final table state."""
 
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 import pytest
@@ -1178,3 +1180,122 @@ def test_sqlserver_cockroach_dispatch_and_merge(spark, tmp_path):
     )
     final2 = {r["id"]: r["name"] for r in tbl2.read().collect()}
     assert final2 == {1: "y"}
+
+
+# --- encode/decode round-trip properties for the limb-arithmetic adapters ---
+
+_rt_events = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=5),          # key
+        st.integers(min_value=0, max_value=2),          # 0=ins 1=upd 2=del
+        st.text(alphabet="abcxyz 0123", min_size=0, max_size=8),
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(_rt_events)
+def test_sqlserver_roundtrip_property(spark, events):
+    """For ANY change stream, encoding it into the SQL Server CDC
+    change-table shape and parsing back yields exactly the canonical
+    relation - the hex-limb lsn fold is an order-preserving injection."""
+    from dataingestion_spark.sources.cdc_formats import parse_sqlserver_cdc
+
+    base = 0x0000002A000001D80000
+    ops = ["INSERT", "UPDATE", "DELETE"]
+    codes = [2, 4, 1]
+    rows = [
+        (
+            f"0x{base + 2 * i:020X}",
+            f"0x{base + 2 * i + (i % 2):020X}",  # odd rows: seqval offset 1
+            codes[op_idx],
+            k,
+            text,
+        )
+        for i, (k, op_idx, text) in enumerate(events)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "`__$start_lsn` string, `__$seqval` string, `__$operation` int, "
+        "id long, name string",
+    )
+    got = sorted(
+        parse_sqlserver_cdc(
+            df,
+            payload_fields=[("name", "string")],
+            key_fields=[("id", "long")],
+            lsn_base=f"0x{base:020X}",
+        ).collect(),
+        key=lambda r: r["lsn"],
+    )
+    want = sorted(
+        (
+            (ops[op_idx], k, text, (2 * i) * 65536 + (i % 2))
+            for i, (k, op_idx, text) in enumerate(events)
+        ),
+        key=lambda t: t[3],
+    )
+    assert [(r["op"], r["id"], r["name"], r["lsn"]) for r in got] == want
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(_rt_events)
+def test_cockroach_roundtrip_property(spark, events):
+    """For ANY change stream, encoding it as CockroachDB changefeed
+    envelopes (realistic 19-digit HLC walls, nonzero logical counters)
+    and parsing back yields exactly the canonical relation."""
+    from dataingestion_spark.sources.cdc_formats import (
+        parse_cockroach_changefeed,
+    )
+
+    b = 1_700_000_000_000_000_000
+    rows = []
+    for i, (k, op_idx, text) in enumerate(events):
+        updated = f"{b + i * 7}.{(i * 13) % 1024:010d}"
+        if op_idx == 2:
+            rows.append(
+                (f'{{"after": null, "key": [{k}], "updated": "{updated}"}}',)
+            )
+        else:
+            rows.append(
+                (
+                    f'{{"after": {{"id": {k}, "name": "{text}"}}, '
+                    f'"key": [{k}], "updated": "{updated}"}}',
+                )
+            )
+    df = spark.createDataFrame(rows, "value string")
+    got = sorted(
+        parse_cockroach_changefeed(
+            df,
+            payload_fields=[("name", "string")],
+            key_fields=[("id", "long")],
+            hlc_base=str(b),
+        ).collect(),
+        key=lambda r: r["lsn"],
+    )
+    want = sorted(
+        (
+            (
+                "DELETE" if op_idx == 2 else "UPSERT",
+                k,
+                None if op_idx == 2 else text,
+                (i * 7) * 1024 + (i * 13) % 1024,
+                (b + i * 7) // 1_000_000,
+            )
+            for i, (k, op_idx, text) in enumerate(events)
+        ),
+        key=lambda t: t[3],
+    )
+    assert [
+        (r["op"], r["id"], r["name"], r["lsn"], r["ts_ms"]) for r in got
+    ] == want
