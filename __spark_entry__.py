@@ -425,8 +425,10 @@ def q_cdc_sqlserver(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     env = ev.select(
         F.format_string("0x%020X", start).alias("__$start_lsn"),
+        # realistic: the operation's seqval (its own log LSN) precedes
+        # the transaction's commit LSN, hence the subtraction
         F.format_string(
-            "0x%020X", start + F.pmod(ev.user_id, F.lit(3)).cast("long")
+            "0x%020X", start - F.pmod(ev.user_id, F.lit(3)).cast("long")
         ).alias("__$seqval"),
         op_code.alias("__$operation"),
         F.lit("0x03").alias("__$update_mask"),
@@ -3008,7 +3010,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
                    epoch_ms(ts) AS ts_ms,
                    CAST(event_id AS BIGINT) * 2 * 65536
-                     + CAST(user_id % 3 AS BIGINT) AS lsn,
+                     + 32768 - CAST(user_id % 3 AS BIGINT) AS lsn,
                    'dbo_events' AS source_file
             FROM events
             WHERE event_type <> 'view'

@@ -304,7 +304,15 @@ def sync_aggregate(
             f"aggregate-sync cursor v{last} expired from source history "
             f"(oldest retained: v{retained[0]}); re-seed the destination"
         )
-    diff = src.read_changes(last, cur, include_preimages=True).filter(key_ok)
+    # localCheckpoint: the diff feeds the group-delta aggregate, the
+    # affected-group point lookup, and the merge's multi-pass batch
+    # evaluation - one executor-side materialization beats re-running
+    # the two-snapshot join per consumer.
+    diff = (
+        src.read_changes(last, cur, include_preimages=True)
+        .filter(key_ok)
+        .localCheckpoint(eager=True)
+    )
     sign = F.when(
         F.col("change_type").isin("insert", "update_postimage"), F.lit(1)
     ).otherwise(F.lit(-1))
@@ -567,7 +575,11 @@ def sync_scd2(
             f"scd2 cursor v{last} expired from source history "
             f"(oldest retained: v{retained[0]}); re-seed the history"
         )
-    diff = src.read_changes(last, cur)
+    # localCheckpoint: the diff (a bucket-pruned two-snapshot full-outer
+    # join) feeds BOTH the closures' key lookup and the opens, and the
+    # merge evaluates its batch more than once - materialize the join
+    # once on the executors instead of re-running it per consumer.
+    diff = src.read_changes(last, cur).localCheckpoint(eager=True)
     # CLOSE the superseded versions: the changed keys' current rows,
     # found via a bucket-pruned prefix lookup (the history pk leads
     # with the source pk), rewritten with the closing interval bound
@@ -724,7 +736,9 @@ def sync_band_index(
             f"band-index cursor v{last} expired from source history "
             f"(oldest retained: v{retained[0]}); re-seed the destination"
         )
-    diff = src.read_changes(last, cur)
+    # localCheckpoint: the diff feeds both the re-banded live rows and
+    # the retired-key anti-join, each evaluated again inside the merge.
+    diff = src.read_changes(last, cur).localCheckpoint(eager=True)
     live = diff.filter(F.col("change_type") != "delete")
     new_bands = band_relation(live, id_col, text_col, n, num_hashes, num_bands)
     # Changed keys with no new band rows (deleted, or text degraded to

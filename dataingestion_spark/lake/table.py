@@ -460,19 +460,40 @@ class LakeTable:
         tmp.write_text(json.dumps(tags, sort_keys=True))
         tmp.replace(self._tags_path)
 
+    def _own_tag_entry(self, tags: dict, name: str, verb: str) -> None:
+        """Refuse to retarget/remove a tag another chain owns: the tag
+        map is name-global, and resolve_tag's cross-chain refusal would
+        be hollow if a branch handle could silently overwrite (or drop)
+        main's 'release-1' - stripping its expire_snapshots shield."""
+        entry = tags.get(name)
+        if entry is None:
+            return
+        chain = (
+            entry.get("branch", "main") if isinstance(entry, dict) else "main"
+        )
+        if chain != self.branch_name:
+            raise ValueError(
+                f"cannot {verb} tag {name!r}: it belongs to chain "
+                f"{chain!r}, not {self.branch_name!r}; use a handle on "
+                "that chain (tag names are table-global)"
+            )
+
     def tag(self, name: str, version: int | None = None) -> int:
         """Pin ``version`` (default: current) under ``name``. The version
-        must still be retained; re-tagging an existing name repoints it."""
+        must still be retained; re-tagging an existing name repoints it
+        (same-chain only - see :meth:`_own_tag_entry`)."""
         v = self.current_version() if version is None else int(version)
         if not self._snapshot_path(v).is_file():
             raise FileNotFoundError(f"cannot tag v{v}: snapshot not retained")
         tags = self._tags_raw()
+        self._own_tag_entry(tags, name, "retag")
         tags[name] = {"version": v, "branch": self.branch_name}
         self._write_tags(tags)
         return v
 
     def drop_tag(self, name: str) -> None:
         tags = self._tags_raw()
+        self._own_tag_entry(tags, name, "drop")
         tags.pop(name, None)
         self._write_tags(tags)
 
@@ -1442,24 +1463,39 @@ class LakeTable:
         keys = keys.select(
             *[F.col(c).cast(snap.schema[c].dataType).alias(c) for c in prefix]
         ).distinct()
+        # localCheckpoint: the keys relation may carry an expensive
+        # lineage (sync_scd2/sync_aggregate derive it from the changelog
+        # full-outer join) and is consumed three times below (bucket
+        # set, pushdown sample, semi-join probe) - materialize it once
+        # on the executors instead of recomputing the diff per use.
         keyed = keys.withColumn(
             BUCKET_COL,
             bucket_expr(pk[0], snap.num_buckets, key_type=snap.schema[pk[0]].dataType),
+        ).localCheckpoint(eager=True)
+        # driver memory stays bounded at ANY requested-key count: the
+        # bucket set collect is <= num_buckets rows, and the pk0
+        # pushdown sample is capped - a multi-million-conversation sync
+        # must not funnel every key through the driver just to learn
+        # which buckets to open.
+        buckets = sorted(
+            {int(r[0]) for r in keyed.select(BUCKET_COL).distinct().collect()}
         )
-        # one collect yields the bucket set AND the distinct first-pk
-        # values for the scan pushdown - bounded by the prefix set size
-        kdist = keyed.select(BUCKET_COL, pk[0]).distinct().collect()
-        buckets = sorted({int(r[0]) for r in kdist})
         if not buckets:
             return self.spark.createDataFrame([], snap.schema)
-        probe = keys
+        pk0_rows = (
+            keyed.select(pk[0])
+            .distinct()
+            .limit(self.PUSHDOWN_MAX_KEYS + 1)
+            .collect()
+        )
+        probe = keyed.select(*prefix)
         if broadcast_keys:
             probe = F.broadcast(probe)
         df = self._resolved(snap, buckets).filter(
             ~F.coalesce(F.col(DELETED_COL), F.lit(False))
         )
-        pk0_vals = sorted({r[1] for r in kdist if r[1] is not None})
-        if pk0_vals and len(pk0_vals) <= self.PUSHDOWN_MAX_KEYS:
+        pk0_vals = sorted(r[0] for r in pk0_rows if r[0] is not None)
+        if pk0_vals and len(pk0_rows) <= self.PUSHDOWN_MAX_KEYS:
             df = df.filter(F.col(pk[0]).isin(pk0_vals))
         return df.join(probe, on=prefix, how="left_semi").select(
             *[f.name for f in snap.schema.fields]

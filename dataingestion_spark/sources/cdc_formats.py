@@ -774,15 +774,22 @@ def parse_canal(
 _MSSQL_LSN_HEX = 20
 _MSSQL_TXN_BITS = 47   # rebased commit ordinal budget
 _MSSQL_SEQ_BITS = 16   # within-transaction seqval offset budget
+# __$seqval is the LSN of the operation's own log record while
+# __$start_lsn is the transaction's COMMIT LSN, and operations precede
+# their commit record in the log - so on real streams seqval is
+# typically BELOW start_lsn. The offset window is therefore centered:
+# seq_off = seqval - start_lsn + 2^15, valid in [0, 2^16).
+_MSSQL_SEQ_MID = 1 << (_MSSQL_SEQ_BITS - 1)
 
 
 def _mssql_hex_limbs(col: Column) -> tuple[Column, Column]:
-    """Normalized 20-hex-digit LSN string -> (hi 40 bits, lo 40 bits)
-    as longs; malformed input yields (NULL, NULL)."""
-    clean = F.lpad(
-        F.regexp_replace(F.upper(col), "^0X", ""), _MSSQL_LSN_HEX, "0"
-    )
-    ok = clean.rlike(r"^[0-9A-F]{20}$")
+    """Normalized LSN hex string (<= 20 digits, optional 0x) -> (hi 40
+    bits, lo 40 bits) as longs; malformed input - including OVERLONG
+    hex, which lpad would otherwise silently left-truncate to a wrong
+    value - yields (NULL, NULL)."""
+    raw = F.regexp_replace(F.upper(col), "^0X", "")
+    ok = raw.rlike(r"^[0-9A-F]{1,20}$")
+    clean = F.lpad(raw, _MSSQL_LSN_HEX, "0")
     hi = F.when(ok, F.conv(F.substring(clean, 1, 10), 16, 10).cast("long"))
     lo = F.when(ok, F.conv(F.substring(clean, 11, 10), 16, 10).cast("long"))
     return hi, lo
@@ -833,10 +840,13 @@ def parse_sqlserver_cdc(
         ``__$start_lsn`` is parsed EXACTLY in two 40-bit limbs and
         rebased against ``lsn_base`` (the capture instance's
         ``sys.fn_cdc_get_min_lsn`` at subscription time, hex) into a
-        47-bit commit ordinal; ``__$seqval - __$start_lsn`` (exact, same
-        limbs; log records of one transaction are contiguous so the
-        offset is small) must fit 16 bits; ``lsn = txn_off * 2^16 +
-        seq_off``. Either budget overflowing fails FAST via
+        47-bit commit ordinal; ``__$seqval - __$start_lsn + 2^15``
+        (exact, same limbs; the window is CENTERED because on real
+        streams the operation's log record precedes its commit record,
+        so seqval sits BELOW start_lsn; log records of one transaction
+        are contiguous so the offset is small) must fit 16 bits;
+        ``lsn = txn_off * 2^16 + seq_off``. Either budget overflowing
+        fails FAST via
         ``raise_error`` with a re-base instruction - real LSNs silently
         NULLing out (the round-4 DynamoDB bug class) cannot happen.
       * malformed hex degrades to NULL row-wise (quarantine-gate path).
@@ -861,7 +871,9 @@ def parse_sqlserver_cdc(
     start = _mssql_decimal(s_hi, s_lo)
     seqv = _mssql_decimal(q_hi, q_lo)
     txn_off = start - F.lit(base_val).cast("decimal(25,0)")
-    seq_off = seqv - start
+    # centered window: real streams have seqval (operation log record)
+    # BELOW start_lsn (commit record); synthetic feeds may go above
+    seq_off = seqv - start + F.lit(_MSSQL_SEQ_MID).cast("decimal(25,0)")
     txn_ok = (txn_off >= 0) & (
         txn_off < F.lit(1 << _MSSQL_TXN_BITS).cast("decimal(25,0)")
     )
@@ -952,10 +964,13 @@ def parse_cockroach_changefeed(
       * ts_ms = wall / 10^6 (absolute, not rebased).
     """
     base = str(hlc_base).strip()
-    if not base.isdigit() or len(base) > 19:
+    # bound the VALUE, not the digit count: a 19-digit string can still
+    # exceed int64 and would otherwise crash F.lit() with an obscure
+    # literal-overflow error instead of this message
+    if not base.isdigit() or int(base) > _I64_MAX:
         raise ValueError(
             f"hlc_base must be a decimal epoch-nanoseconds string "
-            f"(<= 19 digits), got {hlc_base!r}"
+            f"(a signed 64-bit value), got {hlc_base!r}"
         )
     base_val = int(base)
     v = F.col(value_col)
@@ -1043,13 +1058,19 @@ def parse_cdc(df: DataFrame, source_format: str, /, **kwargs) -> DataFrame:
 # Column-shape signatures for the STRUCTURED envelopes (the format is
 # decided by which envelope columns exist - disjoint by construction):
 _COLUMN_SIGNATURES: list[tuple[str, frozenset[str]]] = [
+    # sqlserver-cdc FIRST: the __$-prefixed envelope columns are a SQL
+    # Server reserved namespace that no captured SOURCE column can use,
+    # while a capture instance's source columns are arbitrary and could
+    # coincidentally satisfy a later signature (e.g. a source table with
+    # database/table/type/position/data columns looks like Maxwell) -
+    # the most-reserved signature must win before first-subset-match.
+    ("sqlserver-cdc", frozenset({"__$start_lsn", "__$operation"})),
     ("mysql-binlog", frozenset({"operation", "binlog_file", "binlog_position"})),
     ("mongo-change-stream", frozenset({"operationType", "fullDocument", "resumeToken"})),
     ("aerospike-cdc", frozenset({"operation", "bins", "generation"})),
     ("clickstream", frozenset({"event_type", "page_url", "properties"})),
     ("maxwell", frozenset({"database", "table", "type", "position", "data"})),
     ("dynamodb-stream", frozenset({"eventName", "dynamodb"})),
-    ("sqlserver-cdc", frozenset({"__$start_lsn", "__$operation"})),
 ]
 
 # JSON-key signatures for the SINGLE-VALUE-COLUMN family (one JSON
@@ -1116,21 +1137,42 @@ def detect_cdc_format(
     if not sampled:
         raise ValueError("cannot detect CDC format of an empty sample")
     votes: set[str] = set()
+    nulls = 0
     for row in sampled:
+        # Kafka NULL values are Debezium post-delete TOMBSTONES (and
+        # compaction markers generally) - a normal part of any topic
+        # where deletes occurred. Skip them; they carry no format
+        # information and must not abort detection.
+        if row[0] is None:
+            nulls += 1
+            continue
         try:
-            keys = set(json.loads(row[0]).keys())
-        except (TypeError, ValueError) as e:
+            parsed = json.loads(row[0])
+            keys = set(parsed.keys())
+        except (AttributeError, TypeError, ValueError) as e:
             raise ValueError(
                 f"cannot detect CDC format: unparseable JSON envelope "
                 f"{row[0]!r}"
             ) from e
         matches = [fmt for fmt, sig in _JSON_SIGNATURES if sig <= keys]
+        if not matches and parsed.get("action") in ("B", "C", "M"):
+            # wal2json v2 transaction-control records (begin/commit/
+            # message) carry only {action[, xid, timestamp, ...]} - no
+            # schema key, so the main signature can't see them, but
+            # every real wal2json dump contains them (parse_wal2json
+            # filters them out downstream for the same reason).
+            matches = ["wal2json"]
         if len(matches) != 1:
             raise ValueError(
                 f"cannot detect CDC format: envelope keys {sorted(keys)} "
                 f"match {matches or 'no known format'}"
             )
         votes.add(matches[0])
+    if not votes:
+        raise ValueError(
+            f"cannot detect CDC format: all {nulls} sampled records are "
+            "NULL tombstones; sample a wider offset range"
+        )
     if len(votes) != 1:
         raise ValueError(
             f"cannot detect CDC format: sampled records disagree "

@@ -336,3 +336,31 @@ def test_tags_are_chain_scoped(spark, tmp_path):
     assert tbl.resolve_tag("legacy") == tbl.current_version()
     with pytest.raises(ValueError, match="main chain"):
         br.resolve_tag("legacy")
+
+
+def test_tag_writes_are_chain_scoped(spark, tmp_path):
+    """tag()/drop_tag() must refuse to retarget or remove a tag another
+    chain owns: the name map is table-global, and a branch handle
+    silently overwriting main's release tag would strip its
+    expire_snapshots shield while resolve_tag still refuses the read."""
+    tbl = _fresh(spark, tmp_path / "t")
+    tbl.merge(_batch(spark, 1), pipeline_id="p", epoch_id=0)
+    br = tbl.create_branch("wap")
+    br.merge(_batch(spark, 2, lsn_offset=10_000), pipeline_id="p", epoch_id=1)
+
+    tbl.tag("release-1")
+    with pytest.raises(ValueError, match="belongs to chain"):
+        br.tag("release-1")
+    with pytest.raises(ValueError, match="belongs to chain"):
+        br.drop_tag("release-1")
+    # main's pin is untouched and still resolves
+    assert tbl.resolve_tag("release-1") == tbl.current_version()
+
+    # same-chain retag / drop still work
+    tbl.tag("release-1")
+    tbl.drop_tag("release-1")
+    assert "release-1" not in tbl.tags()
+
+    # and the branch can mint its own distinct name
+    br.tag("wap-audit")
+    assert set(br.tags()) == {"wap-audit"}

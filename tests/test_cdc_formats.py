@@ -919,14 +919,16 @@ def test_sqlserver_cdc_parse(spark):
     from dataingestion_spark.sources.cdc_formats import parse_sqlserver_cdc
 
     base = 0x0000002A000001D80000
-    t1, t2 = base + 1, base + 0x10000  # two transactions
+    t1, t2 = base + 0x100, base + 0x10000  # two transactions (commit LSNs)
     rows = [
-        # txn 1: insert then same-transaction update (seqval orders them)
-        (_mssql_hex(t1), _mssql_hex(t1), 2, "0x03", 1, "a", 10,
+        # txn 1: insert then same-transaction update - seqval is the
+        # OPERATION's log LSN, which precedes the commit record, so real
+        # streams have seqval BELOW start_lsn (the centered-window case)
+        (_mssql_hex(t1), _mssql_hex(t1 - 2), 2, "0x03", 1, "a", 10,
          "2024-06-28 09:00:00"),
-        (_mssql_hex(t1), _mssql_hex(t1 + 1), 3, "0x02", 1, "a", 10,
+        (_mssql_hex(t1), _mssql_hex(t1 - 1), 3, "0x02", 1, "a", 10,
          "2024-06-28 09:00:00"),  # before image: dropped
-        (_mssql_hex(t1), _mssql_hex(t1 + 1), 4, "0x02", 1, "b", 11,
+        (_mssql_hex(t1), _mssql_hex(t1 - 1), 4, "0x02", 1, "b", 11,
          "2024-06-28 09:00:00"),
         # txn 2: delete carries the full deleted row image
         (_mssql_hex(t2), _mssql_hex(t2), 1, "0x03", 1, "b", 11,
@@ -954,10 +956,11 @@ def test_sqlserver_cdc_parse(spark):
     ).orderBy("lsn")
     got = out.collect()
     assert [r["op"] for r in got] == ["INSERT", "UPDATE", "DELETE"]
+    mid = 1 << 15
     assert [r["lsn"] for r in got] == [
-        1 * 65536 + 0,      # txn_off 1, first log record of the txn
-        1 * 65536 + 1,      # same txn, seqval one log record later
-        0x10000 * 65536 + 0,
+        0x100 * 65536 + mid - 2,  # txn_off 0x100, first op of the txn
+        0x100 * 65536 + mid - 1,  # same txn, one log record later
+        0x10000 * 65536 + mid,    # commit-record seqval (== start_lsn)
     ]
     assert got[1]["name"] == "b" and got[1]["score"] == 11
     assert got[2]["name"] == "b"  # delete keeps the full row image
@@ -1213,7 +1216,9 @@ def test_sqlserver_roundtrip_property(spark, events):
     rows = [
         (
             f"0x{base + 2 * i:020X}",
-            f"0x{base + 2 * i + (i % 2):020X}",  # odd rows: seqval offset 1
+            # odd rows mimic reality: the operation's log record (and so
+            # its seqval) precedes the transaction's commit LSN
+            f"0x{base + 2 * i - (i % 2):020X}",
             codes[op_idx],
             k,
             text,
@@ -1236,7 +1241,7 @@ def test_sqlserver_roundtrip_property(spark, events):
     )
     want = sorted(
         (
-            (ops[op_idx], k, text, (2 * i) * 65536 + (i % 2))
+            (ops[op_idx], k, text, (2 * i) * 65536 + (1 << 15) - (i % 2))
             for i, (k, op_idx, text) in enumerate(events)
         ),
         key=lambda t: t[3],
@@ -1299,3 +1304,87 @@ def test_cockroach_roundtrip_property(spark, events):
     assert [
         (r["op"], r["id"], r["name"], r["lsn"], r["ts_ms"]) for r in got
     ] == want
+
+
+def test_detect_wal2json_with_control_records(spark):
+    """Real wal2json dumps interleave B/C (begin/commit) transaction
+    control records that carry no schema key; detection must count them
+    as wal2json votes instead of refusing the whole stream."""
+    from dataingestion_spark.sources.cdc_formats import detect_cdc_format
+
+    rows = [
+        ('{"action": "B", "xid": 741}',),
+        ('{"action": "I", "schema": "public", "table": "t", '
+         '"columns": [{"name": "id", "value": "1"}], '
+         '"lsn": "0/16B2C38", "timestamp": "2024-06-28 09:00:00+00"}',),
+        ('{"action": "C", "xid": 741}',),
+    ]
+    df = spark.createDataFrame(rows, "value string")
+    assert detect_cdc_format(df) == "wal2json"
+
+
+def test_detect_skips_debezium_tombstones(spark):
+    """Kafka NULL values (Debezium post-delete tombstones) are a normal
+    part of any topic with deletes - they are skipped during sampling,
+    and an all-tombstone sample refuses with a widen-the-range hint."""
+    from dataingestion_spark.sources.cdc_formats import detect_cdc_format
+
+    dbz = ('{"before": null, "after": {"id": 1}, '
+           '"source": {"lsn": 1}, "op": "c", "ts_ms": 1}')
+    mixed = spark.createDataFrame(
+        [(None,), (dbz,), (None,)], "value string"
+    )
+    assert detect_cdc_format(mixed) == "debezium"
+
+    only_tombstones = spark.createDataFrame(
+        [(None,), (None,)], "value string"
+    )
+    with pytest.raises(ValueError, match="tombstones"):
+        detect_cdc_format(only_tombstones)
+
+
+def test_detect_sqlserver_signature_wins_over_captured_columns(spark):
+    """A capture instance whose SOURCE columns coincide with another
+    format's signature (here: Maxwell's database/table/type/position/
+    data) must still detect as sqlserver-cdc - the reserved __$
+    namespace is checked first."""
+    from dataingestion_spark.sources.cdc_formats import detect_cdc_format
+
+    df = spark.createDataFrame(
+        [],
+        "`__$start_lsn` string, `__$seqval` string, `__$operation` int, "
+        "database string, table string, type string, position string, "
+        "data string",
+    )
+    assert detect_cdc_format(df) == "sqlserver-cdc"
+
+
+def test_sqlserver_overlong_hex_quarantines(spark):
+    """Hex wider than 20 digits must degrade to NULL lsn (quarantine),
+    not silently left-truncate to a wrong but plausible ordinal."""
+    from dataingestion_spark.sources.cdc_formats import parse_sqlserver_cdc
+
+    df = spark.createDataFrame(
+        [("0x" + "A" * 22, "0x" + "A" * 22, 2, 1)],
+        "`__$start_lsn` string, `__$seqval` string, `__$operation` int, "
+        "id long",
+    )
+    got = parse_sqlserver_cdc(
+        df, payload_fields=[], key_fields=[("id", "long")]
+    ).collect()
+    assert got[0]["lsn"] is None
+
+
+def test_cockroach_hlc_base_value_bound(spark):
+    """A 19-digit hlc_base past int64 max must raise the adapter's own
+    ValueError, not an obscure literal-overflow at plan construction."""
+    from dataingestion_spark.sources.cdc_formats import (
+        parse_cockroach_changefeed,
+    )
+
+    df = spark.createDataFrame([("x",)], "value string")
+    with pytest.raises(ValueError, match="64-bit"):
+        parse_cockroach_changefeed(
+            df, payload_fields=[], key_fields=[("id", "long")],
+            hlc_base="9999999999999999999",
+        )
