@@ -410,8 +410,8 @@ def q_cdc_sqlserver(spark: SparkSession, sf_dir: str) -> DataFrame:
     fn_cdc_get_all_changes output: __$start_lsn/__$seqval 20-hex-digit
     LSNs, __$operation 1/2/3/4, natively-typed captured columns) ->
     canonical change relation. 'view' events are emitted as operation 3
-    (update before-image) and must be filtered; the lsn folds the
-    rebased commit LSN with the within-transaction seqval offset."""
+    (update before-image) and must be filtered; the lsn is the rebased
+    __$seqval (the operation's own log LSN) plus the sub-base slack."""
     from dataingestion_spark.sources.cdc_formats import parse_sqlserver_cdc
 
     ev = _read(spark, sf_dir, "events")
@@ -3009,8 +3009,8 @@ def oracle_sql() -> dict[str, str]:
                    CAST(user_id AS BIGINT) AS id,
                    CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
                    epoch_ms(ts) AS ts_ms,
-                   CAST(event_id AS BIGINT) * 2 * 65536
-                     + 32768 - CAST(user_id % 3 AS BIGINT) AS lsn,
+                   CAST(event_id AS BIGINT) * 2
+                     - CAST(user_id % 3 AS BIGINT) + 1048576 AS lsn,
                    'dbo_events' AS source_file
             FROM events
             WHERE event_type <> 'view'

@@ -544,6 +544,18 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--num-buckets", type=int, default=32)
     p.add_argument("--write-mode", default="cow", choices=["cow", "mor"])
 
+    def _parquet_rows(path: str) -> int:
+        """Row count of a just-written export from the parquet FOOTERS -
+        metadata-only reads, not a second full scan of the output."""
+        from pathlib import Path as _P
+
+        import pyarrow.parquet as pq
+
+        return sum(
+            pq.ParquetFile(str(f)).metadata.num_rows
+            for f in _P(path).glob("*.parquet")
+        )
+
     a = parser.parse_args(argv)
     spark = build_session(
         app_name=f"cdc-{a.cmd}",
@@ -915,7 +927,7 @@ def main(argv: list[str] | None = None) -> int:
             )
         if a.output:
             df.write.mode("overwrite").parquet(a.output)
-            n = spark.read.parquet(a.output).count()
+            n = _parquet_rows(a.output)
             print(json.dumps({"rows": n, "output": a.output}))
         else:
             for line in df.toJSON().take(a.limit):
@@ -935,7 +947,7 @@ def main(argv: list[str] | None = None) -> int:
             )
         if a.output:
             df.write.mode("overwrite").parquet(a.output)
-            n = spark.read.parquet(a.output).count()
+            n = _parquet_rows(a.output)
             print(json.dumps({"rows": n, "output": a.output}))
         else:
             for line in df.toJSON().take(a.limit):

@@ -665,6 +665,21 @@ class LakeTable:
             raise KeyError(f"unknown branch {name!r}")
         for p in files:
             p.unlink()
+        # drop the chain's tags with the chain: a stale chain-scoped tag
+        # would be permanently un-droppable (_own_tag_entry refuses every
+        # other chain) and, worse, would resolve against an UNRELATED
+        # chain if the branch name is ever reused - the wrong-snapshot
+        # read the chain scoping exists to prevent.
+        tags = self._tags_raw()
+        orphaned = [
+            t
+            for t, e in tags.items()
+            if isinstance(e, dict) and e.get("branch", "main") == name
+        ]
+        if orphaned:
+            for t in orphaned:
+                tags.pop(t)
+            self._write_tags(tags)
         return len(files)
 
     @property
@@ -1371,22 +1386,36 @@ class LakeTable:
         keys = keys.select(
             *[F.col(c).cast(snap.schema[c].dataType).alias(c) for c in pk]
         ).distinct()
+        # localCheckpoint: the key relation may carry an expensive
+        # lineage (sync_aggregate routes each sync's dirty-group set
+        # here) and feeds the bucket collect, the bloom/pushdown sample,
+        # and the semi-join probe - materialize once on the executors.
         keyed = keys.withColumn(
             BUCKET_COL,
             bucket_expr(pk[0], snap.num_buckets, key_type=snap.schema[pk[0]].dataType),
+        ).localCheckpoint(eager=True)
+        # driver memory stays bounded at ANY key count: buckets collect
+        # <= num_buckets rows, key tuples only up to the pushdown cap.
+        buckets = sorted(
+            {int(r[0]) for r in keyed.select(BUCKET_COL).distinct().collect()}
         )
-        # ONE collect yields the bucket set, the distinct first-pk values,
-        # AND the full key tuples for the bloom consult (same cardinality
-        # bound: the serving-size key set).
-        kdist = keyed.select(BUCKET_COL, *pk).distinct().collect()
-        buckets = sorted({int(r[0]) for r in kdist})
         if not buckets:
             return self.spark.createDataFrame([], snap.schema)
-        probe = keys
-        if broadcast_keys:
+        kdist = (
+            keyed.select(BUCKET_COL, *pk)
+            .limit(self.PUSHDOWN_MAX_KEYS + 1)
+            .collect()
+        )
+        small = len(kdist) <= self.PUSHDOWN_MAX_KEYS
+        probe = keyed.select(*pk)
+        # explicit broadcast hints bypass autoBroadcastJoinThreshold, so
+        # gate on the MEASURED key count (cheap: keyed is materialized)
+        # - a change-volume-sized key relation shuffles instead of being
+        # funneled through the driver onto every executor.
+        if broadcast_keys and keyed.count() <= self.BROADCAST_KEYS_MAX:
             probe = F.broadcast(probe)
         file_map = delta_map = None
-        if use_bloom and len(kdist) <= self.PUSHDOWN_MAX_KEYS:
+        if use_bloom and small:
             # File-level bloom skipping (lake/bloom.py, Hudi bloom-index
             # analog): drop candidate files that provably hold none of the
             # keys BEFORE the scan is planned. Unindexed files stay.
@@ -1402,7 +1431,7 @@ class LakeTable:
             snap, buckets, file_map=file_map, delta_map=delta_map
         ).filter(~F.coalesce(F.col(DELETED_COL), F.lit(False)))
         pk0_vals = sorted({r[1] for r in kdist if r[1] is not None})
-        if pk0_vals and len(pk0_vals) <= self.PUSHDOWN_MAX_KEYS:
+        if small and pk0_vals:
             # Key-predicate pushdown: an IN(<first pk>) filter reaches the
             # parquet scan, where clustered compaction's pk sort (row-group
             # min/max), dictionary pages, and the pk bloom filters written
@@ -1489,7 +1518,9 @@ class LakeTable:
             .collect()
         )
         probe = keyed.select(*prefix)
-        if broadcast_keys:
+        # same broadcast gate as read_keys: hint only a measured-small
+        # key set (sync_scd2 routes whole change volumes through here)
+        if broadcast_keys and keyed.count() <= self.BROADCAST_KEYS_MAX:
             probe = F.broadcast(probe)
         df = self._resolved(snap, buckets).filter(
             ~F.coalesce(F.col(DELETED_COL), F.lit(False))
@@ -2333,6 +2364,16 @@ class LakeTable:
     # values; beyond it the literal list costs more than it prunes and the
     # exact semi-join carries alone.
     PUSHDOWN_MAX_KEYS = 10_000
+
+    # read_keys/read_prefix honor broadcast_keys only up to this many
+    # keys (measured on the materialized key relation): an explicit
+    # broadcast hint bypasses autoBroadcastJoinThreshold, and a
+    # change-volume-sized key set (sync_scd2/sync_aggregate route whole
+    # epochs' dirty keys through these reads) must shuffle-join rather
+    # than be funneled through the driver onto every executor. 10^6
+    # short key rows is a few tens of MB broadcast - comfortably inside
+    # executor memory at any table size.
+    BROADCAST_KEYS_MAX = 1_000_000
 
     @staticmethod
     def _stat_value(v):

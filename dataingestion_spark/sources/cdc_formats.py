@@ -718,7 +718,13 @@ def parse_canal(
     base = (
         df.where(
             typ.isin("INSERT", "UPDATE", "DELETE")
-            & (F.get_json_object(v, "$.isDdl") != F.lit("true"))
+            # coalesce: a FlatMessage missing isDdl (older canal
+            # versions omit it) must be treated as a data record, not
+            # silently dropped by three-valued NULL != 'true'
+            & (
+                F.coalesce(F.get_json_object(v, "$.isDdl"), F.lit("false"))
+                != F.lit("true")
+            )
         )
         .select(
             op.alias("op"),
@@ -766,20 +772,24 @@ def parse_canal(
     )
 
 
-# SQL Server LSNs are 10-byte binaries, rendered as 20 hex digits.
+# SQL Server LSNs are 10-byte binaries, rendered as 20 hex digits, with
+# STRUCTURE: (VLF sequence number : 4 bytes)(log block offset : 4 bytes)
+# (slot : 2 bytes). Numeric distance between consecutive log records is
+# therefore NOT dense - it jumps by 2^16 at block boundaries and by 2^48
+# at VLF rollovers - so no fixed small window over raw differences can
+# hold. The lsn below is simply the operation's own ``__$seqval`` as an
+# 80-bit integer rebased against the subscription base: lexicographic =
+# numeric order for fixed-width LSNs, so monotonicity is structural and
+# the only budget is total distance (2^63 ~ 2^15 VLFs of log growth).
 # Parsed exactly in two 40-bit limbs (each fits a long via conv base
 # 16); the 80-bit value lives in DECIMAL(25,0) for the rebase
-# arithmetic.  Guards below follow the DynamoDB-adapter discipline: a
+# arithmetic.  Guards follow the DynamoDB-adapter discipline: a
 # mis-based ordinal fails FAST, never silently quarantines the stream.
 _MSSQL_LSN_HEX = 20
-_MSSQL_TXN_BITS = 47   # rebased commit ordinal budget
-_MSSQL_SEQ_BITS = 16   # within-transaction seqval offset budget
-# __$seqval is the LSN of the operation's own log record while
-# __$start_lsn is the transaction's COMMIT LSN, and operations precede
-# their commit record in the log - so on real streams seqval is
-# typically BELOW start_lsn. The offset window is therefore centered:
-# seq_off = seqval - start_lsn + 2^15, valid in [0, 2^16).
-_MSSQL_SEQ_MID = 1 << (_MSSQL_SEQ_BITS - 1)
+# operations of a transaction that committed just AFTER the
+# subscription base log their records slightly BEFORE it; the slack
+# keeps those non-negative (2^20 covers a whole block range + slots)
+_MSSQL_SLACK = 1 << 20
 
 
 def _mssql_hex_limbs(col: Column) -> tuple[Column, Column]:
@@ -836,19 +846,28 @@ def parse_sqlserver_cdc(
     Mapping choices:
       * operation 3 rows (update before-images) are filtered: LWW wants
         the after image only, same posture as Debezium's ``before``.
-      * lsn folds (transaction, row-in-transaction): the 80-bit
-        ``__$start_lsn`` is parsed EXACTLY in two 40-bit limbs and
-        rebased against ``lsn_base`` (the capture instance's
-        ``sys.fn_cdc_get_min_lsn`` at subscription time, hex) into a
-        47-bit commit ordinal; ``__$seqval - __$start_lsn + 2^15``
-        (exact, same limbs; the window is CENTERED because on real
-        streams the operation's log record precedes its commit record,
-        so seqval sits BELOW start_lsn; log records of one transaction
-        are contiguous so the offset is small) must fit 16 bits;
-        ``lsn = txn_off * 2^16 + seq_off``. Either budget overflowing
-        fails FAST via
-        ``raise_error`` with a re-base instruction - real LSNs silently
-        NULLing out (the round-4 DynamoDB bug class) cannot happen.
+        (The update's 3/4 rows share a seqval; filtering 3 also keeps
+        the lsn unique per surviving change row.)
+      * lsn = ``__$seqval`` (the operation's OWN log LSN) parsed
+        EXACTLY in two 40-bit limbs, rebased against ``lsn_base`` (the
+        capture instance's ``sys.fn_cdc_get_min_lsn`` at subscription
+        time, hex), plus a small slack for operations logged just
+        before the base whose transaction committed after it. No
+        structured fold over (start_lsn, seqval) is attempted: LSN
+        numeric distance jumps by 2^16 per log block and 2^48 per VLF,
+        so any fixed per-transaction window would abort on ordinary
+        multi-block transactions. Ordering by seqval alone is correct
+        for the engine's PER-KEY LWW: two transactions writing the
+        same row serialize on its X lock, so a later committer's
+        change rows also log later - per key, seqval order IS commit
+        order. (Cross-key, seqval is log order rather than commit
+        order; LWW never compares lsns across keys.)
+      * budget: the rebased value must fit a signed 64 - with the VLF
+        field at bit 48 that is ~2^15 VLFs of log growth after the
+        base; outgrowing it (or a seqval more than the slack below the
+        base: a wrong lsn_base) fails FAST via ``raise_error`` with a
+        re-base instruction - real LSNs silently NULLing out (the
+        round-4 DynamoDB bug class) cannot happen.
       * malformed hex degrades to NULL row-wise (quarantine-gate path).
     """
     base = str(lsn_base).strip().upper().removeprefix("0X")
@@ -866,36 +885,25 @@ def parse_sqlserver_cdc(
         .when(op_raw == 2, "INSERT")
         .when(op_raw == 4, "UPDATE")
     )
-    s_hi, s_lo = _mssql_hex_limbs(F.col("`__$start_lsn`"))
     q_hi, q_lo = _mssql_hex_limbs(F.col("`__$seqval`"))
-    start = _mssql_decimal(s_hi, s_lo)
     seqv = _mssql_decimal(q_hi, q_lo)
-    txn_off = start - F.lit(base_val).cast("decimal(25,0)")
-    # centered window: real streams have seqval (operation log record)
-    # BELOW start_lsn (commit record); synthetic feeds may go above
-    seq_off = seqv - start + F.lit(_MSSQL_SEQ_MID).cast("decimal(25,0)")
-    txn_ok = (txn_off >= 0) & (
-        txn_off < F.lit(1 << _MSSQL_TXN_BITS).cast("decimal(25,0)")
+    off = (
+        seqv
+        - F.lit(base_val).cast("decimal(25,0)")
+        + F.lit(_MSSQL_SLACK).cast("decimal(25,0)")
     )
-    seq_ok = (seq_off >= 0) & (
-        seq_off < F.lit(1 << _MSSQL_SEQ_BITS).cast("decimal(25,0)")
-    )
+    off_ok = (off >= 0) & (off <= F.lit(_I64_MAX).cast("decimal(25,0)"))
     lsn = (
-        F.when(s_hi.isNull() | q_hi.isNull(), F.lit(None).cast("long"))
-        .when(
-            txn_ok & seq_ok,
-            txn_off.cast("long") * F.lit(1 << _MSSQL_SEQ_BITS)
-            + seq_off.cast("long"),
-        )
+        F.when(q_hi.isNull(), F.lit(None).cast("long"))
+        .when(off_ok, off.cast("long"))
         .otherwise(
             F.raise_error(
                 F.format_string(
-                    "sqlserver __$start_lsn %s / __$seqval %s does not "
-                    "map into the 64-bit lsn fold relative to lsn_base "
+                    "sqlserver __$seqval %s does not map into a 64-bit "
+                    "lsn relative to lsn_base "
                     + (base or "0")
                     + "; re-subscribe with the capture instance's "
-                    "min_lsn as lsn_base",
-                    F.col("`__$start_lsn`"),
+                    "current min_lsn as lsn_base",
                     F.col("`__$seqval`"),
                 )
             )

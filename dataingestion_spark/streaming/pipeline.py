@@ -245,6 +245,23 @@ def apply_changes(
     audited state to main readers - epoch markers ride along, so the
     resumed stream stays exactly-once against main after publish."""
     _validate_trigger(trigger)
+    # Incremental view/history syncs are cursored by SOURCE CHAIN version
+    # numbers. Running them off a WAP branch handle would stamp branch
+    # versions into destinations that later continue from main's chain:
+    # after publish, a main version <= the branch cursor silently skips
+    # every sync, and past it read_changes would diff versions from two
+    # DIFFERENT chains - wrong intervals with no error. Audit-stage data
+    # also must not leak into published views; fail fast (E3 posture).
+    if branch != "main" and (
+        (getattr(config, "agg_views", []) or [])
+        or getattr(config, "scd2_history", None)
+    ):
+        raise ValueError(
+            "agg_views / scd2_history cannot run against a WAP branch: "
+            "their version cursors are chain-scoped and the branch chain "
+            "ends at publish; run the syncs from a main-chain apply (or "
+            "sync once after publish_branch)"
+        )
     table = LakeTable(spark, config.table_path, branch=branch)
     if getattr(config, "cow_plan_adaptive", None) is not None:
         table.COW_PLAN_ADAPTIVE = config.cow_plan_adaptive

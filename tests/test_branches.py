@@ -364,3 +364,46 @@ def test_tag_writes_are_chain_scoped(spark, tmp_path):
     # and the branch can mint its own distinct name
     br.tag("wap-audit")
     assert set(br.tags()) == {"wap-audit"}
+
+
+def test_drop_branch_purges_chain_tags(spark, tmp_path):
+    """drop_branch removes the dropped chain's tags with it: a stale
+    chain-scoped tag would be permanently un-droppable and, after
+    branch-name reuse, would resolve against an unrelated chain."""
+    tbl = _fresh(spark, tmp_path / "t")
+    tbl.merge(_batch(spark, 1), pipeline_id="p", epoch_id=0)
+    tbl.tag("main-keep")
+    br = tbl.create_branch("wap")
+    br.merge(_batch(spark, 2, lsn_offset=10_000), pipeline_id="p", epoch_id=1)
+    br.tag("wap-rel")
+
+    tbl.drop_branch("wap")
+    assert "wap-rel" not in tbl._tags_raw()       # chain tag gone
+    assert tbl.resolve_tag("main-keep") == tbl.current_version()  # kept
+
+    # name reuse is now safe: no stale tag resolves on the new chain
+    br2 = tbl.create_branch("wap")
+    import pytest as _pt
+    with _pt.raises(KeyError):
+        br2.resolve_tag("wap-rel")
+
+
+def test_apply_changes_refuses_branch_view_syncs(spark, tmp_path):
+    """agg_views / scd2_history cursors are chain-scoped; wiring them to
+    a WAP-branch apply must fail fast at setup, not corrupt the history
+    after publish."""
+    import pytest as _pt
+
+    from dataingestion_spark.config import DatasetConfig
+    from dataingestion_spark.streaming.pipeline import apply_changes
+
+    cfg = DatasetConfig(
+        name="t", table_path=str(tmp_path / "t"), num_buckets=4,
+        salt_buckets=4,
+    )
+    cfg.scd2_history = str(tmp_path / "hist")
+    with _pt.raises(ValueError, match="WAP branch"):
+        apply_changes(
+            spark, cfg, str(tmp_path / "src"), str(tmp_path / "ckpt"),
+            branch="audit",
+        )

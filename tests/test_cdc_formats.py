@@ -956,11 +956,12 @@ def test_sqlserver_cdc_parse(spark):
     ).orderBy("lsn")
     got = out.collect()
     assert [r["op"] for r in got] == ["INSERT", "UPDATE", "DELETE"]
-    mid = 1 << 15
+    slack = 1 << 20
+    # lsn = seqval - base + slack: the operation's own log LSN rebased
     assert [r["lsn"] for r in got] == [
-        0x100 * 65536 + mid - 2,  # txn_off 0x100, first op of the txn
-        0x100 * 65536 + mid - 1,  # same txn, one log record later
-        0x10000 * 65536 + mid,    # commit-record seqval (== start_lsn)
+        0x100 - 2 + slack,   # txn 1 first op
+        0x100 - 1 + slack,   # txn 1 second op (one log record later)
+        0x10000 + slack,     # txn 2 (seqval == its commit LSN here)
     ]
     assert got[1]["name"] == "b" and got[1]["score"] == 11
     assert got[2]["name"] == "b"  # delete keeps the full row image
@@ -970,9 +971,11 @@ def test_sqlserver_cdc_parse(spark):
 
 
 def test_sqlserver_lsn_guards(spark):
-    """A start_lsn outside the 47-bit rebased budget (wrong lsn_base)
-    fails FAST; malformed hex degrades to NULL lsn row-wise; a
-    bad lsn_base raises at call time."""
+    """A seqval outside the signed-64 rebased budget (or more than the
+    slack below the base: a wrong lsn_base) fails FAST; a multi-block /
+    multi-VLF LSN geometry parses fine (the raw numeric jumps are the
+    point of the seqval-only design); malformed hex degrades to NULL
+    lsn row-wise; a bad lsn_base raises at call time."""
     from pyspark.errors import SparkRuntimeException
 
     from dataingestion_spark.sources.cdc_formats import parse_sqlserver_cdc
@@ -981,13 +984,44 @@ def test_sqlserver_lsn_guards(spark):
         "`__$start_lsn` string, `__$seqval` string, "
         "`__$operation` int, id long"
     )
+    # ordinary real-world geometry: the operation's log record sits in
+    # an earlier log BLOCK (and even an earlier VLF) than its commit
+    # record - raw numeric distance 2^16 / 2^48 - must NOT abort
+    base = 0x2A << 48
+    multi = spark.createDataFrame(
+        [
+            (_mssql_hex(base + (1 << 20)), _mssql_hex(base + (1 << 16)), 2, 1),
+            (_mssql_hex(base + (1 << 48)), _mssql_hex(base + (1 << 48) - (1 << 16)), 4, 1),
+        ],
+        schema,
+    )
+    got = parse_sqlserver_cdc(
+        multi, payload_fields=[], key_fields=[("id", "long")],
+        lsn_base=_mssql_hex(base),
+    ).orderBy("lsn").collect()
+    slack = 1 << 20
+    assert [r["lsn"] for r in got] == [
+        (1 << 16) + slack,
+        (1 << 48) - (1 << 16) + slack,
+    ]
+
     far = spark.createDataFrame(
-        [(_mssql_hex(1 << 50), _mssql_hex(1 << 50), 2, 1)], schema
+        [(_mssql_hex(1 << 63), _mssql_hex(1 << 63), 2, 1)], schema
     )
     with pytest.raises(SparkRuntimeException, match="lsn_base"):
         parse_sqlserver_cdc(
             far, payload_fields=[], key_fields=[("id", "long")],
             lsn_base="0",
+        ).collect()
+
+    # seqval far BELOW the base (beyond the slack): wrong base, loud
+    below = spark.createDataFrame(
+        [(_mssql_hex(base), _mssql_hex(base - (1 << 21)), 2, 1)], schema
+    )
+    with pytest.raises(SparkRuntimeException, match="lsn_base"):
+        parse_sqlserver_cdc(
+            below, payload_fields=[], key_fields=[("id", "long")],
+            lsn_base=_mssql_hex(base),
         ).collect()
 
     junk = spark.createDataFrame([("zz", "zz", 2, 1)], schema)
@@ -1207,7 +1241,7 @@ _rt_events = st.lists(
 def test_sqlserver_roundtrip_property(spark, events):
     """For ANY change stream, encoding it into the SQL Server CDC
     change-table shape and parsing back yields exactly the canonical
-    relation - the hex-limb lsn fold is an order-preserving injection."""
+    relation - the rebased-seqval lsn is an order-preserving injection."""
     from dataingestion_spark.sources.cdc_formats import parse_sqlserver_cdc
 
     base = 0x0000002A000001D80000
@@ -1241,7 +1275,7 @@ def test_sqlserver_roundtrip_property(spark, events):
     )
     want = sorted(
         (
-            (ops[op_idx], k, text, (2 * i) * 65536 + (1 << 15) - (i % 2))
+            (ops[op_idx], k, text, 2 * i - (i % 2) + (1 << 20))
             for i, (k, op_idx, text) in enumerate(events)
         ),
         key=lambda t: t[3],
@@ -1388,3 +1422,20 @@ def test_cockroach_hlc_base_value_bound(spark):
             df, payload_fields=[], key_fields=[("id", "long")],
             hlc_base="9999999999999999999",
         )
+
+
+def test_canal_missing_isddl_not_dropped(spark):
+    """A FlatMessage without the isDdl key (older canal versions omit
+    it) is a data record - three-valued NULL != 'true' logic must not
+    silently discard it."""
+    from dataingestion_spark.sources.cdc_formats import parse_canal
+
+    rows = [
+        ('{"id": 7, "database": "d", "table": "t", "type": "INSERT", '
+         '"es": 1000, "ts": 1001, "data": [{"id": "1", "v": "x"}]}',),
+    ]
+    df = spark.createDataFrame(rows, "value string")
+    got = parse_canal(
+        df, payload_fields=[("v", "string")], key_fields=[("id", "long")]
+    ).collect()
+    assert len(got) == 1 and got[0]["op"] == "INSERT" and got[0]["v"] == "x"

@@ -365,3 +365,36 @@ def test_read_prefix_validates_inputs(spark, tmp_table_dir):
         tbl.read_prefix([("c1", 0, "extra")])
     with pytest.raises(ValueError, match="leading pk column"):
         tbl.read_prefix(spark.createDataFrame([(0,)], "turn_idx int"))
+
+
+def test_point_lookup_broadcast_gated_by_measured_count(spark, tmp_path, monkeypatch):
+    """read_keys/read_prefix honor broadcast_keys only up to
+    BROADCAST_KEYS_MAX measured keys: an explicit hint bypasses
+    autoBroadcastJoinThreshold, so a change-volume-sized key relation
+    (the sync paths) must shuffle-join instead. Results stay equal."""
+    from tests.test_plans import _plan
+
+    tbl, _ = _seeded(spark, tmp_path / "bgate")
+    keys = [
+        (r["conv_id"], r["turn_idx"])
+        for r in tbl.read().select("conv_id", "turn_idx").limit(6).collect()
+    ]
+    convs = sorted({k[0] for k in keys})
+    small = tbl.read_keys(keys)
+    smallp = tbl.read_prefix(convs)
+    assert "BroadcastHashJoin" in _plan(small) or "BroadcastExchange" in _plan(small)
+
+    monkeypatch.setattr(type(tbl), "BROADCAST_KEYS_MAX", 0)
+    # with the hint gated off, only Spark's own autoBroadcastJoinThreshold
+    # decides - disable it to observe the ungated (shuffle) plan
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        big = tbl.read_keys(keys)
+        bigp = tbl.read_prefix(convs)
+        assert "BroadcastExchange" not in _plan(big)
+        assert "BroadcastExchange" not in _plan(bigp)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert sorted(map(tuple, small.collect())) == sorted(map(tuple, big.collect()))
+    assert sorted(map(tuple, smallp.collect())) == sorted(map(tuple, bigp.collect()))
