@@ -3010,7 +3010,8 @@ def oracle_sql() -> dict[str, str]:
                    CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
                    epoch_ms(ts) AS ts_ms,
                    CAST(event_id AS BIGINT) * 2
-                     - CAST(user_id % 3 AS BIGINT) + 1048576 AS lsn,
+                     - CAST(user_id % 3 AS BIGINT)
+                     + 562949953421312 AS lsn,  -- 2^49 sub-base slack
                    'dbo_events' AS source_file
             FROM events
             WHERE event_type <> 'view'

@@ -546,11 +546,16 @@ def main(argv: list[str] | None = None) -> int:
 
     def _parquet_rows(path: str) -> int:
         """Row count of a just-written export from the parquet FOOTERS -
-        metadata-only reads, not a second full scan of the output."""
+        metadata-only reads, not a second full scan of the output. Local
+        paths only; URI-scheme outputs (hdfs://, s3a://, file:/) fall
+        back to a Spark metadata count so a remote export never reports
+        rows: 0 just because pathlib can't see it."""
         from pathlib import Path as _P
 
         import pyarrow.parquet as pq
 
+        if "://" in path or path.startswith("file:"):
+            return spark.read.parquet(path).count()
         return sum(
             pq.ParquetFile(str(f)).metadata.num_rows
             for f in _P(path).glob("*.parquet")

@@ -28,6 +28,7 @@ from __future__ import annotations
 
 from typing import Callable
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, functions as F
 
 from dataingestion_spark.lake.table import LakeTable, Snapshot
@@ -304,14 +305,16 @@ def sync_aggregate(
             f"aggregate-sync cursor v{last} expired from source history "
             f"(oldest retained: v{retained[0]}); re-seed the destination"
         )
-    # localCheckpoint: the diff feeds the group-delta aggregate, the
-    # affected-group point lookup, and the merge's multi-pass batch
-    # evaluation - one executor-side materialization beats re-running
-    # the two-snapshot join per consumer.
+    # persist (NOT checkpoint): the diff feeds the group-delta
+    # aggregate, the affected-group point lookup, and the merge's
+    # multi-pass batch evaluation - cache the two-snapshot join once
+    # per consumer while staying recoverable under executor loss
+    # (lost cache blocks recompute via lineage; unpersisted in the
+    # finally below).
     diff = (
         src.read_changes(last, cur, include_preimages=True)
         .filter(key_ok)
-        .localCheckpoint(eager=True)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     sign = F.when(
         F.col("change_type").isin("insert", "update_postimage"), F.lit(1)
@@ -412,7 +415,10 @@ def sync_aggregate(
                 for c in maxs
             ],
         )
-    return _merge_totals(totals)
+    try:
+        return _merge_totals(totals)
+    finally:
+        diff.unpersist()
 
 
 # ----------------------------------------------------------------------
@@ -575,31 +581,36 @@ def sync_scd2(
             f"scd2 cursor v{last} expired from source history "
             f"(oldest retained: v{retained[0]}); re-seed the history"
         )
-    # localCheckpoint: the diff (a bucket-pruned two-snapshot full-outer
-    # join) feeds BOTH the closures' key lookup and the opens, and the
-    # merge evaluates its batch more than once - materialize the join
-    # once on the executors instead of re-running it per consumer.
-    diff = src.read_changes(last, cur).localCheckpoint(eager=True)
-    # CLOSE the superseded versions: the changed keys' current rows,
-    # found via a bucket-pruned prefix lookup (the history pk leads
-    # with the source pk), rewritten with the closing interval bound
-    changed = diff.filter(F.col("change_type") != "insert").select(*src_pk)
-    closures = (
-        dst.read_prefix(changed)
-        .filter(F.col("is_current"))
-        .select(
-            *src_cols,
-            "valid_from_lsn",
-            F.lit(cur).cast("long").alias("valid_to_lsn"),
-            F.lit(False).alias("is_current"),
+    # persist (NOT checkpoint): the diff (a bucket-pruned two-snapshot
+    # full-outer join) feeds BOTH the closures' key lookup and the
+    # opens, and the merge evaluates its batch more than once - cache
+    # the join once instead of re-running it per consumer, while a lost
+    # executor's blocks recompute via lineage (a checkpoint's would
+    # fail the sync unrecoverably).
+    diff = src.read_changes(last, cur).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        # CLOSE the superseded versions: the changed keys' current rows,
+        # found via a bucket-pruned prefix lookup (the history pk leads
+        # with the source pk), rewritten with the closing interval bound
+        changed = diff.filter(F.col("change_type") != "insert").select(*src_pk)
+        closures = (
+            dst.read_prefix(changed)
+            .filter(F.col("is_current"))
+            .select(
+                *src_cols,
+                "valid_from_lsn",
+                F.lit(cur).cast("long").alias("valid_to_lsn"),
+                F.lit(False).alias("is_current"),
+            )
         )
-    )
-    # OPEN the new versions at (key, cur)
-    opens = _open(diff.filter(F.col("change_type") != "delete"))
-    batch = _envelope(closures, "UPSERT").unionByName(
-        _envelope(opens, "INSERT")
-    )
-    return _merge(batch)
+        # OPEN the new versions at (key, cur)
+        opens = _open(diff.filter(F.col("change_type") != "delete"))
+        batch = _envelope(closures, "UPSERT").unionByName(
+            _envelope(opens, "INSERT")
+        )
+        return _merge(batch)
+    finally:
+        diff.unpersist()
 
 
 # ----------------------------------------------------------------------
@@ -736,9 +747,10 @@ def sync_band_index(
             f"band-index cursor v{last} expired from source history "
             f"(oldest retained: v{retained[0]}); re-seed the destination"
         )
-    # localCheckpoint: the diff feeds both the re-banded live rows and
-    # the retired-key anti-join, each evaluated again inside the merge.
-    diff = src.read_changes(last, cur).localCheckpoint(eager=True)
+    # persist, not checkpoint: the diff feeds both the re-banded live
+    # rows and the retired-key anti-join, each evaluated again inside
+    # the merge; unpersisted in the finally below.
+    diff = src.read_changes(last, cur).persist(StorageLevel.MEMORY_AND_DISK)
     live = diff.filter(F.col("change_type") != "delete")
     new_bands = band_relation(live, id_col, text_col, n, num_hashes, num_bands)
     # Changed keys with no new band rows (deleted, or text degraded to
@@ -754,7 +766,10 @@ def sync_band_index(
         )
     )
     batch = _envelope(new_bands, "UPSERT").unionByName(_envelope(dead, "DELETE"))
-    return _merge(batch)
+    try:
+        return _merge(batch)
+    finally:
+        diff.unpersist()
 
 
 def emit_feed(

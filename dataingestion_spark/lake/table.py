@@ -663,13 +663,13 @@ class LakeTable:
         files = sorted(self._snap_dir.glob(f"B-{name}-v*.json"))
         if not files:
             raise KeyError(f"unknown branch {name!r}")
-        for p in files:
-            p.unlink()
         # drop the chain's tags with the chain: a stale chain-scoped tag
         # would be permanently un-droppable (_own_tag_entry refuses every
         # other chain) and, worse, would resolve against an UNRELATED
         # chain if the branch name is ever reused - the wrong-snapshot
-        # read the chain scoping exists to prevent.
+        # read the chain scoping exists to prevent. Tags go FIRST: a
+        # crash between the two steps then leaves a still-droppable
+        # branch (minus tags), not a dead chain with orphaned tags.
         tags = self._tags_raw()
         orphaned = [
             t
@@ -680,6 +680,8 @@ class LakeTable:
             for t in orphaned:
                 tags.pop(t)
             self._write_tags(tags)
+        for p in files:
+            p.unlink()
         return len(files)
 
     @property
@@ -1386,33 +1388,53 @@ class LakeTable:
         keys = keys.select(
             *[F.col(c).cast(snap.schema[c].dataType).alias(c) for c in pk]
         ).distinct()
-        # localCheckpoint: the key relation may carry an expensive
-        # lineage (sync_aggregate routes each sync's dirty-group set
-        # here) and feeds the bucket collect, the bloom/pushdown sample,
-        # and the semi-join probe - materialize once on the executors.
         keyed = keys.withColumn(
             BUCKET_COL,
             bucket_expr(pk[0], snap.num_buckets, key_type=snap.schema[pk[0]].dataType),
-        ).localCheckpoint(eager=True)
-        # driver memory stays bounded at ANY key count: buckets collect
-        # <= num_buckets rows, key tuples only up to the pushdown cap.
-        buckets = sorted(
-            {int(r[0]) for r in keyed.select(BUCKET_COL).distinct().collect()}
         )
-        if not buckets:
-            return self.spark.createDataFrame([], snap.schema)
+        # driver memory stays bounded at ANY key count: the tuple
+        # collect is capped, and past the cap only the distinct bucket
+        # set (<= num_buckets rows) and a capped pk0 sample come back.
+        # The serving-size path (the common case) stays ONE driver job.
         kdist = (
             keyed.select(BUCKET_COL, *pk)
             .limit(self.PUSHDOWN_MAX_KEYS + 1)
             .collect()
         )
         small = len(kdist) <= self.PUSHDOWN_MAX_KEYS
+        if small:
+            buckets = sorted({int(r[0]) for r in kdist})
+            pk0_vals = sorted({r[1] for r in kdist if r[1] is not None})
+        else:
+            buckets = sorted(
+                int(r[0])
+                for r in keyed.select(BUCKET_COL).distinct().collect()
+            )
+            # composite pks: many tuples can still span FEW first-pk
+            # values (one conversation, many turns) - sample pk0
+            # separately so the scan pushdown survives past the cap
+            pk0_rows = (
+                keyed.select(pk[0])
+                .distinct()
+                .limit(self.PUSHDOWN_MAX_KEYS + 1)
+                .collect()
+            )
+            pk0_vals = (
+                sorted(r[0] for r in pk0_rows if r[0] is not None)
+                if len(pk0_rows) <= self.PUSHDOWN_MAX_KEYS
+                else []
+            )
+        if not buckets:
+            return self.spark.createDataFrame([], snap.schema)
         probe = keyed.select(*pk)
         # explicit broadcast hints bypass autoBroadcastJoinThreshold, so
-        # gate on the MEASURED key count (cheap: keyed is materialized)
-        # - a change-volume-sized key relation shuffles instead of being
-        # funneled through the driver onto every executor.
-        if broadcast_keys and keyed.count() <= self.BROADCAST_KEYS_MAX:
+        # gate on the key count: known-small sets skip the extra count
+        # job entirely; a change-volume-sized key relation (the sync
+        # paths) shuffles instead of being funneled through the driver
+        # onto every executor.
+        if broadcast_keys and (
+            small or keyed.count() <= self.BROADCAST_KEYS_MAX
+        ):
             probe = F.broadcast(probe)
         file_map = delta_map = None
         if use_bloom and small:
@@ -1430,8 +1452,7 @@ class LakeTable:
         df = self._resolved(
             snap, buckets, file_map=file_map, delta_map=delta_map
         ).filter(~F.coalesce(F.col(DELETED_COL), F.lit(False)))
-        pk0_vals = sorted({r[1] for r in kdist if r[1] is not None})
-        if small and pk0_vals:
+        if pk0_vals:
             # Key-predicate pushdown: an IN(<first pk>) filter reaches the
             # parquet scan, where clustered compaction's pk sort (row-group
             # min/max), dictionary pages, and the pk bloom filters written
@@ -1492,20 +1513,18 @@ class LakeTable:
         keys = keys.select(
             *[F.col(c).cast(snap.schema[c].dataType).alias(c) for c in prefix]
         ).distinct()
-        # localCheckpoint: the keys relation may carry an expensive
-        # lineage (sync_scd2/sync_aggregate derive it from the changelog
-        # full-outer join) and is consumed three times below (bucket
-        # set, pushdown sample, semi-join probe) - materialize it once
-        # on the executors instead of recomputing the diff per use.
         keyed = keys.withColumn(
             BUCKET_COL,
             bucket_expr(pk[0], snap.num_buckets, key_type=snap.schema[pk[0]].dataType),
-        ).localCheckpoint(eager=True)
+        )
         # driver memory stays bounded at ANY requested-key count: the
         # bucket set collect is <= num_buckets rows, and the pk0
         # pushdown sample is capped - a multi-million-conversation sync
         # must not funnel every key through the driver just to learn
-        # which buckets to open.
+        # which buckets to open. (The keys lineage stays lazy; callers
+        # with an expensive derivation - the sync family - persist the
+        # relation they derive it FROM, which keeps recomputes cheap
+        # AND recoverable under executor loss, unlike a checkpoint.)
         buckets = sorted(
             {int(r[0]) for r in keyed.select(BUCKET_COL).distinct().collect()}
         )
@@ -1518,9 +1537,14 @@ class LakeTable:
             .collect()
         )
         probe = keyed.select(*prefix)
-        # same broadcast gate as read_keys: hint only a measured-small
-        # key set (sync_scd2 routes whole change volumes through here)
-        if broadcast_keys and keyed.count() <= self.BROADCAST_KEYS_MAX:
+        # same broadcast gate as read_keys: hint only a known-small key
+        # set (sync_scd2 routes whole change volumes through here). For
+        # width-1 prefixes - the common whole-conversation fetch - the
+        # capped pk0 sample IS the tuple count, so no extra count job.
+        small = k == 1 and len(pk0_rows) <= self.PUSHDOWN_MAX_KEYS
+        if broadcast_keys and (
+            small or keyed.count() <= self.BROADCAST_KEYS_MAX
+        ):
             probe = F.broadcast(probe)
         df = self._resolved(snap, buckets).filter(
             ~F.coalesce(F.col(DELETED_COL), F.lit(False))

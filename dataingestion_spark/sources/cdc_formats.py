@@ -786,10 +786,15 @@ def parse_canal(
 # arithmetic.  Guards follow the DynamoDB-adapter discipline: a
 # mis-based ordinal fails FAST, never silently quarantines the stream.
 _MSSQL_LSN_HEX = 20
-# operations of a transaction that committed just AFTER the
-# subscription base log their records slightly BEFORE it; the slack
-# keeps those non-negative (2^20 covers a whole block range + slots)
-_MSSQL_SLACK = 1 << 20
+# operations of a transaction that committed AFTER the subscription
+# base may have logged their records BEFORE it; the slack keeps those
+# non-negative. It must cover the largest below-base gap a straddling
+# transaction can produce - including block jumps (2^16 steps) and VLF
+# rollovers (2^48 steps) - so it is sized at two full VLF fields
+# (2^49). That sacrifices 2^-14 of the forward range and tolerates a
+# transaction whose pre-base log tail spans a whole VLF; anything
+# further below is a mis-chosen base and fails loudly.
+_MSSQL_SLACK = 1 << 49
 
 
 def _mssql_hex_limbs(col: Column) -> tuple[Column, Column]:
@@ -902,8 +907,11 @@ def parse_sqlserver_cdc(
                     "sqlserver __$seqval %s does not map into a 64-bit "
                     "lsn relative to lsn_base "
                     + (base or "0")
-                    + "; re-subscribe with the capture instance's "
-                    "current min_lsn as lsn_base",
+                    + "; choose lsn_base at or below the capture "
+                    "instance's min_lsn AT SUBSCRIPTION TIME (too-low "
+                    "values only spend forward range; a base above "
+                    "in-flight transactions' first log records cannot "
+                    "work)",
                     F.col("`__$seqval`"),
                 )
             )
@@ -1092,6 +1100,17 @@ _JSON_SIGNATURES: list[tuple[str, frozenset[str]]] = [
     ("cockroach-changefeed", frozenset({"after", "updated"})),
 ]
 
+# the complete key vocabulary of wal2json v2 B/C/M control records
+# (begin/commit with optional xid/timestamp/lsn fields, message with
+# prefix/content); used to keep the control-record detection fallback
+# from claiming arbitrary "action"-keyed producers
+_W2J_CONTROL_KEYS = frozenset(
+    {
+        "action", "xid", "timestamp", "lsn", "nextlsn", "origin",
+        "transactional", "prefix", "content",
+    }
+)
+
 
 def detect_cdc_format(
     df: DataFrame, value_col: str = "value", sample_rows: int = 16
@@ -1163,12 +1182,19 @@ def detect_cdc_format(
                 f"{row[0]!r}"
             ) from e
         matches = [fmt for fmt, sig in _JSON_SIGNATURES if sig <= keys]
-        if not matches and parsed.get("action") in ("B", "C", "M"):
+        if (
+            not matches
+            and parsed.get("action") in ("B", "C", "M")
+            and keys <= _W2J_CONTROL_KEYS
+        ):
             # wal2json v2 transaction-control records (begin/commit/
             # message) carry only {action[, xid, timestamp, ...]} - no
             # schema key, so the main signature can't see them, but
             # every real wal2json dump contains them (parse_wal2json
-            # filters them out downstream for the same reason).
+            # filters them out downstream for the same reason). The
+            # key-subset requirement keeps the refuse-loudly posture:
+            # an unknown producer that merely reuses an "action" field
+            # with extra keys still refuses instead of misrouting.
             matches = ["wal2json"]
         if len(matches) != 1:
             raise ValueError(

@@ -955,8 +955,10 @@ def test_sqlserver_cdc_parse(spark):
         capture_instance="dbo_emp",
     ).orderBy("lsn")
     got = out.collect()
+    from dataingestion_spark.sources.cdc_formats import _MSSQL_SLACK
+
     assert [r["op"] for r in got] == ["INSERT", "UPDATE", "DELETE"]
-    slack = 1 << 20
+    slack = _MSSQL_SLACK
     # lsn = seqval - base + slack: the operation's own log LSN rebased
     assert [r["lsn"] for r in got] == [
         0x100 - 2 + slack,   # txn 1 first op
@@ -995,11 +997,13 @@ def test_sqlserver_lsn_guards(spark):
         ],
         schema,
     )
+    from dataingestion_spark.sources.cdc_formats import _MSSQL_SLACK
+
     got = parse_sqlserver_cdc(
         multi, payload_fields=[], key_fields=[("id", "long")],
         lsn_base=_mssql_hex(base),
     ).orderBy("lsn").collect()
-    slack = 1 << 20
+    slack = _MSSQL_SLACK
     assert [r["lsn"] for r in got] == [
         (1 << 16) + slack,
         (1 << 48) - (1 << 16) + slack,
@@ -1016,7 +1020,8 @@ def test_sqlserver_lsn_guards(spark):
 
     # seqval far BELOW the base (beyond the slack): wrong base, loud
     below = spark.createDataFrame(
-        [(_mssql_hex(base), _mssql_hex(base - (1 << 21)), 2, 1)], schema
+        [(_mssql_hex(base), _mssql_hex(base - _MSSQL_SLACK - 1), 2, 1)],
+        schema,
     )
     with pytest.raises(SparkRuntimeException, match="lsn_base"):
         parse_sqlserver_cdc(
@@ -1273,9 +1278,11 @@ def test_sqlserver_roundtrip_property(spark, events):
         ).collect(),
         key=lambda r: r["lsn"],
     )
+    from dataingestion_spark.sources.cdc_formats import _MSSQL_SLACK
+
     want = sorted(
         (
-            (ops[op_idx], k, text, 2 * i - (i % 2) + (1 << 20))
+            (ops[op_idx], k, text, 2 * i - (i % 2) + _MSSQL_SLACK)
             for i, (k, op_idx, text) in enumerate(events)
         ),
         key=lambda t: t[3],
@@ -1439,3 +1446,17 @@ def test_canal_missing_isddl_not_dropped(spark):
         df, payload_fields=[("v", "string")], key_fields=[("id", "long")]
     ).collect()
     assert len(got) == 1 and got[0]["op"] == "INSERT" and got[0]["v"] == "x"
+
+
+def test_detect_action_keyed_stranger_still_refuses(spark):
+    """The wal2json control-record fallback is shape-bound: a non-
+    wal2json producer that merely reuses an "action" field with foreign
+    keys must still refuse loudly, not misroute to an all-filtered
+    parse."""
+    from dataingestion_spark.sources.cdc_formats import detect_cdc_format
+
+    df = spark.createDataFrame(
+        [('{"action": "C", "foo": 1}',)], "value string"
+    )
+    with pytest.raises(ValueError, match="no known format"):
+        detect_cdc_format(df)

@@ -368,23 +368,30 @@ def test_read_prefix_validates_inputs(spark, tmp_table_dir):
 
 
 def test_point_lookup_broadcast_gated_by_measured_count(spark, tmp_path, monkeypatch):
-    """read_keys/read_prefix honor broadcast_keys only up to
-    BROADCAST_KEYS_MAX measured keys: an explicit hint bypasses
+    """read_keys/read_prefix broadcast the probe only for key sets
+    within the caps: an explicit hint bypasses
     autoBroadcastJoinThreshold, so a change-volume-sized key relation
     (the sync paths) must shuffle-join instead. Results stay equal."""
     from tests.test_plans import _plan
 
     tbl, _ = _seeded(spark, tmp_path / "bgate")
-    keys = [
-        (r["conv_id"], r["turn_idx"])
-        for r in tbl.read().select("conv_id", "turn_idx").limit(6).collect()
-    ]
-    convs = sorted({k[0] for k in keys})
+    rows = tbl.read().select("conv_id", "turn_idx").distinct().collect()
+    seen, keys = set(), []
+    for r in rows:
+        if r["conv_id"] not in seen:
+            seen.add(r["conv_id"])
+            keys.append((r["conv_id"], r["turn_idx"]))
+        if len(keys) == 6:
+            break
+    convs = sorted(k[0] for k in keys)
     small = tbl.read_keys(keys)
     smallp = tbl.read_prefix(convs)
-    assert "BroadcastHashJoin" in _plan(small) or "BroadcastExchange" in _plan(small)
+    assert "BroadcastExchange" in _plan(small)
 
-    monkeypatch.setattr(type(tbl), "BROADCAST_KEYS_MAX", 0)
+    # shrink BOTH caps below the key count: the set is no longer
+    # provably small and exceeds the broadcast budget -> no hint
+    monkeypatch.setattr(type(tbl), "PUSHDOWN_MAX_KEYS", 2)
+    monkeypatch.setattr(type(tbl), "BROADCAST_KEYS_MAX", 2)
     # with the hint gated off, only Spark's own autoBroadcastJoinThreshold
     # decides - disable it to observe the ungated (shuffle) plan
     prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
