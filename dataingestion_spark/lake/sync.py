@@ -316,106 +316,106 @@ def sync_aggregate(
         .filter(key_ok)
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    sign = F.when(
-        F.col("change_type").isin("insert", "update_postimage"), F.lit(1)
-    ).otherwise(F.lit(-1))
-    deltas = diff.groupBy(*group_cols).agg(
-        F.sum(sign).alias("_d_count"),
-        *[
-            F.sum(
-                F.when(F.col(c).isNotNull(), sign * F.col(c))
-            ).alias(f"_d_sum_{c}")
-            for c in sums
-        ],
-        # extrema deltas: candidate min/max among ADDED rows fold
-        # cheaply; any REMOVE marks the group dirty (the removed value
-        # might have been the stored extremum, and the view cannot name
-        # the runner-up - see the docstring)
-        *[F.min(F.when(sign == 1, F.col(c))).alias(f"_a_min_{c}") for c in mins],
-        *[F.max(F.when(sign == 1, F.col(c))).alias(f"_a_max_{c}") for c in maxs],
-        *(
-            [
-                F.max(
-                    F.when(sign == -1, F.lit(1)).otherwise(F.lit(0))
-                ).alias("_dirty")
-            ]
-            if (mins or maxs)
-            else []
-        ),
-    )
-    # No emptiness probe: merge the (possibly empty) totals unconditionally.
-    # A version that advanced with no net row changes (compaction, DML
-    # no-op) flows through as an EMPTY batch, and the merge's existing
-    # empty-batch path commits the epoch marker - the take(1) probe would
-    # re-run the whole delta aggregate once per sync just to decide this.
-    old = dst.read_keys(deltas.select(*group_cols))
-    agg_types = aggregate_schema(src.snapshot().schema, group_cols, sums, count_col)
-    joined = old.join(deltas, on=list(group_cols), how="full_outer")
-    totals = joined.select(
-        *group_cols,
-        (
-            F.coalesce(F.col(count_col), F.lit(0))
-            + F.coalesce(F.col("_d_count"), F.lit(0))
-        ).cast("long").alias(count_col),
-        *[
-            (
-                F.coalesce(F.col(f"sum_{c}"), F.lit(0))
-                + F.coalesce(F.col(f"_d_sum_{c}"), F.lit(0))
-            ).cast(agg_types[f"sum_{c}"].dataType).alias(f"sum_{c}")
-            for c in sums
-        ],
-        # least/greatest skip nulls: a brand-new group takes the add-side
-        # candidate, an add-free group keeps the stored extremum; dirty
-        # groups get these folded values REPLACED by the recompute below
-        *[
-            F.least(F.col(f"min_{c}"), F.col(f"_a_min_{c}")).alias(f"min_{c}")
-            for c in mins
-        ],
-        *[
-            F.greatest(F.col(f"max_{c}"), F.col(f"_a_max_{c}")).alias(f"max_{c}")
-            for c in maxs
-        ],
-        *(
-            [F.coalesce(F.col("_dirty"), F.lit(0)).alias("_dirty")]
-            if (mins or maxs)
-            else []
-        ),
-    )
-    if mins or maxs:
-        dirty = totals.filter(F.col("_dirty") == 1).select(*group_cols)
-        pk_prefix = list(src.snapshot().pk_fields)[: len(group_cols)]
-        if list(group_cols) == pk_prefix:
-            # the bucket transform hashes the first pk field, so the
-            # recompute is pruned to exactly the dirty groups' buckets
-            rows = src.read_prefix(dirty, version=cur)
-        else:
-            # non-pk grouping: change-bounded group count, but a source
-            # scan (broadcast semi-join keeps only the dirty groups)
-            rows = src.read(version=cur).join(
-                F.broadcast(dirty), on=list(group_cols), how="left_semi"
-            )
-        rec = rows.filter(key_ok).groupBy(*group_cols).agg(
-            *[F.min(F.col(c)).alias(f"_r_min_{c}") for c in mins],
-            *[F.max(F.col(c)).alias(f"_r_max_{c}") for c in maxs],
-        )
-        totals = totals.join(rec, on=list(group_cols), how="left").select(
-            *group_cols,
-            count_col,
-            *sum_cols,
+    try:
+        sign = F.when(
+            F.col("change_type").isin("insert", "update_postimage"), F.lit(1)
+        ).otherwise(F.lit(-1))
+        deltas = diff.groupBy(*group_cols).agg(
+            F.sum(sign).alias("_d_count"),
             *[
-                F.when(F.col("_dirty") == 1, F.col(f"_r_min_{c}"))
-                .otherwise(F.col(f"min_{c}"))
-                .alias(f"min_{c}")
+                F.sum(
+                    F.when(F.col(c).isNotNull(), sign * F.col(c))
+                ).alias(f"_d_sum_{c}")
+                for c in sums
+            ],
+            # extrema deltas: candidate min/max among ADDED rows fold
+            # cheaply; any REMOVE marks the group dirty (the removed value
+            # might have been the stored extremum, and the view cannot name
+            # the runner-up - see the docstring)
+            *[F.min(F.when(sign == 1, F.col(c))).alias(f"_a_min_{c}") for c in mins],
+            *[F.max(F.when(sign == 1, F.col(c))).alias(f"_a_max_{c}") for c in maxs],
+            *(
+                [
+                    F.max(
+                        F.when(sign == -1, F.lit(1)).otherwise(F.lit(0))
+                    ).alias("_dirty")
+                ]
+                if (mins or maxs)
+                else []
+            ),
+        )
+        # No emptiness probe: merge the (possibly empty) totals unconditionally.
+        # A version that advanced with no net row changes (compaction, DML
+        # no-op) flows through as an EMPTY batch, and the merge's existing
+        # empty-batch path commits the epoch marker - the take(1) probe would
+        # re-run the whole delta aggregate once per sync just to decide this.
+        old = dst.read_keys(deltas.select(*group_cols))
+        agg_types = aggregate_schema(src.snapshot().schema, group_cols, sums, count_col)
+        joined = old.join(deltas, on=list(group_cols), how="full_outer")
+        totals = joined.select(
+            *group_cols,
+            (
+                F.coalesce(F.col(count_col), F.lit(0))
+                + F.coalesce(F.col("_d_count"), F.lit(0))
+            ).cast("long").alias(count_col),
+            *[
+                (
+                    F.coalesce(F.col(f"sum_{c}"), F.lit(0))
+                    + F.coalesce(F.col(f"_d_sum_{c}"), F.lit(0))
+                ).cast(agg_types[f"sum_{c}"].dataType).alias(f"sum_{c}")
+                for c in sums
+            ],
+            # least/greatest skip nulls: a brand-new group takes the add-side
+            # candidate, an add-free group keeps the stored extremum; dirty
+            # groups get these folded values REPLACED by the recompute below
+            *[
+                F.least(F.col(f"min_{c}"), F.col(f"_a_min_{c}")).alias(f"min_{c}")
                 for c in mins
             ],
             *[
-                F.when(F.col("_dirty") == 1, F.col(f"_r_max_{c}"))
-                .otherwise(F.col(f"max_{c}"))
-                .alias(f"max_{c}")
+                F.greatest(F.col(f"max_{c}"), F.col(f"_a_max_{c}")).alias(f"max_{c}")
                 for c in maxs
             ],
+            *(
+                [F.coalesce(F.col("_dirty"), F.lit(0)).alias("_dirty")]
+                if (mins or maxs)
+                else []
+            ),
         )
-    try:
+        if mins or maxs:
+            dirty = totals.filter(F.col("_dirty") == 1).select(*group_cols)
+            pk_prefix = list(src.snapshot().pk_fields)[: len(group_cols)]
+            if list(group_cols) == pk_prefix:
+                # the bucket transform hashes the first pk field, so the
+                # recompute is pruned to exactly the dirty groups' buckets
+                rows = src.read_prefix(dirty, version=cur)
+            else:
+                # non-pk grouping: change-bounded group count, but a source
+                # scan (broadcast semi-join keeps only the dirty groups)
+                rows = src.read(version=cur).join(
+                    F.broadcast(dirty), on=list(group_cols), how="left_semi"
+                )
+            rec = rows.filter(key_ok).groupBy(*group_cols).agg(
+                *[F.min(F.col(c)).alias(f"_r_min_{c}") for c in mins],
+                *[F.max(F.col(c)).alias(f"_r_max_{c}") for c in maxs],
+            )
+            totals = totals.join(rec, on=list(group_cols), how="left").select(
+                *group_cols,
+                count_col,
+                *sum_cols,
+                *[
+                    F.when(F.col("_dirty") == 1, F.col(f"_r_min_{c}"))
+                    .otherwise(F.col(f"min_{c}"))
+                    .alias(f"min_{c}")
+                    for c in mins
+                ],
+                *[
+                    F.when(F.col("_dirty") == 1, F.col(f"_r_max_{c}"))
+                    .otherwise(F.col(f"max_{c}"))
+                    .alias(f"max_{c}")
+                    for c in maxs
+                ],
+            )
         return _merge_totals(totals)
     finally:
         diff.unpersist()
@@ -751,22 +751,24 @@ def sync_band_index(
     # rows and the retired-key anti-join, each evaluated again inside
     # the merge; unpersisted in the finally below.
     diff = src.read_changes(last, cur).persist(StorageLevel.MEMORY_AND_DISK)
-    live = diff.filter(F.col("change_type") != "delete")
-    new_bands = band_relation(live, id_col, text_col, n, num_hashes, num_bands)
-    # Changed keys with no new band rows (deleted, or text degraded to
-    # null/short): retire ALL their band keys. num_bands is a small
-    # constant, so the explode is O(changed keys).
-    dead = (
-        diff.select(id_col)
-        .join(new_bands.select(id_col).distinct(), id_col, "left_anti")
-        .select(
-            F.col(id_col),
-            F.explode(F.sequence(F.lit(0), F.lit(num_bands - 1))).alias("band_idx"),
-            F.lit(None).cast("string").alias("band_hash"),
-        )
-    )
-    batch = _envelope(new_bands, "UPSERT").unionByName(_envelope(dead, "DELETE"))
     try:
+        live = diff.filter(F.col("change_type") != "delete")
+        new_bands = band_relation(live, id_col, text_col, n, num_hashes, num_bands)
+        # Changed keys with no new band rows (deleted, or text degraded to
+        # null/short): retire ALL their band keys. num_bands is a small
+        # constant, so the explode is O(changed keys).
+        dead = (
+            diff.select(id_col)
+            .join(new_bands.select(id_col).distinct(), id_col, "left_anti")
+            .select(
+                F.col(id_col),
+                F.explode(F.sequence(F.lit(0), F.lit(num_bands - 1))).alias("band_idx"),
+                F.lit(None).cast("string").alias("band_hash"),
+            )
+        )
+        batch = _envelope(new_bands, "UPSERT").unionByName(
+            _envelope(dead, "DELETE")
+        )
         return _merge(batch)
     finally:
         diff.unpersist()

@@ -1426,16 +1426,29 @@ class LakeTable:
             )
         if not buckets:
             return self.spark.createDataFrame([], snap.schema)
-        probe = keyed.select(*pk)
-        # explicit broadcast hints bypass autoBroadcastJoinThreshold, so
-        # gate on the key count: known-small sets skip the extra count
-        # job entirely; a change-volume-sized key relation (the sync
-        # paths) shuffles instead of being funneled through the driver
-        # onto every executor.
-        if broadcast_keys and (
-            small or keyed.count() <= self.BROADCAST_KEYS_MAX
-        ):
-            probe = F.broadcast(probe)
+        if small:
+            # build the probe from the COLLECTED tuples, not the lazy
+            # relation: the bucket list, bloom consult, and pushdown all
+            # derive from this one sample, and re-evaluating a caller's
+            # possibly-nondeterministic keys lineage for the semi-join
+            # could produce keys whose buckets were never opened. A
+            # local literal relation pins all four consumers to the SAME
+            # key set - and costs the caller's lineage exactly once.
+            probe = self.spark.createDataFrame(
+                [tuple(r[1:]) for r in kdist],
+                T.StructType([snap.schema[c] for c in pk]),
+            )
+            if broadcast_keys:
+                probe = F.broadcast(probe)
+        else:
+            probe = keyed.select(*pk)
+            # explicit broadcast hints bypass autoBroadcastJoinThreshold:
+            # a change-volume-sized key relation (the sync paths)
+            # shuffles instead of being funneled through the driver onto
+            # every executor. (Past the cap the key relation must be
+            # deterministic - same contract as any repeated-read input.)
+            if broadcast_keys and keyed.count() <= self.BROADCAST_KEYS_MAX:
+                probe = F.broadcast(probe)
         file_map = delta_map = None
         if use_bloom and small:
             # File-level bloom skipping (lake/bloom.py, Hudi bloom-index
@@ -1536,16 +1549,25 @@ class LakeTable:
             .limit(self.PUSHDOWN_MAX_KEYS + 1)
             .collect()
         )
-        probe = keyed.select(*prefix)
-        # same broadcast gate as read_keys: hint only a known-small key
-        # set (sync_scd2 routes whole change volumes through here). For
-        # width-1 prefixes - the common whole-conversation fetch - the
-        # capped pk0 sample IS the tuple count, so no extra count job.
+        # same posture as read_keys: for width-1 prefixes - the common
+        # whole-conversation fetch - the capped pk0 sample IS the
+        # complete distinct key set, so the probe is built from the
+        # COLLECTED values (pins bucket list and semi-join to the same
+        # sample, no lineage re-evaluation, no extra count job); wider
+        # or over-cap prefixes keep the lazy relation with the
+        # measured-count broadcast gate.
         small = k == 1 and len(pk0_rows) <= self.PUSHDOWN_MAX_KEYS
-        if broadcast_keys and (
-            small or keyed.count() <= self.BROADCAST_KEYS_MAX
-        ):
-            probe = F.broadcast(probe)
+        if small:
+            probe = self.spark.createDataFrame(
+                [(r[0],) for r in pk0_rows],
+                T.StructType([snap.schema[pk[0]]]),
+            )
+            if broadcast_keys:
+                probe = F.broadcast(probe)
+        else:
+            probe = keyed.select(*prefix)
+            if broadcast_keys and keyed.count() <= self.BROADCAST_KEYS_MAX:
+                probe = F.broadcast(probe)
         df = self._resolved(snap, buckets).filter(
             ~F.coalesce(F.col(DELETED_COL), F.lit(False))
         )
@@ -3486,6 +3508,25 @@ class LakeTable:
             raise ValueError(
                 f"source must not carry reserved column(s) {sorted(reserved)}"
             )
+        # persist: the source lineage (often a join/aggregate the caller
+        # built) is consumed by the dup check, the live-key lookup's
+        # collects, the labeled join, and the merge's own passes - cache
+        # it once, recoverable via lineage, released in the finally.
+        from pyspark import StorageLevel
+
+        source = source.persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            return self._merge_into_body(
+                source, snap, pk, upd, dele, ins, update_assignments,
+                pipeline_id, epoch_id, merge_kwargs,
+            )
+        finally:
+            source.unpersist()
+
+    def _merge_into_body(
+        self, source, snap, pk, upd, dele, ins, update_assignments,
+        pipeline_id, epoch_id, merge_kwargs,
+    ):
         dup = (
             source.groupBy(*pk).count().filter(F.col("count") > 1).take(1)
         )
