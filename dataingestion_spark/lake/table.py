@@ -1530,49 +1530,58 @@ class LakeTable:
             BUCKET_COL,
             bucket_expr(pk[0], snap.num_buckets, key_type=snap.schema[pk[0]].dataType),
         )
-        # driver memory stays bounded at ANY requested-key count: the
-        # bucket set collect is <= num_buckets rows, and the pk0
-        # pushdown sample is capped - a multi-million-conversation sync
-        # must not funnel every key through the driver just to learn
-        # which buckets to open. (The keys lineage stays lazy; callers
-        # with an expensive derivation - the sync family - persist the
-        # relation they derive it FROM, which keeps recomputes cheap
-        # AND recoverable under executor loss, unlike a checkpoint.)
-        buckets = sorted(
-            {int(r[0]) for r in keyed.select(BUCKET_COL).distinct().collect()}
-        )
-        if not buckets:
-            return self.spark.createDataFrame([], snap.schema)
-        pk0_rows = (
-            keyed.select(pk[0])
+        # same shape as read_keys: ONE capped collect serves the bucket
+        # list, the pk0 pushdown, AND (when complete) the semi-join
+        # probe as a local literal relation - pinning every consumer to
+        # the same sample and costing the caller's lineage exactly once.
+        # Past the cap, driver memory stays bounded: the bucket-set
+        # collect is <= num_buckets rows and the pk0 sample is capped -
+        # a multi-million-conversation sync must not funnel every key
+        # through the driver just to learn which buckets to open.
+        kdist = (
+            keyed.select(BUCKET_COL, *prefix)
             .distinct()
             .limit(self.PUSHDOWN_MAX_KEYS + 1)
             .collect()
         )
-        # same posture as read_keys: for width-1 prefixes - the common
-        # whole-conversation fetch - the capped pk0 sample IS the
-        # complete distinct key set, so the probe is built from the
-        # COLLECTED values (pins bucket list and semi-join to the same
-        # sample, no lineage re-evaluation, no extra count job); wider
-        # or over-cap prefixes keep the lazy relation with the
-        # measured-count broadcast gate.
-        small = k == 1 and len(pk0_rows) <= self.PUSHDOWN_MAX_KEYS
+        small = len(kdist) <= self.PUSHDOWN_MAX_KEYS
+        if small:
+            buckets = sorted({int(r[0]) for r in kdist})
+            pk0_vals = sorted({r[1] for r in kdist if r[1] is not None})
+        else:
+            buckets = sorted(
+                {int(r[0]) for r in keyed.select(BUCKET_COL).distinct().collect()}
+            )
+            pk0_rows = (
+                keyed.select(pk[0])
+                .distinct()
+                .limit(self.PUSHDOWN_MAX_KEYS + 1)
+                .collect()
+            )
+            pk0_vals = (
+                sorted(r[0] for r in pk0_rows if r[0] is not None)
+                if len(pk0_rows) <= self.PUSHDOWN_MAX_KEYS
+                else []
+            )
+        if not buckets:
+            return self.spark.createDataFrame([], snap.schema)
         if small:
             probe = self.spark.createDataFrame(
-                [(r[0],) for r in pk0_rows],
-                T.StructType([snap.schema[pk[0]]]),
+                [tuple(r[1:]) for r in kdist],
+                T.StructType([snap.schema[c] for c in prefix]),
             )
             if broadcast_keys:
                 probe = F.broadcast(probe)
         else:
             probe = keyed.select(*prefix)
+            # explicit hints bypass autoBroadcastJoinThreshold - gate on
+            # the measured count so change-volume key sets shuffle-join
             if broadcast_keys and keyed.count() <= self.BROADCAST_KEYS_MAX:
                 probe = F.broadcast(probe)
         df = self._resolved(snap, buckets).filter(
             ~F.coalesce(F.col(DELETED_COL), F.lit(False))
         )
-        pk0_vals = sorted(r[0] for r in pk0_rows if r[0] is not None)
-        if pk0_vals and len(pk0_rows) <= self.PUSHDOWN_MAX_KEYS:
+        if pk0_vals:
             df = df.filter(F.col(pk[0]).isin(pk0_vals))
         return df.join(probe, on=prefix, how="left_semi").select(
             *[f.name for f in snap.schema.fields]
